@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to completion of a count() action (forces the full
+plan; avoids driver-side collect cost for wide results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from taipei_bi_etl_spark.queries import REGISTRY  # noqa: E402
+from taipei_bi_etl_spark.session import get_spark  # noqa: E402
+
+#: Headline set: the flagship telemetry chain + heavy relational shapes +
+#: the scale-path pipeline operators.
+HEADLINE = [
+    "cohort_retention",
+    "active_user_counts",
+    "lead_sessionize",
+    "pricing_summary",
+    "dim_join_chain",
+    "ratio_and_total_share",
+    "percentile_rollup",
+    "alt_key_union_join",
+    "upsert_keep_latest",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

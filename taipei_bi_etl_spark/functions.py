@@ -1,0 +1,129 @@
+"""BigQuery-dialect scalar functions as native Column expressions.
+
+Reference parity: SURVEY.md §2.8 (F1-F24) and §2.4 A6.  Everything here is
+a pure Catalyst Column expression — no Python UDFs — so the whole scalar
+layer stays inside whole-stage codegen (the reference pays a JS-UDF or
+pandas round-trip for several of these).
+
+Citations point at representative uses in /root/reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Date / time (F1-F10)
+# ---------------------------------------------------------------------------
+
+def to_day(ts: Column | str) -> Column:
+    """``DATE(ts)`` — F1, ``sql/mango_events.sql:29``."""
+    return F.to_date(ts)
+
+
+def date_sub_days(d: Column | str, n: int) -> Column:
+    """``DATE_SUB(d, INTERVAL n DAY)`` — F2, ``sql/mango_user_rfe_28d.sql:9``."""
+    return F.date_sub(d, n)
+
+
+def date_diff_days(a: Column | str, b: Column | str) -> Column:
+    """``DATE_DIFF(a, b, DAY)`` — F3, ``sql/mango_user_rfe_daily_partial.sql:42``."""
+    return F.datediff(a, b)
+
+
+def date_from_unix_date(days: Column | str) -> Column:
+    """``DATE_FROM_UNIX_DATE(n)`` — F4, ``sql/mango_core_normalized.sql:3``."""
+    c = F.col(days) if isinstance(days, str) else days
+    return F.date_add(F.lit("1970-01-01").cast("date"), c.cast("int"))
+
+
+def datetime_add_ms(ts: Column, ms: Column) -> Column:
+    """``DATETIME_ADD(dt, INTERVAL ms MILLISECOND)`` — F5,
+    ``sql/mango_user_rfe_daily_session.sql:73,82-84``."""
+    return F.timestamp_millis(F.unix_millis(ts) + ms.cast("long"))
+
+
+def datetime_diff_ms(a: Column, b: Column) -> Column:
+    """``DATETIME_DIFF(a, b, MILLISECOND)`` — F6,
+    ``sql/mango_user_rfe_daily_session.sql:102-103``."""
+    return F.unix_millis(a) - F.unix_millis(b)
+
+
+def timestamp_trunc_day(ts: Column | str) -> Column:
+    """``TIMESTAMP_TRUNC(ts, DAY)`` — F7, ``sql/revenue_search_events.sql:4``."""
+    return F.date_trunc("day", ts)
+
+
+def to_utc_from_tz(ts: Column | str, tz: Column | str) -> Column:
+    """Timezone localize on ingest — S9, ``utils/marshalling.py:57-74``."""
+    return F.to_utc_timestamp(ts, tz)
+
+
+# ---------------------------------------------------------------------------
+# Null handling / casting (F13-F15, P10)
+# ---------------------------------------------------------------------------
+
+def ifnull(col: Column, default) -> Column:
+    """``IFNULL(x, default)`` — F14, ``sql/mango_user_channels.sql:117-132``."""
+    return F.coalesce(col, F.lit(default))
+
+
+def lower_or_empty(col: Column) -> Column:
+    """``IF(x IS NULL, '', LOWER(x))`` — F13,
+    ``sql/mango_events_feature_mapping.sql:34-46``."""
+    return F.coalesce(F.lower(col), F.lit(""))
+
+
+def empty_to_null(col: Column) -> Column:
+    """pandas ``replace('', nan)`` — P10, ``tasks/revenue.py:98``."""
+    return F.nullif(col, F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# Arrays / key-value structs (A6, D2/D3 helpers)
+# ---------------------------------------------------------------------------
+
+def kv_get(arr: Column | str, key: str) -> Column:
+    """Scalar subquery over an array of key/value structs — A6:
+    ``(SELECT value FROM UNNEST(settings) WHERE key='...')``,
+    ``sql/mango_events_feature_mapping.sql:10-21``.
+
+    Pure array expression: filter + element_at, no join, no subquery.
+    """
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.element_at(F.filter(c, lambda x: x["key"] == key), 1)["value"]
+
+
+def kv_clean(arr: Column | str) -> Column:
+    """Lowercase keys/values, null value → '' — D3
+    (``udf_js/cleanup_settings.sql:1-17``) as a pure ``transform``."""
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(
+        c,
+        lambda x: F.struct(
+            F.lower(x["key"]).alias("key"),
+            F.coalesce(F.lower(x["value"]), F.lit("")).alias("value"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misc (F16-F18)
+# ---------------------------------------------------------------------------
+
+def floor_div(col: Column, n: int) -> Column:
+    """``FLOOR(x/n)`` week/month bucketing — F16,
+    ``sql/mango_user_feature_occurrence.sql:57-58``."""
+    return F.floor(col / n).cast("long")
+
+
+def gen_uuid() -> Column:
+    """``GENERATE_UUID()`` — F17, ``sql/user_rfe.sql:5`` (non-deterministic;
+    keep out of hash-checked outputs)."""
+    return F.expr("uuid()")
+
+
+def json_path(col: Column | str, path: str) -> Column:
+    """``JSON_EXTRACT(col, '$.x')`` — F18, ``sql/user_rfe.sql:8``."""
+    return F.get_json_object(col, path)

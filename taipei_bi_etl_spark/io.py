@@ -1,0 +1,173 @@
+"""Sources and sinks.
+
+Reference parity (SURVEY.md §2.1): the reference extracts from HTTP APIs,
+GCS, BigQuery, local files and constants (``/root/reference/tasks/base.py:
+318-607``) and loads date-partitioned jsonl/csv plus a ``latest`` snapshot
+(``tasks/base.py:686-876``) and BigQuery day-partitioned tables with
+idempotent partition rewrite (``tasks/bigquery.py:182-266``).
+
+Spark-first re-expression:
+  * scans   → ``spark.read.{parquet,json,csv}`` with explicit schemas;
+              globs replace the reference's per-page file loops (S4).
+  * const   → ``spark.createDataFrame`` (S5).
+  * sinks   → columnar parquet ``partitionBy(date)`` with dynamic
+              partition overwrite (K1/K7), append+mergeSchema (K4/K5),
+              ``latest`` view aliasing the newest partition (K2).
+
+At 100 TB the scan layer is where scale is won: explicit schemas keep
+column pruning exact, date partition dirs give static+dynamic partition
+pruning, and ``maxPartitionBytes`` controls split granularity — all
+engine-side, nothing here ever collects data to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Tables the test harness provides (TESTDATA.md).
+TEST_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# ---------------------------------------------------------------------------
+# Scans
+# ---------------------------------------------------------------------------
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic benchmark table (columnar parquet).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; we read nanos as long (legacy conf, runtime-settable
+    so it works on any session the driver hands us) and convert to a
+    microsecond timestamp losslessly with integer division.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ts values are UTC-naive; pin the session tz so the epoch→timestamp
+        # conversion below is correct on sessions we didn't create.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TEST_TABLES
+) -> dict[str, DataFrame]:
+    """Scan several tables; returns name → DataFrame (lazy, no action)."""
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TEST_TABLES
+) -> None:
+    """Register the benchmark tables as temp views for ``spark.sql``."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+def read_json(
+    spark: SparkSession,
+    path_or_glob: str | Sequence[str],
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """JSON/jsonl scan (S4/S6).  The reference concatenates per-page files
+    ``{date}.{page}.jsonl`` in a Python loop (``tasks/base.py:318-384``);
+    a glob hands the same set to Spark's distributed reader.
+
+    Pass ``schema`` in production — inference is a full extra pass.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(list(path_or_glob) if isinstance(path_or_glob, (list, tuple)) else path_or_glob)
+
+
+def read_csv(
+    spark: SparkSession,
+    path_or_glob: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    names: Sequence[str] | None = None,
+) -> DataFrame:
+    """CSV scan with optional injected header (S8,
+    ``/root/reference/utils/marshalling.py:52-56``)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.csv(path_or_glob)
+    if names is not None:
+        df = df.toDF(*names)
+    return df
+
+
+def const_relation(
+    spark: SparkSession,
+    values: Sequence[dict] | Sequence[tuple],
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Constant relation (S5, ``tasks/base.py:594-607``)."""
+    return spark.createDataFrame(values, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    date_col: str = "utc_date",
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Date-partitioned sink (K1) with idempotent partition rewrite (K7).
+
+    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
+    session.get_spark) ``mode='overwrite'`` rewrites ONLY the partitions
+    present in ``df`` — the Spark-native equivalent of the reference's
+    ``DELETE WHERE execution_date = '{d}'`` + append
+    (``tasks/bigquery.py:182-195``, ``sql/cleanup_generic.sql``).
+    """
+    df.write.mode(mode).partitionBy(date_col).format(fmt).save(path)
+
+
+def write_append_evolving(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Append with schema evolution (K4/K5 ``ALLOW_FIELD_ADDITION``,
+    ``tasks/bigquery.py:329-335``).  Readers opt in via
+    ``spark.read.option('mergeSchema', 'true')``."""
+    df.write.mode("append").option("mergeSchema", "true").format(fmt).save(path)
+
+
+def latest_partition(spark: SparkSession, path: str, date_col: str = "utc_date") -> DataFrame:
+    """'latest' snapshot (K2, ``tasks/base.py:781-821``): instead of copying
+    the newest file, expose a view over the max partition — constant-time
+    metadata lookup, no data movement."""
+    df = spark.read.parquet(path)
+    mx = df.select(F.max(date_col).alias("mx"))
+    return df.join(F.broadcast(mx), df[date_col] == mx["mx"], "left_semi")
+
+
+def overwrite_days(
+    df: DataFrame, path: str, days: Sequence[str], date_col: str = "utc_date"
+) -> None:
+    """Backfill (K8): rewrite the trailing partitions in one dynamic
+    overwrite — the reference loops re-clean+re-append per day
+    (``tasks/bigquery.py:42-55,464-474``)."""
+    write_partitioned(df.filter(F.col(date_col).isin(list(days))), path, date_col)

@@ -1,0 +1,178 @@
+"""Training-data pipeline queries over ``documents`` / ``embeddings`` —
+the 100 TB-scale operators (dedup, similarity search, text analysis) that
+extend the reference's repertoire (BASELINE north star; SURVEY §7.1 step 8).
+
+Everything here is expressed as pure DataFrame ops (no Python UDFs) so the
+same plan scales from sf0.001 to a 1000-executor cluster: shuffles are on
+bounded keys (shingles, LSH bands, band buckets), and pairwise work only
+ever happens within buckets, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries import query
+
+
+def _tokens(col: str = "text"):
+    """Whitespace tokenization, identical to DuckDB's string_split_regex."""
+    return F.split(F.col(col), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — hash-groupBy on content digest.
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_DEDUP_ORACLE, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5(text): keep lowest doc_id.
+
+    Scale: the shuffle key is the 128-bit digest — uniformly distributed,
+    no skew; map-side partial agg means each executor ships one row per
+    local distinct hash.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup — shingle → inverted index join → verify.
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tok FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pair_inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-duplicate pairs (threshold 0.6) via an inverted
+    shingle index — candidate pairs only ever meet inside a shingle bucket.
+
+    Scale notes: at 100 TB add (a) a document-frequency cap dropping
+    shingles shared by > K docs (stop-shingles create quadratic buckets),
+    and (b) MinHash-LSH (see dedup_minhash_lsh) to cut candidate pairs
+    before exact verification.  Semantics here are exact for the oracle.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("tok"))
+    # one row per 3-shingle: zip token i..i+2 via transform over index range
+    # (guard: sequence(0, n) with n<0 would run DESCENDING in Spark)
+    sh_arr = F.when(
+        F.size("tok") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tok") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("tok"), i + 1),
+                F.element_at(F.col("tok"), i + 2),
+                F.element_at(F.col("tok"), i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select("doc_id", F.explode(sh_arr).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair_inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pair_inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality scoring.
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         len(string_split_regex(text, '\\s+')) AS n_tokens,
+         length(text) AS n_chars_actual,
+         len(list_filter(string_split_regex(text, '\\s+'),
+             t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stop
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens,
+       ROUND(AVG(CAST(n_chars_actual AS DOUBLE) / n_tokens), 6) AS avg_chars_per_token,
+       ROUND(AVG(CAST(n_stop AS DOUBLE) / n_tokens), 6) AS avg_stopword_ratio
+FROM scored GROUP BY source
+"""
+
+
+@query("text_quality_scores", oracle=_QUALITY_ORACLE, tags=("text",))
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features per source: token count, chars/token,
+    stopword ratio — all pure array expressions, fully codegen'd."""
+    d = read_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to", "in")])
+    tok = _tokens()
+    scored = d.select(
+        "source",
+        F.size(tok).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.filter(tok, lambda t: F.array_contains(stop, t))).alias("n_stop"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(
+            F.avg(F.col("n_chars_actual").cast("double") / F.col("n_tokens")), 6
+        ).alias("avg_chars_per_token"),
+        F.round(F.avg(F.col("n_stop").cast("double") / F.col("n_tokens")), 6).alias(
+            "avg_stopword_ratio"
+        ),
+    )

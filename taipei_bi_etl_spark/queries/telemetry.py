@@ -1,0 +1,321 @@
+"""Telemetry-shaped analytics queries (the reference's core pipeline),
+re-phrased over the synthetic ``events`` table.
+
+Covers SURVEY.md §2 rows: A5 retention pivot, W1 rank-dedup, W2/W3
+lead-sessionization, A3/A14 active-user counts, A6/F18 kv extraction,
+J10 upsert-dedup, D5-style CASE mapping, F16 week bucketing.
+
+``events`` schema: event_id, ts, user_id, event_type, value, props(json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# A5 — cohort retention pivot (the reference centerpiece:
+# sql/mango_cohort_retained_users.sql:6-26 — COUNT(DISTINCT CASE WHEN
+# occur_day = N THEN client_id END) over a 112-day cohort window).
+# ---------------------------------------------------------------------------
+
+_RETENTION_DAYS = (1, 3, 7, 14, 28)
+
+_RETENTION_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_date FROM days GROUP BY user_id
+), occ AS (
+  SELECT d.user_id, c.cohort_date,
+         datediff('day', c.cohort_date, d.day) AS occur_day
+  FROM days d JOIN cohort c USING (user_id)
+)
+SELECT cohort_date,
+       COUNT(DISTINCT user_id) AS cohort_size,
+       COUNT(DISTINCT CASE WHEN occur_day = 1  THEN user_id END) AS d1_retained,
+       COUNT(DISTINCT CASE WHEN occur_day = 3  THEN user_id END) AS d3_retained,
+       COUNT(DISTINCT CASE WHEN occur_day = 7  THEN user_id END) AS d7_retained,
+       COUNT(DISTINCT CASE WHEN occur_day = 14 THEN user_id END) AS d14_retained,
+       COUNT(DISTINCT CASE WHEN occur_day = 28 THEN user_id END) AS d28_retained
+FROM occ GROUP BY cohort_date
+"""
+
+
+@query("cohort_retention", oracle=_RETENTION_ORACLE, tags=("A5", "A2", "F3", "flagship"))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention pivot (A5).
+
+    Scale notes: one shuffle on user_id computes per-user day sets and the
+    cohort date in the same hash partitioning (window min avoids a second
+    shuffled join); the final groupBy(cohort_date) shuffles the already
+    per-user-deduped rows only.  countDistinct goes through Spark's
+    partial-aggregation expand, no driver collection.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # min-over-window reuses the user_id hash partitioning the distinct
+    # already produced — no extra shuffle vs a groupBy+join.
+    cohort = days.withColumn(
+        "cohort_date", F.min("day").over(W.partitionBy("user_id"))
+    )
+    occ = cohort.withColumn("occur_day", F.datediff("day", "cohort_date"))
+    aggs = [F.countDistinct("user_id").alias("cohort_size")] + [
+        F.countDistinct(F.when(F.col("occur_day") == n, F.col("user_id"))).alias(
+            f"d{n}_retained"
+        )
+        for n in _RETENTION_DAYS
+    ]
+    return occ.groupBy("cohort_date").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# W1 — RANK()=1 dedup (sql/mango_user_channels.sql:133-137): keep one
+# attribution row per user, ordered by a deterministic key.
+# ---------------------------------------------------------------------------
+
+_RANK_DEDUP_ORACLE = """
+SELECT user_id, event_id, event_type, CAST(ts AS DATE) AS day
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         RANK() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS r
+  FROM events
+) WHERE r = 1
+"""
+
+
+@query("rank_dedup_first_touch", oracle=_RANK_DEDUP_ORACLE, tags=("W1", "O3"))
+def rank_dedup_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch dedup via RANK()=1 (W1).  The (ts, event_id) ordering is
+    a total order per user, so RANK matches the reference's creative_token
+    tie-break exactly while staying deterministic."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("r", F.rank().over(w))
+        .filter(F.col("r") == 1)
+        .select("user_id", "event_id", "event_type", F.to_date("ts").alias("day"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2/W3 — LEAD sessionization with 30-min gap cap
+# (sql/mango_user_rfe_daily_session.sql:66-114).
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts,
+         LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_ts
+  FROM events
+), durations AS (
+  SELECT user_id, day,
+         CASE
+           WHEN next_ts IS NULL THEN 0
+           WHEN datediff('millisecond', ts, next_ts) > 30 * 60 * 1000 THEN 0
+           ELSE datediff('millisecond', ts, next_ts)
+         END AS dur_ms
+  FROM seq
+)
+SELECT user_id, day,
+       CAST(SUM(dur_ms) AS BIGINT) AS session_time_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM durations GROUP BY user_id, day
+"""
+
+
+@query("lead_sessionize", oracle=_SESSION_ORACLE, tags=("W2", "W3", "F6"))
+def lead_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily session time: LEAD to next event, gaps > 30 min count
+    as 0 (W2/W3).  One shuffle on user_id serves both the window and the
+    final (user_id, day) aggregation (Catalyst reuses the hash partitioning
+    because user_id prefixes the grouping key)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    diff_ms = F.unix_millis(F.lead("ts", 1).over(w)) - F.unix_millis(F.col("ts"))
+    dur = F.when(diff_ms.isNull(), F.lit(0)).when(
+        diff_ms > 30 * 60 * 1000, F.lit(0)
+    ).otherwise(diff_ms)
+    return (
+        ev.withColumn("dur_ms", dur)
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("dur_ms").alias("session_time_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A14 — DAU/WAU/MAU-style active-user counts
+# (sql/mango_active_user_count.sql:17-105): per-day distinct users, plus
+# distinct "new" users (first-day) — two countDistincts in one pass, then
+# left-join assembly of the rolling windows.
+# ---------------------------------------------------------------------------
+
+_ACTIVE_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), firstday AS (
+  SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id
+), dau AS (
+  SELECT d.day,
+         COUNT(DISTINCT d.user_id) AS dau,
+         COUNT(DISTINCT CASE WHEN d.day = f.first_day THEN d.user_id END) AS new_dau
+  FROM days d JOIN firstday f USING (user_id)
+  GROUP BY d.day
+), wau AS (
+  SELECT d1.day, COUNT(DISTINCT d2.user_id) AS wau
+  FROM (SELECT DISTINCT day FROM days) d1
+  JOIN days d2 ON d2.day > d1.day - 7 AND d2.day <= d1.day
+  GROUP BY d1.day
+)
+SELECT dau.day, dau.dau, dau.new_dau, wau.wau
+FROM dau LEFT JOIN wau USING (day)
+"""
+
+
+@query("active_user_counts", oracle=_ACTIVE_ORACLE, tags=("A14", "A3", "J5"))
+def active_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + new-user DAU + 7-day WAU (A14/J5).
+
+    The WAU rolling window is computed by fanning each (user, day) row out
+    to the ≤7 window days it contributes to (sequence+explode) — a single
+    shuffle on day, instead of a per-day re-scan of 7 partitions like the
+    reference, and no range join.  At 100 TB the fan-out factor (7×) is
+    bounded and map-side, while a range join would be quadratic-ish.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.withColumn("first_day", F.min("day").over(W.partitionBy("user_id")))
+    dau = first.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+        ).alias("new_dau"),
+    )
+    # fan (user, day) → the 7 calendar days whose trailing window contains it,
+    # keep only days that actually occur in the data.
+    wau_days = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+    )
+    present = days.select(F.col("day").alias("win_day")).distinct()
+    wau = (
+        wau_days.join(present, "win_day")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("win_day", "day")
+    )
+    return dau.join(wau, "day", "left").select("day", "dau", "new_dau", "wau")
+
+
+# ---------------------------------------------------------------------------
+# A6/F18 — key-value extraction from JSON props (the reference pulls
+# settings values with a scalar subquery over UNNEST; here the props are
+# JSON text → get_json_object, F18 sql/user_rfe.sql:8).
+# ---------------------------------------------------------------------------
+
+_KV_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+@query("json_kv_extract", oracle=_KV_ORACLE, tags=("A6", "F18", "A2"))
+def json_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a typed value from a JSON props column and aggregate (F18 +
+    A1/A2).  get_json_object stays JVM-side; no Python."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — upsert / keep-latest-per-key merge (tasks/revenue.py:147-167's
+# pandasql max-datetime dedup) as a window.
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+SELECT user_id, event_id AS latest_event_id, event_type AS latest_event_type,
+       CAST(ts AS DATE) AS latest_day
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+@query("upsert_keep_latest", oracle=_UPSERT_ORACLE, tags=("J10",))
+def upsert_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the newest record per key (J10): row_number over (key, ts desc)
+    — the distributed MERGE-dedup.  event_id desc breaks ts ties
+    deterministically (the reference relies on max(datetime) alone)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_event_type"),
+            F.to_date("ts").alias("latest_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5/D6-style CASE mapping + F16 week bucketing
+# (udf/map_channels.sql:1-27, sql/mango_user_feature_occurrence.sql:57-58).
+# ---------------------------------------------------------------------------
+
+_CHANNEL_ORACLE = """
+SELECT CASE
+         WHEN event_type IN ('signup', 'login') THEN 'Acquisition'
+         WHEN event_type = 'purchase' THEN 'Revenue'
+         WHEN event_type IN ('view', 'click') THEN 'Engagement'
+         ELSE 'Others'
+       END AS channel,
+       CAST(FLOOR(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("channel_week_rollup", oracle=_CHANNEL_ORACLE, tags=("D5", "F16", "A1", "A3"))
+def channel_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-type CASE mapping (D5, udf/map_channels.sql ported to a
+    when-chain — stays in codegen) rolled up by FLOOR week bucket (F16)."""
+    ev = read_table(spark, sf_dir, "events")
+    channel = (
+        F.when(F.col("event_type").isin("signup", "login"), "Acquisition")
+        .when(F.col("event_type") == "purchase", "Revenue")
+        .when(F.col("event_type").isin("view", "click"), "Engagement")
+        .otherwise("Others")
+    )
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("long")
+    return (
+        ev.withColumn("channel", channel)
+        .withColumn("week_no", week)
+        .groupBy("channel", "week_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
