@@ -1,0 +1,94 @@
+"""Data-quality assertion operators (SURVEY.md §2.11 V1-V6) — the
+reference's post-transform validation layer as reusable DataFrame checks.
+
+Design for scale: every check that must scan data computes its verdict
+with ONE aggregate job (min/max/counts in a single pass) instead of
+per-rule actions; schema/column checks are metadata-only (no job).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from datetime import date, datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class CheckError(AssertionError):
+    """Raised when a data-quality check fails (the reference raises
+    ValueError/assert from pandas_schema validation, tasks/base.py:670-674)."""
+
+
+def assert_schema(df: DataFrame, expected: T.StructType, strict_nullable: bool = False) -> None:
+    """V1 — declared-schema validation (tasks/base.py:90-93,670-674).
+    Metadata-only: compares the analyzed schema, runs no job."""
+    actual = df.schema
+    def norm(s: T.StructType):
+        return [
+            (f.name, f.dataType.simpleString(), f.nullable if strict_nullable else None)
+            for f in s.fields
+        ]
+    if norm(actual) != norm(expected):
+        raise CheckError(
+            f"schema mismatch:\n  actual:   {actual.simpleString()}\n"
+            f"  expected: {expected.simpleString()}"
+        )
+
+
+def assert_columns(df: DataFrame, required: Sequence[str]) -> None:
+    """V3 — required-columns assertion (tasks/revenue.py:126-133)."""
+    missing = set(required) - set(df.columns)
+    if missing:
+        raise CheckError(f"missing required columns: {sorted(missing)}")
+
+
+def run_data_checks(
+    df: DataFrame,
+    date_col: str | None = None,
+    date_range: tuple[date | datetime | str, date | datetime | str] | None = None,
+    not_null: Sequence[str] = (),
+    min_rows: int = 0,
+) -> dict:
+    """V2 (date-range), V4 (non-null keys), V5 (min-row-count) in a single
+    aggregate pass (the reference runs each as its own pandas scan,
+    tasks/revenue.py:109-144, tasks/rps.py:94,169-171).
+
+    Returns the computed stats so callers can log them.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if date_col and date_range:
+        aggs += [F.min(date_col).alias("__dmin"), F.max(date_col).alias("__dmax")]
+    for c in not_null:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    if row["__n"] < min_rows:
+        raise CheckError(f"row count {row['__n']} < required minimum {min_rows}")
+    if date_col and date_range:
+        lo, hi = date_range
+        if row["__dmin"] is not None and (str(row["__dmin"]) < str(lo) or str(row["__dmax"]) > str(hi)):
+            raise CheckError(
+                f"{date_col} out of range: [{row['__dmin']}, {row['__dmax']}] "
+                f"not within [{lo}, {hi}]"
+            )
+    for c in not_null:
+        if row[f"__nulls_{c}"] > 0:
+            raise CheckError(f"column {c} has {row[f'__nulls_{c}']} null values")
+    return row
+
+
+def compare_to_previous(current: DataFrame, previous: DataFrame, keys: Sequence[str]) -> dict:
+    """V6 — cross-run consistency base (tasks/revenue.py:41-55): how many
+    key rows appeared/disappeared vs the previous batch.  One anti-join
+    each way, counted in the same job via union."""
+    cur_k = current.select(*keys).dropDuplicates()
+    prev_k = previous.select(*keys).dropDuplicates()
+    added = cur_k.join(prev_k, list(keys), "left_anti").select(F.lit("added").alias("kind"))
+    removed = prev_k.join(cur_k, list(keys), "left_anti").select(F.lit("removed").alias("kind"))
+    counts = {
+        r["kind"]: r["n"]
+        for r in added.unionByName(removed).groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {"added": counts.get("added", 0), "removed": counts.get("removed", 0)}

@@ -92,7 +92,9 @@ def kv_get(arr: Column | str, key: str) -> Column:
     Pure array expression: filter + element_at, no join, no subquery.
     """
     c = F.col(arr) if isinstance(arr, str) else arr
-    return F.element_at(F.filter(c, lambda x: x["key"] == key), 1)["value"]
+    # try_element_at: no-match → NULL (ANSI-safe), matching BigQuery's
+    # scalar subquery over an empty UNNEST.
+    return F.try_element_at(F.filter(c, lambda x: x["key"] == key), F.lit(1))["value"]
 
 
 def kv_clean(arr: Column | str) -> Column:

@@ -56,6 +56,7 @@ def oracle_queries() -> dict[str, str]:
 # Import for side effect: populates REGISTRY.
 from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     relational,
+    relational2,
     telemetry,
     pipeline,
 )

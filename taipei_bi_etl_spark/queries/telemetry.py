@@ -16,6 +16,24 @@ from pyspark.sql import functions as F
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
 
+
+# ---------------------------------------------------------------------------
+# D1-D4 + U1 — the full reference telemetry chain (mango_events →
+# unnested → feature_mapping fan-out).  Non-SQL-expressible in DuckDB
+# (the 150-rule D4 engine), so registered rows-only; rule fidelity is
+# property-tested in tests/test_feature_mapping.py instead.
+# ---------------------------------------------------------------------------
+
+
+@query("telemetry_feature_fanout", oracle=None, tags=("D1", "D2", "D3", "D4", "U1", "J8"))
+def telemetry_feature_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ping parse (D1 VARIANT) → explode → cleanup (D2) → kv extract (A6)
+    → outer lateral extra (J8) → rule cascade (D4) → 3-way fan-out (U1)
+    → daily per-feature rollup."""
+    from taipei_bi_etl_spark.plans.telemetry_pipeline import feature_usage_rollup
+
+    return feature_usage_rollup(spark, sf_dir)
+
 # ---------------------------------------------------------------------------
 # A5 — cohort retention pivot (the reference centerpiece:
 # sql/mango_cohort_retained_users.sql:6-26 — COUNT(DISTINCT CASE WHEN

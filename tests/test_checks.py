@@ -1,0 +1,62 @@
+"""Tests for the V1-V6 data-quality operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from taipei_bi_etl_spark import checks
+from taipei_bi_etl_spark.io import read_table
+from tests.conftest import SF_DIR
+
+
+def test_assert_schema_v1(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    checks.assert_schema(
+        df,
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]),
+    )
+    with pytest.raises(checks.CheckError, match="schema mismatch"):
+        checks.assert_schema(df, T.StructType([T.StructField("id", T.IntegerType())]))
+
+
+def test_assert_columns_v3(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    checks.assert_columns(df, ["id"])
+    with pytest.raises(checks.CheckError, match="missing required"):
+        checks.assert_columns(df, ["id", "nope"])
+
+
+def test_run_data_checks_v2_v4_v5(spark):
+    ev = read_table(spark, SF_DIR, "events")
+    stats = checks.run_data_checks(
+        ev.withColumn("day", F.to_date("ts")),
+        date_col="day",
+        date_range=("2020-01-01", "2030-01-01"),
+        not_null=["user_id", "event_type"],
+        min_rows=100,
+    )
+    assert stats["__n"] >= 100
+    with pytest.raises(checks.CheckError, match="row count"):
+        checks.run_data_checks(ev.limit(5), min_rows=100)
+    with pytest.raises(checks.CheckError, match="out of range"):
+        checks.run_data_checks(
+            ev.withColumn("day", F.to_date("ts")),
+            date_col="day",
+            date_range=("2020-01-01", "2020-01-02"),
+        )
+    with pytest.raises(checks.CheckError, match="null values"):
+        checks.run_data_checks(
+            ev.withColumn("bad", F.when(F.col("event_id") % 2 == 0, F.lit(None)).otherwise(F.lit(1))),
+            not_null=["bad"],
+        )
+
+
+def test_compare_to_previous_v6(spark):
+    cur = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    prev = spark.createDataFrame([(2,), (3,), (4,), (5,)], "k long")
+    out = checks.compare_to_previous(cur, prev, ["k"])
+    assert out == {"added": 1, "removed": 2}
