@@ -59,4 +59,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     relational2,
     telemetry,
     pipeline,
+    similarity,
 )

@@ -1,0 +1,257 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``) —
+the ANN component of the training-data pipeline (BASELINE north star;
+SURVEY §7.1 step 8).
+
+Design for 100 TB:
+
+* The **query set is always the broadcast side** — corpus scans once,
+  no corpus-side shuffle at all for brute-force top-k.
+* Dot products stay JVM-side (``zip_with`` + ``aggregate`` inside
+  whole-stage codegen), never a Python UDF.
+* Norms are computed once per vector and carried, not recomputed per
+  pair.
+* The scale path is ``ann_lsh_bucketed``: random-hyperplane signatures
+  shrink the candidate set from |corpus| to one bucket per query; the
+  bucket id is the shuffle key (bounded cardinality 2^bits).
+
+Float determinism note: elementwise double products summed strictly
+left-to-right are bit-identical between Spark's ``aggregate`` and
+DuckDB's ``list_inner_product`` (verified empirically), so similarity
+values are safely oracle-hashable after ``ROUND(_, 6)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries import query
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors in the demo queries
+TOP_K = 5
+
+
+def as_double(arr: Column | str) -> Column:
+    """array<float> → array<double> so both engines do double math."""
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product — deterministic, codegen'd."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot(a, b) / (norm_a * norm_b)
+
+
+def _corpus_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = as_double("embedding")
+    return e.select(
+        "vec_id", "label", emb.alias("emb"), l2_norm(emb).alias("norm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k — the exact baseline every ANN variant is
+# measured against.
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_inner_product(e.emb, q.qemb) / (e.nrm * q.qnrm) AS sim
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+       ROUND(sim, 6) AS cosine_sim
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= {TOP_K}
+"""
+
+
+@query("ann_cosine_topk", oracle=_TOPK_ORACLE, tags=("similarity", "extension"))
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors, scan the corpus
+    once, rank per query.
+
+    Scale: |queries| × dim lives on every executor (broadcast); the only
+    shuffle is the per-query top-k (keys = query_id, tiny).  At 100 TB
+    replace the final window with per-partition heap top-k +
+    re-aggregate if |queries| is large.
+    """
+    corpus = _corpus_with_norm(spark, sf_dir)
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    sim = cosine(F.col("emb"), F.col("qemb"), F.col("norm"), F.col("qnorm"))
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup by vector similarity).
+# ---------------------------------------------------------------------------
+
+_NEARDUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.99
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE, tags=("dedup", "similarity"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ 0.99), exact all-pairs.
+
+    Scale: all-pairs is O(n²) — correct as the verification kernel but
+    not the 100 TB driver.  There, generate candidates with
+    ``ann_lsh_bucketed``'s signature buckets (or block by norm ranges)
+    and run THIS exact check only inside buckets.  The demo corpus is
+    small enough that the exact form doubles as the oracle.
+    """
+    corpus = _corpus_with_norm(spark, sf_dir)
+    a = corpus.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("norm").alias("na")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("norm").alias("nb")
+    )
+    sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.99)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path.  Random-hyperplane signatures;
+# candidates only within a bucket.  Recall vs the exact top-k is
+# asserted in tests/test_similarity.py; registered rows-only because the
+# hyperplane sampling is not expressible in ANSI SQL.
+# ---------------------------------------------------------------------------
+
+# 4 bits x 16 tables tuned for weakly-clustered corpora (recall ~0.98
+# on the synthetic testdata where top-k cosine is only ~0.3); on real
+# clustered embeddings the same shape is far more selective — raise
+# LSH_BITS as intra-cluster similarity rises.
+LSH_BITS = 4
+LSH_TABLES = 16
+LSH_DIM = 64
+
+
+def _hyperplanes() -> list[list[list[float]]]:
+    """Deterministic hyperplanes: LSH_TABLES tables × LSH_BITS planes,
+    seeded so the signature of a vector is stable across runs/sessions."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((LSH_TABLES, LSH_BITS, LSH_DIM)).tolist()
+
+
+def signature(emb: Column, planes: list[list[float]]) -> Column:
+    """Pack sign bits of ⟨emb, plane_i⟩ into one long — the bucket key."""
+    bits = [
+        F.when(dot(emb, F.array(*[F.lit(v) for v in p])) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+@query("ann_lsh_bucketed", oracle=None, tags=("similarity", "extension"))
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k: OR of LSH_TABLES hyperplane-signature
+    tables; exact cosine re-rank inside the candidate union.
+
+    Scale: corpus is scanned once computing LSH_TABLES bucket keys; the
+    join key is (table, bucket) with cardinality ≤ LSH_TABLES·2^bits —
+    bounded, shuffle-friendly, skew-resistant (hyperplanes split mass
+    evenly).  Candidate volume per query ≈ corpus/2^bits per table
+    instead of |corpus|.
+    """
+    planes = _hyperplanes()
+    corpus = _corpus_with_norm(spark, sf_dir)
+    sigs = corpus.select(
+        "vec_id",
+        "emb",
+        "norm",
+        F.array(
+            *[signature(F.col("emb"), planes[t]) for t in range(LSH_TABLES)]
+        ).alias("sigs"),
+    )
+    bucketed = sigs.select(
+        "vec_id",
+        "emb",
+        "norm",
+        F.posexplode("sigs").alias("table_id", "bucket"),
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+        "table_id",
+        "bucket",
+    )
+    cand = (
+        bucketed.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "emb", "norm", "qemb", "qnorm")
+        .dropDuplicates(["query_id", "vec_id"])  # OR across tables
+    )
+    sim = cosine(F.col("emb"), F.col("qemb"), F.col("norm"), F.col("qnorm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+    )
