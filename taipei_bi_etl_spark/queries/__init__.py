@@ -60,4 +60,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     telemetry,
     pipeline,
     similarity,
+    dedup,
 )
