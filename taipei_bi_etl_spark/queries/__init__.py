@@ -61,4 +61,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     pipeline,
     similarity,
     dedup,
+    text,
 )

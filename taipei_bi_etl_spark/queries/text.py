@@ -1,0 +1,248 @@
+"""Text-analysis operators over ``documents`` — language-ID, winnowed
+document fingerprinting, and BPE-ish token counting (SURVEY §7.1 step 8;
+BASELINE north star: the text half of a training-data pipeline).
+
+Everything is pure Column expressions (no Python UDFs) and every query
+has a DuckDB oracle: the rolling hash is a *portable* polynomial
+(acc·31 + charcode mod 1e9+7) folded strictly left-to-right, which both
+engines evaluate identically — unlike xxhash64/md5-based sketches, the
+fingerprints themselves are cross-engine checkable.
+
+Scale: all three operators are embarrassingly parallel per document
+(no shuffle until the final small rollup); the fingerprint inverted
+index shuffles on the fingerprint value — uniform by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries import query
+
+HASH_MOD = 1_000_000_007
+KGRAM = 8  # fingerprint k-gram length (chars)
+WINNOW = 4  # winnowing window (k-grams per window)
+
+# Function-word marker lists per language, scored in this fixed order
+# (first max wins ties) — keep Spark and oracle in lockstep.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "y", "en"),
+    "fr": ("le", "la", "de", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "nicht", "ist"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+
+
+def _tokens() -> Column:
+    return F.split(F.col("text"), r"\s+")
+
+
+def poly_hash(chars: Column) -> Column:
+    """Portable rolling hash: fold (acc*31 + code) % 1e9+7 over chars."""
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % HASH_MOD,
+    )
+
+
+def _char_array(s: Column) -> Column:
+    # split('') emits a trailing '' in Spark but not DuckDB — filter it.
+    return F.filter(F.split(s, ""), lambda c: c != "")
+
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram / function-word heuristic).
+# ---------------------------------------------------------------------------
+
+
+def _score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(text, '\\s+'),"
+        f" t -> t IN ({words})))"
+    )
+
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT lang,
+         {_score_sql('en')} AS s_en, {_score_sql('es')} AS s_es,
+         {_score_sql('fr')} AS s_fr, {_score_sql('de')} AS s_de,
+         {_score_sql('zh')} AS s_zh
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE
+           WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+           WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+           WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+           WHEN s_de >= s_zh THEN 'de'
+           ELSE 'zh'
+         END AS predicted_lang
+  FROM scored
+)
+SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, predicted_lang
+"""
+
+
+@query("text_language_id", oracle=_LANGID_ORACLE, tags=("text", "extension"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: function-word hit counts per language,
+    fixed-order argmax (en > es > fr > de > zh on ties); output is the
+    (declared lang × predicted lang) confusion matrix.
+
+    On real corpora swap the marker lists for char-n-gram profiles —
+    the plan shape (map-side scoring, tiny rollup) is unchanged.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = _tokens()
+    langs = list(LANG_MARKERS)
+    def marker_count(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+    scores = {lang: marker_count(words) for lang, words in LANG_MARKERS.items()}
+    # fixed-order argmax: lang_i wins if its score >= every later lang's
+    pred = None
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        if pred is None:
+            pred = F.lit(lang)
+        else:
+            cond = None
+            for later in langs[i + 1 :]:
+                c = scores[lang] >= scores[later]
+                cond = c if cond is None else (cond & c)
+            pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return (
+        d.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowed document fingerprinting (MOSS-style).
+# ---------------------------------------------------------------------------
+
+_POLY_SQL = (
+    "list_reduce(list_transform(string_split({src}, ''), c -> ascii(c)::BIGINT),"
+    " (acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+_FP_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, length(text) - {KGRAM} + 2),
+                        i -> {_POLY_SQL.format(src=f"substr(text, i, {KGRAM})")}) AS h
+  FROM documents
+  WHERE length(text) >= {KGRAM + WINNOW - 1}
+), winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - {WINNOW} + 2),
+                       j -> list_min(h[j:j+{WINNOW - 1}]))) AS fps
+  FROM grams
+)
+SELECT doc_id,
+       CAST(len(fps) AS INT) AS n_fingerprints,
+       CAST(list_min(fps) AS BIGINT) AS min_fp,
+       CAST(list_max(fps) AS BIGINT) AS max_fp
+FROM winnowed
+"""
+
+
+@query("doc_fingerprint_winnow", oracle=_FP_ORACLE, tags=("text", "extension"))
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing: rolling 8-char-gram hashes → min of each
+    4-gram window → distinct fingerprints per doc.  Cross-engine exact
+    (portable polynomial hash), summarized as (count, min, max).
+
+    Scale: fingerprints are the classic content-defined signature for
+    shard-local near-dup candidate generation — the inverted
+    (fingerprint → doc) index shuffles on the hash value, uniform.
+    """
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= KGRAM + WINNOW - 1
+    )
+    text = F.col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text) - KGRAM + 1),
+        lambda i: poly_hash(_char_array(text.substr(i, F.lit(KGRAM)))),
+    )
+    with_h = d.select("doc_id", grams.alias("h"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - WINNOW + 1),
+            lambda j: F.array_min(F.slice("h", j, WINNOW)),
+        )
+    )
+    return with_h.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish subword budget.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+_SUB_LEN = 4
+
+_BPE_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(string_split_regex(text, '\\s+')) AS ws_tokens,
+         len(regexp_extract_all(text, '{_TOKEN_RE}')) AS re_tokens,
+         list_sum(list_transform(regexp_extract_all(text, '{_TOKEN_RE}'),
+                  t -> CAST(ceil(length(t) / {_SUB_LEN}.0) AS BIGINT))) AS sub_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens,
+       CAST(SUM(sub_tokens) AS BIGINT) AS total_sub_tokens,
+       ROUND(CAST(SUM(sub_tokens) AS DOUBLE) / SUM(re_tokens), 6) AS subtokens_per_token
+FROM per_doc GROUP BY source
+"""
+
+
+@query("token_count_bpe", oracle=_BPE_ORACLE, tags=("text", "extension"))
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets per source: whitespace tokens, regex word/punct
+    tokens, and a BPE-ish subword estimate (ceil(len/4) pieces per
+    token — a deterministic stand-in for a trained BPE vocab; plug a
+    real tokenizer in via mapInPandas when available).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), r"\s+"))
+    re_toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    subs = F.aggregate(
+        F.transform(
+            re_toks,
+            lambda t: F.ceil(F.length(t) / _SUB_LEN).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_doc = d.select(
+        "source",
+        ws.alias("ws_tokens"),
+        F.size(re_toks).alias("re_tokens"),
+        subs.alias("sub_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("re_tokens").alias("total_re_tokens"),
+        F.sum("sub_tokens").alias("total_sub_tokens"),
+        F.round(
+            F.sum("sub_tokens").cast("double") / F.sum("re_tokens"), 6
+        ).alias("subtokens_per_token"),
+    )
