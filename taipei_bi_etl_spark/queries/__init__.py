@@ -62,4 +62,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     similarity,
     dedup,
     text,
+    streaming_queries,
 )

@@ -1,0 +1,77 @@
+"""Streaming operators registered as driver queries: each runs a real
+Structured Streaming job (availableNow over the events parquet, memory
+sink) and returns the batch result, so the DuckDB oracle can check the
+*semantics* — session windows and tumbling windows — even though the
+execution path is the streaming runtime with state stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.streaming import (
+    daily_type_rollup,
+    run_available_now,
+    sessionize,
+    stream_events,
+    user_rfe_state,
+)
+
+# Gaps-and-islands twin of session_window: a session breaks when the
+# gap to the previous event is >= 30 min (session_window extends
+# [ts, ts+gap) and merges only strictly-earlier next events).
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@query("streaming_sessionize", oracle=_SESSION_ORACLE, tags=("streaming", "W2", "W3"))
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(30 min) on the streaming runtime vs a batch
+    gaps-and-islands oracle — proves the streaming session operator has
+    exactly the reference's LEAD-rewrite semantics (SURVEY §2.9)."""
+    return run_available_now(sessionize(stream_events(spark, sf_dir)))
+
+
+_DAILY_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("streaming_daily_rollup", oracle=_DAILY_ORACLE, tags=("streaming",))
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window + watermark on the streaming runtime — the
+    streaming analog of the reference's day-partitioned tables."""
+    return run_available_now(daily_type_rollup(stream_events(spark, sf_dir)))
+
+
+@query("streaming_stateful_rfe", oracle=None, tags=("streaming", "extension"))
+def streaming_stateful_rfe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): incremental
+    per-user RFE.  Rows-only: arbitrary-stateful streaming has no ANSI
+    twin; invariants are pytest-checked in tests/test_streaming.py."""
+    return run_available_now(
+        user_rfe_state(stream_events(spark, sf_dir)), output_mode="update"
+    )

@@ -1,0 +1,187 @@
+"""Streaming jobs over the ``events`` stream.
+
+Scale notes (these shapes are what survive a real cluster):
+
+* State stores are keyed by (user_id | window) — bounded keys, and the
+  watermark expires state; without it session state grows unboundedly.
+* Aggregation sums use scaled-integer micros, not doubles: streaming
+  re-ordering makes float sums non-deterministic; integer sums are
+  associative-commutative-exact.
+* ``applyInPandasWithState`` processes whole key-groups per Arrow batch
+  — the custom-stateful-operator escape hatch for logic session_window
+  can't express.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP = "30 minutes"
+
+#: Explicit source schema — a streaming file source cannot infer.
+#: ``ts`` arrives as parquet TIMESTAMP(NANOS); with
+#: ``spark.sql.legacy.parquet.nanosAsLong`` it lands as BIGINT nanos and
+#: is converted below (same policy as io.read_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_sink_counter = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet (file source; in prod the
+    same program runs on Kafka by swapping the reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the file source's basePath must be a directory; select just the
+    # events file out of it with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming query over all currently-available data and
+    return the result as a batch DataFrame (memory sink) — the batch
+    entry point the driver/oracle comparison uses."""
+    name = f"stream_sink_{next(_sink_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    # materialize before the sink name is reused/dropped
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Session windows with a 30-min gap — the streaming-native form of
+    the reference's LEAD rewrite (W2/W3).  Watermark bounds state."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000).cast("long")
+            ).alias("sum_value_micros"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value_micros",
+        )
+    )
+
+
+def daily_type_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-day windows per event_type with watermark — the
+    streaming analog of the reference's one-partition-per-day tables."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact COUNT DISTINCT is unsupported in streaming aggs;
+            # integer micros sum is exact and order-independent
+            F.sum(
+                F.floor(F.col("value") * 1_000_000).cast("long")
+            ).alias("sum_value_micros"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value_micros",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: incremental per-user RFE accumulation
+# (recency/frequency/engagement, the reference's mango_user_rfe_* family
+# computed incrementally instead of via 28-day re-scans).
+# ---------------------------------------------------------------------------
+
+RFE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value_micros", T.LongType()),
+        T.StructField("last_ts_micros", T.LongType()),
+    ]
+)
+
+RFE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value_micros", T.LongType()),
+        T.StructField("last_seen", T.TimestampType()),
+    ]
+)
+
+
+def _rfe_update(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        n, sv, last = state.get
+    else:
+        n, sv, last = 0, 0, 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        sv += int((pdf["value"] * 1_000_000).apply(int).sum())
+        if len(pdf):
+            last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
+    state.update((n, sv, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value_micros": [sv],
+            "last_seen": [pd.Timestamp(last, unit="us")],
+        }
+    )
+
+
+def user_rfe_state(events: DataFrame) -> DataFrame:
+    """Per-user running RFE via ``applyInPandasWithState`` — arbitrary
+    stateful logic beyond built-in windows; state is one tiny tuple per
+    user, expired by the processing-timeout policy in production."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _rfe_update,
+            outputStructType=RFE_OUTPUT_SCHEMA,
+            stateStructType=RFE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
