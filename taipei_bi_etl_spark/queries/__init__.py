@@ -63,4 +63,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     dedup,
     text,
     streaming_queries,
+    multimodal_queries,
 )
