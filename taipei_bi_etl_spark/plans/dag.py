@@ -1,0 +1,125 @@
+"""Config-driven daily task DAG — the Spark re-expression of the
+reference's BigQuery table/view pipeline (SURVEY §3.3):
+
+* hard-coded topo order + ``src`` params
+  (``/root/reference/tasks/bigquery.py:416-461``,
+  ``configs/bigquery.py:8-322``)      → declared deps, topo-sorted here
+* table task: delete-partition + append
+  (``tasks/bigquery.py:182-195,315-347``) → dynamic partition overwrite
+* view task (``tasks/bigquery.py:137-150``) → temp view over the chain
+  (Catalyst collapses a chain of views into ONE optimized plan per
+  materialized table — the intra-day fusion the reference can't do)
+* self-referencing incremental table with init query
+  (``sql/mango_feature_cohort_date.sql:6,20``,
+  ``sql/init_mango_feature_cohort_date.sql``) → ``ctx.read_dest`` +
+  ``init_fn`` bootstrap
+* backfill_days re-runs (``tasks/bigquery.py:42-55,464-474``) →
+  one dynamic overwrite covering the trailing window
+
+Scale: materialized tables are date-partitioned parquet, so every
+downstream daily read prunes to one partition; a day's chain of views
+executes as a single Spark job per table write, not 18 BigQuery jobs.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import write_partitioned
+
+
+@dataclass
+class TaskContext:
+    """Handed to every task fn: upstream outputs + own-destination access."""
+
+    spark: SparkSession
+    pipeline: "Pipeline"
+    date: str  # execution date YYYY-MM-DD
+    task: "TaskSpec"
+
+    def src(self, name: str) -> DataFrame:
+        """Upstream output (view plan or materialized table scan)."""
+        return self.pipeline._resolve(self.spark, name)
+
+    def read_dest(self) -> DataFrame | None:
+        """This task's own existing destination (the incremental
+        self-reference pattern), or None before first materialization."""
+        path = self.pipeline._table_path(self.task.name)
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+
+@dataclass
+class TaskSpec:
+    """One node: view (lazy plan) or table (date-partitioned parquet)."""
+
+    name: str
+    fn: Callable[[TaskContext], DataFrame]
+    deps: Sequence[str] = ()
+    kind: str = "table"  # "table" | "view"
+    partition_col: str = "day"
+    init_fn: Callable[[TaskContext], DataFrame] | None = None
+    backfill_days: Sequence[int] = field(default_factory=tuple)
+
+
+class Pipeline:
+    """Topo-ordered daily pipeline over a parquet warehouse dir."""
+
+    def __init__(self, tasks: Sequence[TaskSpec], warehouse: str):
+        self.tasks = {t.name: t for t in tasks}
+        if len(self.tasks) != len(tasks):
+            raise ValueError("duplicate task names")
+        ts = TopologicalSorter({t.name: set(t.deps) for t in tasks})
+        self.order = list(ts.static_order())
+        self.warehouse = warehouse
+        self._views: dict[str, DataFrame] = {}
+
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _resolve(self, spark: SparkSession, name: str) -> DataFrame:
+        t = self.tasks[name]
+        if t.kind == "view":
+            return self._views[name]
+        return spark.read.parquet(self._table_path(name))
+
+    def run_day(self, spark: SparkSession, date: str) -> None:
+        """Run the whole DAG for one execution date, idempotently: table
+        writes are dynamic-partition overwrites of that date (and its
+        backfill window), views are re-registered plans."""
+        for name in self.order:
+            t = self.tasks[name]
+            ctx = TaskContext(spark=spark, pipeline=self, date=date, task=t)
+            if t.kind == "view":
+                self._views[name] = t.fn(ctx)
+                continue
+            if t.init_fn is not None and ctx.read_dest() is None:
+                init_df = t.init_fn(ctx)
+                write_partitioned(
+                    init_df, self._table_path(name), t.partition_col
+                )
+            out = t.fn(ctx)
+            # restrict to the execution date plus the backfill window
+            if t.backfill_days:
+                window = (
+                    out.filter(
+                        F.col(t.partition_col).between(
+                            F.date_sub(F.lit(date), max(t.backfill_days)),
+                            F.lit(date),
+                        )
+                    )
+                )
+            else:
+                window = out.filter(F.col(t.partition_col) == F.lit(date))
+            write_partitioned(window, self._table_path(name), t.partition_col)
+
+    def run_range(self, spark: SparkSession, dates: Sequence[str]) -> None:
+        for d in dates:
+            self.run_day(spark, d)
