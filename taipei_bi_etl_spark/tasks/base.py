@@ -1,0 +1,135 @@
+"""EtlTask lifecycle: extract → transform → load (SURVEY §3.1).
+
+Reference shape (``/root/reference/tasks/base.py:39-909``): per-source
+extract into pandas frames, reflection-dispatched ``transform_{source}``
+with named upstream frames injected by argspec inspection, declared
+target-schema validation, date-partitioned load.  Here each stage is
+lazy DataFrames end-to-end — nothing materializes until the sink write —
+so Catalyst optimizes an entire task as one plan.
+
+Sources supported (config ``type``):
+  * ``const``  — inline rows (S5)
+  * ``file``   — json/jsonl/csv path or glob (S4/S6/S8)
+  * ``api``    — driver-side paged/iterator fetch via a pluggable
+                 ``fetcher(url) -> str`` (S1; orchestration, not engine —
+                 network IO stays out of executors by design, like the
+                 reference's request loop)
+"""
+
+from __future__ import annotations
+
+import inspect
+import json
+import os
+from collections.abc import Callable, Mapping
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from taipei_bi_etl_spark import checks
+from taipei_bi_etl_spark.io import read_csv, read_json, write_partitioned
+
+
+class EtlTask:
+    """Subclass with ``transform_{source}`` methods; declare sources and
+    target schemas as class attributes."""
+
+    #: source name → config dict (type/path/values/url/iterator/...)
+    sources: Mapping[str, Mapping] = {}
+    #: source name → declared output StructType (V1 validation), optional
+    schemas: Mapping[str, T.StructType] = {}
+
+    def __init__(self, fetcher: Callable[[str], str] | None = None):
+        self.fetcher = fetcher
+        self.extracted: dict[str, DataFrame] = {}
+        self.transformed: dict[str, DataFrame] = {}
+
+    # -- extract ----------------------------------------------------------
+    def extract(self, spark: SparkSession) -> dict[str, DataFrame]:
+        for name, cfg in self.sources.items():
+            kind = cfg.get("type", "const")
+            if kind == "const":
+                self.extracted[name] = spark.createDataFrame(
+                    cfg["values"], schema=cfg.get("schema")
+                )
+            elif kind == "file":
+                fmt = cfg.get("format", "jsonl")
+                if fmt == "csv":
+                    self.extracted[name] = read_csv(
+                        spark,
+                        cfg["path"],
+                        header=cfg.get("header", True),
+                        names=cfg.get("names"),
+                    )
+                else:
+                    self.extracted[name] = read_json(spark, cfg["path"])
+            elif kind == "api":
+                self.extracted[name] = self._extract_api(spark, cfg)
+            else:
+                raise ValueError(f"unknown source type {kind!r} for {name}")
+        return self.extracted
+
+    def _extract_api(self, spark: SparkSession, cfg: Mapping) -> DataFrame:
+        """Paged / iterator-fan-out HTTP extraction (S1,
+        ``tasks/base.py:449-556``): driver-side fetch, parallel across
+        iterator values, then one distributed DataFrame.
+
+        ``iterator`` values format into ``url``; each response is a JSON
+        array of records (optionally under ``json_path``)."""
+        if self.fetcher is None:
+            raise ValueError("api source requires a fetcher")
+        urls = [
+            cfg["url"].format(it=it) for it in cfg.get("iterator", [None])
+        ]
+        with ThreadPoolExecutor(max_workers=cfg.get("max_workers", 8)) as ex:
+            payloads = list(ex.map(self.fetcher, urls))
+        records = []
+        for it, payload in zip(cfg.get("iterator", [None]), payloads):
+            data = json.loads(payload)
+            for key in cfg.get("json_path", "").split("."):
+                if key:
+                    data = data[key]
+            for rec in data:
+                if it is not None and cfg.get("iterator_field"):
+                    rec = {**rec, cfg["iterator_field"]: it}
+                records.append(rec)
+        return spark.createDataFrame(records, schema=cfg.get("schema"))
+
+    # -- transform --------------------------------------------------------
+    def transform(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Reflection dispatch with argspec injection, like the
+        reference (``tasks/base.py:632-684``): ``transform_foo(self, df,
+        bar=...)`` receives source ``foo`` positionally and any other
+        extracted source it names as a keyword."""
+        for name in self.sources:
+            fn = getattr(self, f"transform_{name}", None)
+            if fn is None:
+                self.transformed[name] = self.extracted[name]
+                continue
+            params = inspect.signature(fn).parameters
+            kwargs = {
+                p: self.extracted[p]
+                for p in params
+                if p in self.extracted and p != name
+            }
+            out = fn(self.extracted[name], **kwargs)
+            if name in self.schemas:
+                checks.assert_schema(out, self.schemas[name])
+            self.transformed[name] = out
+        return self.transformed
+
+    # -- load -------------------------------------------------------------
+    def load(self, dest_dir: str, date_col: str = "utc_date") -> None:
+        for name, df in self.transformed.items():
+            if date_col in df.columns:
+                write_partitioned(df, os.path.join(dest_dir, name), date_col)
+            else:
+                df.write.mode("overwrite").parquet(os.path.join(dest_dir, name))
+
+    def run(self, spark: SparkSession, dest_dir: str | None = None):
+        self.extract(spark)
+        self.transform(spark)
+        if dest_dir:
+            self.load(dest_dir)
+        return self.transformed
