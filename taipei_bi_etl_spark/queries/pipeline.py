@@ -147,8 +147,10 @@ WITH scored AS (
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(AVG(n_tokens), 6) AS avg_tokens,
-       ROUND(AVG(CAST(n_chars_actual AS DOUBLE) / n_tokens), 6) AS avg_chars_per_token,
-       ROUND(AVG(CAST(n_stop AS DOUBLE) / n_tokens), 6) AS avg_stopword_ratio
+       ROUND(CAST(SUM(CAST(floor(CAST(n_chars_actual AS DOUBLE) / n_tokens * 1000000) AS BIGINT)) AS BIGINT)
+             / 1000000.0 / COUNT(*), 6) AS avg_chars_per_token,
+       ROUND(CAST(SUM(CAST(floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000) AS BIGINT)) AS BIGINT)
+             / 1000000.0 / COUNT(*), 6) AS avg_stopword_ratio
 FROM scored GROUP BY source
 """
 
@@ -166,13 +168,23 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_actual"),
         F.size(F.filter(tok, lambda t: F.array_contains(stop, t))).alias("n_stop"),
     )
+    def _avg_micros(ratio):
+        # per-row ratio is one deterministic division; floor to exact
+        # integer micros so the cross-row sum is order-independent
+        return F.round(
+            F.sum(F.floor(ratio * 1_000_000).cast("long"))
+            / F.lit(1_000_000.0)
+            / F.count(F.lit(1)),
+            6,
+        )
+
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-        F.round(
-            F.avg(F.col("n_chars_actual").cast("double") / F.col("n_tokens")), 6
-        ).alias("avg_chars_per_token"),
-        F.round(F.avg(F.col("n_stop").cast("double") / F.col("n_tokens")), 6).alias(
+        _avg_micros(F.col("n_chars_actual").cast("double") / F.col("n_tokens")).alias(
+            "avg_chars_per_token"
+        ),
+        _avg_micros(F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
             "avg_stopword_ratio"
         ),
     )

@@ -27,7 +27,8 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 / COUNT(*), 6) AS avg_price,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -54,7 +55,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            # avg over 2-decimal doubles: sum exact cents (order-free),
+            # divide once — no ROUND-midpoint flap between engines
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                / F.lit(100.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -109,7 +117,8 @@ def case_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LIKE_ORACLE = """
 SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
-       ROUND(AVG(p_retailprice), 6) AS avg_price
+       ROUND(CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 / COUNT(*), 6) AS avg_price
 FROM part
 WHERE (p_type LIKE '%BRASS%' OR p_type LIKE 'SMALL%' OR p_type LIKE '%POLISHED%')
   AND p_size < 30
@@ -131,7 +140,12 @@ def like_filter_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            F.round(
+                F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("long"))
+                / F.lit(100.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
         )
     )
 
@@ -305,7 +319,10 @@ _SHARE_ORACLE = """
 WITH nat_rev AS (
   SELECT n.n_name AS nation,
          SUM(o.o_totalprice) AS revenue,
-         SUM(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE 0 END) AS fin_rev
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+                       THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS fin_cents
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -313,8 +330,8 @@ WITH nat_rev AS (
 )
 SELECT nation,
        ROUND(revenue, 2) AS revenue,
-       ROUND(fin_rev / revenue, 6) AS finished_ratio,
-       ROUND(revenue / SUM(revenue) OVER (), 6) AS revenue_share
+       ROUND(fin_cents / CAST(rev_cents AS DOUBLE), 6) AS finished_ratio,
+       ROUND(rev_cents / CAST(SUM(rev_cents) OVER () AS DOUBLE), 6) AS revenue_share
 FROM nat_rev
 """
 
@@ -335,18 +352,29 @@ def ratio_and_total_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.sum("o_totalprice").alias("revenue"),
+            # exact integer cents: ratio inputs must be order-independent
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "rev_cents"
+            ),
             F.sum(
-                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)
-            ).alias("fin_rev"),
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("fin_cents"),
         )
     )
     return nat.select(
         "nation",
         F.round("revenue", 2).alias("revenue"),
-        F.round(F.col("fin_rev") / F.col("revenue"), 6).alias("finished_ratio"),
-        F.round(F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 6).alias(
-            "revenue_share"
+        F.round(F.col("fin_cents") / F.col("rev_cents").cast("double"), 6).alias(
+            "finished_ratio"
         ),
+        F.round(
+            F.col("rev_cents")
+            / F.sum("rev_cents").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("revenue_share"),
     )
 
 

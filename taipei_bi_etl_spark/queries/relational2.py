@@ -190,8 +190,14 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iterator frames averaged per country) → union then avg.
 # ---------------------------------------------------------------------------
 
+# avg over doubles is summation-order-dependent and can land on a
+# ROUND midpoint that flips between engines; sum exact integer micros
+# (order-independent) and divide once instead.
 _FRAMES_ORACLE = """
-SELECT user_id, ROUND(AVG(v), 6) AS avg_value, CAST(COUNT(*) AS BIGINT) AS n_frames
+SELECT user_id,
+       ROUND(CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
+             / 1000000.0 / COUNT(*), 6) AS avg_value,
+       CAST(COUNT(*) AS BIGINT) AS n_frames
 FROM (
   SELECT user_id, value AS v FROM events WHERE event_type = 'view'
   UNION ALL
@@ -215,7 +221,12 @@ def mean_across_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     u = frames[0].unionByName(frames[1]).unionByName(frames[2])
     return u.groupBy("user_id").agg(
-        F.round(F.avg("v"), 6).alias("avg_value"),
+        F.round(
+            F.sum(F.floor(F.col("v") * 1_000_000).cast("long"))
+            / F.lit(1_000_000.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
         F.count(F.lit(1)).alias("n_frames"),
     )
 
