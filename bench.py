@@ -37,7 +37,12 @@ HEADLINE = [
     "upsert_keep_latest",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
     "text_quality_scores",
+    "token_count_bpe",
+    "doc_fingerprint_winnow",
+    "streaming_sessionize",
 ]
 
 

@@ -92,23 +92,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and (b) MinHash-LSH (see dedup_minhash_lsh) to cut candidate pairs
     before exact verification.  Semantics here are exact for the oracle.
     """
+    from taipei_bi_etl_spark.queries.dedup import shingle_array
+
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens().alias("tok"))
-    # one row per 3-shingle: zip token i..i+2 via transform over index range
-    # (guard: sequence(0, n) with n<0 would run DESCENDING in Spark)
-    sh_arr = F.when(
-        F.size("tok") >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size("tok") - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("tok"), i + 1),
-                F.element_at(F.col("tok"), i + 2),
-                F.element_at(F.col("tok"), i + 3),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = toks.select("doc_id", F.explode(sh_arr).alias("shingle")).distinct()
+    sh = toks.select(
+        "doc_id", F.explode(shingle_array(F.col("tok"))).alias("shingle")
+    ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
