@@ -337,3 +337,81 @@ def channel_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D6/D8/D12/D13 — market mapping, target-country whitelist and the
+# presentation-ordering keys (udf/map_markets.sql, udf/
+# match_target_countries.sql, udf/order_markets.sql, udf/
+# order_target_countries.sql) exercised over a deterministic
+# nationkey→ISO recode of the synthetic nation table.
+# ---------------------------------------------------------------------------
+
+_ISO = [
+    "IN", "ID", "TW", "HK", "SG", "PH", "VN", "TH", "MY", "BD", "MM", "KH",
+    "LA", "BN", "US", "DE", "FR", "JP", "CN", "BR", "GB", "KR", "MX", "NG",
+    "RU",
+]
+_ISO_SQL = "[" + ", ".join(f"'{c}'" for c in _ISO) + "]"
+
+_MARKET_ORACLE = f"""
+WITH coded AS (
+  SELECT c_custkey, {_ISO_SQL}[n_nationkey % 25 + 1] AS country
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+), mapped AS (
+  SELECT c_custkey, country,
+         CASE WHEN country IN ('IN','ID') THEN country
+              WHEN country IN ('TW','HK','SG') THEN 'THS'
+              WHEN country IN ('PH','VN','TH','MY') THEN 'PVTM'
+              WHEN country IN ('BD','MM','KH','LA','BN') THEN 'BMKLB'
+              WHEN country IS NULL THEN 'Unknown'
+              ELSE 'Others' END AS market,
+         country IN ('IN','ID','TH','PH','VN','TW','HK','SG','MY','BD','KH','LA','MM','BN')
+           AS is_target
+  FROM coded
+)
+SELECT market,
+       CAST(CASE market WHEN 'Overall' THEN 0 WHEN 'IN' THEN 1 WHEN 'ID' THEN 2
+            WHEN 'THS' THEN 3 WHEN 'PVTM' THEN 4 WHEN 'BMKLB' THEN 5
+            WHEN 'Unknown' THEN 99 WHEN 'Others' THEN 100 ELSE 9999 END AS INT)
+         AS market_order,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT) AS n_target_customers
+FROM mapped GROUP BY market
+"""
+
+
+@query(
+    "market_presentation_rollup",
+    oracle=_MARKET_ORACLE,
+    tags=("D6", "D8", "D12", "D13", "O4"),
+)
+def market_presentation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market grouping (D6) + target whitelist (D8) + presentation order
+    key (D12) — all pure when-chains (no UDF tax), resolved map-side
+    before a tiny rollup."""
+    from taipei_bi_etl_spark.udfs import (
+        map_markets,
+        match_target_countries,
+        order_markets,
+    )
+
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    iso = F.element_at(
+        F.array(*[F.lit(x) for x in _ISO]),
+        (F.col("n_nationkey") % 25 + 1).cast("int"),
+    )
+    coded = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select("c_custkey", iso.alias("country"))
+    mapped = coded.select(
+        "c_custkey",
+        map_markets(F.col("country")).alias("market"),
+        match_target_countries(F.col("country")).alias("is_target"),
+    )
+    return mapped.groupBy("market").agg(
+        order_markets(F.col("market")).cast("int").alias("market_order"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(F.when(F.col("is_target"), 1)).alias("n_target_customers"),
+    )
