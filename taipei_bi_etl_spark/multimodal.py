@@ -142,7 +142,21 @@ def fake_decode(payload: bytes, n_features: int = N_FEATURES) -> list[float]:
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Feature extraction over Arrow batches (mapInPandas).  One output
-    row per media row; payload bytes stay inside the Arrow pipe."""
+    row per media row; payload bytes stay inside the Arrow pipe.
+
+    The worker fn is built as a runtime closure so cloudpickle ships it
+    BY VALUE — executors never need this package importable (the driver
+    may run us from a foreign cwd with only sys.path patched)."""
+    n_features = N_FEATURES
+
+    def decode(payload: bytes) -> list[float]:
+        if not payload:
+            return [0.0] * n_features
+        counts = [0] * n_features
+        for b in payload:
+            counts[b % n_features] += 1
+        total = float(len(payload))
+        return [c / total for c in counts]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -152,7 +166,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": [m["kind"] for m in pdf["meta"]],
-                    "features": [fake_decode(p) for p in pdf["payload"]],
+                    "features": [decode(p) for p in pdf["payload"]],
                 }
             )
 

@@ -36,7 +36,7 @@ WITH marked AS (
   FROM marked
 )
 SELECT user_id,
-       MIN(ts) AS session_start,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_micros,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
 FROM sess GROUP BY user_id, sid
@@ -47,8 +47,20 @@ FROM sess GROUP BY user_id, sid
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window(30 min) on the streaming runtime vs a batch
     gaps-and-islands oracle — proves the streaming session operator has
-    exactly the reference's LEAD-rewrite semantics (SURVEY §2.9)."""
-    return run_available_now(sessionize(stream_events(spark, sf_dir)))
+    exactly the reference's LEAD-rewrite semantics (SURVEY §2.9).
+
+    The session start is exposed as exact unix micros: raw TIMESTAMP
+    columns round-trip through collect() in the OS timezone, which the
+    driver may set to anything."""
+    from pyspark.sql import functions as F
+
+    out = run_available_now(sessionize(stream_events(spark, sf_dir)))
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_micros"),
+        "n_events",
+        "sum_value_micros",
+    )
 
 
 _DAILY_ORACLE = """

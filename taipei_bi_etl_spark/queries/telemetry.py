@@ -81,10 +81,16 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_date", F.min("day").over(W.partitionBy("user_id"))
     )
     occ = cohort.withColumn("occur_day", F.datediff("day", "cohort_date"))
-    aggs = [F.countDistinct("user_id").alias("cohort_size")] + [
-        F.countDistinct(F.when(F.col("occur_day") == n, F.col("user_id"))).alias(
-            f"d{n}_retained"
-        )
+    # (user_id, day) is unique after the distinct and cohort_date is
+    # functionally determined by user_id, so within a cohort_date group
+    # each user contributes exactly one row per occur_day value — every
+    # COUNT(DISTINCT CASE ...) collapses to a plain conditional COUNT
+    # (occur_day=0 marks each user once → cohort_size).  This removes
+    # Spark's 6-way Expand for multi-countDistinct: single-pass hash agg.
+    aggs = [
+        F.count(F.when(F.col("occur_day") == 0, 1)).alias("cohort_size")
+    ] + [
+        F.count(F.when(F.col("occur_day") == n, 1)).alias(f"d{n}_retained")
         for n in _RETENTION_DAYS
     ]
     return occ.groupBy("cohort_date").agg(*aggs)

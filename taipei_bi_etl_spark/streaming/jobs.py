@@ -70,10 +70,10 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> Da
         .start()
     )
     q.awaitTermination()
-    spark = stream_df.sparkSession
-    # materialize before the sink name is reused/dropped
-    out = spark.table(name)
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    # sink names are unique per call, so the in-memory table stays
+    # valid for the session — return it lazily (no python timestamp
+    # roundtrip, which would re-interpret values in the OS timezone).
+    return stream_df.sparkSession.table(name)
 
 
 def sessionize(events: DataFrame) -> DataFrame:
@@ -147,38 +147,41 @@ RFE_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _rfe_update(key, pdf_iter, state: GroupState):
-    import pandas as pd
-
-    (user_id,) = key
-    if state.exists:
-        n, sv, last = state.get
-    else:
-        n, sv, last = 0, 0, 0
-    for pdf in pdf_iter:
-        n += len(pdf)
-        sv += int((pdf["value"] * 1_000_000).apply(int).sum())
-        if len(pdf):
-            last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
-    state.update((n, sv, last))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "sum_value_micros": [sv],
-            "last_seen": [pd.Timestamp(last, unit="us")],
-        }
-    )
-
-
 def user_rfe_state(events: DataFrame) -> DataFrame:
     """Per-user running RFE via ``applyInPandasWithState`` — arbitrary
     stateful logic beyond built-in windows; state is one tiny tuple per
-    user, expired by the processing-timeout policy in production."""
+    user, expired by the processing-timeout policy in production.
+
+    The update fn is a runtime closure (pickled by value) so workers
+    don't need this package on their import path."""
+
+    def rfe_update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            n, sv, last = state.get
+        else:
+            n, sv, last = 0, 0, 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            sv += int((pdf["value"] * 1_000_000).apply(int).sum())
+            if len(pdf):
+                last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, sv, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value_micros": [sv],
+                "last_seen": [pd.Timestamp(last, unit="us")],
+            }
+        )
+
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _rfe_update,
+            rfe_update,
             outputStructType=RFE_OUTPUT_SCHEMA,
             stateStructType=RFE_STATE_SCHEMA,
             outputMode="update",
