@@ -64,4 +64,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     text,
     streaming_queries,
     multimodal_queries,
+    rfe,
 )

@@ -3,7 +3,8 @@
 Reference parity: the reference has no session concept (pandas in-process
 + BigQuery server-side, ``/root/reference/tasks/base.py:39-100``); here the
 SparkSession *is* the engine. Defaults are chosen for correctness-first
-oracle comparison (UTC session timezone, ANSI off) and for scale
+oracle comparison (UTC session timezone; Spark 4's ANSI default stays ON —
+the engine's expressions are written overflow-safe) and for scale
 (AQE on, skew-join handling on, partition coalescing on).
 
 On a real cluster only ``master``/memory change; the SQL conf here is
