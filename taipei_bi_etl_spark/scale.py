@@ -1,0 +1,93 @@
+"""Scale strategies: skew-salted joins, bucketed co-located joins, and
+partition-size planning.
+
+AQE (enabled by :mod:`session`) handles most runtime skew; these
+utilities cover the cases it can't:
+
+* ``salted_join`` — explicit N-way salting for a *known* hot key whose
+  single post-split partition still exceeds executor memory (AQE splits
+  skewed sort-merge partitions but each join key still lands in one
+  task on the build side of a shuffled hash join).
+* ``write_bucketed`` / ``read_bucketed`` — persistent bucketing so
+  repeated large-large joins on a stable key (e.g. user_id across the
+  RFE tables) shuffle ZERO bytes at read time.
+* ``plan_partitions`` — sizes ``spark.sql.shuffle.partitions`` /
+  ``files.maxPartitionBytes`` from data volume so a 100 TB input gets
+  ~128 MB tasks instead of 200 default partitions of 500 GB each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``big`` (skewed on ``key``) with ``small``: big rows get a
+    random-but-deterministic salt in [0, n_salts); small rows are
+    replicated n_salts times; the join key becomes (key, salt), spreading
+    one hot key across n_salts tasks.
+
+    ``small`` must be the replicable side (each row duplicated n_salts×).
+    Deterministic: the salt is hash-derived from the full big row's
+    monotonically increasing id surrogate — stable for a given input
+    partitioning; use a column-derived hash for cross-run stability.
+    """
+    salt_b = F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).alias("_salt")
+    b = big.select("*", salt_b)
+    s = small.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt")
+    )
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 64,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table: subsequent
+    equi-joins / aggregations on ``key`` between tables bucketed the same
+    way run shuffle-free (and merge-sort-free when sorted)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def plan_partitions(
+    input_bytes: int,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int = 32,
+    max_partitions: int = 200_000,
+) -> int:
+    """Shuffle-partition count for a given input volume: ~128 MB per
+    task.  At 100 TB → ~800k capped to 200k (AQE coalesces the excess);
+    at 1 GB → the floor, so small jobs don't fragment."""
+    n = max(min_partitions, input_bytes // target_partition_bytes)
+    return int(min(n, max_partitions))
+
+
+def explain_has(df: DataFrame, *needles: str) -> dict[str, bool]:
+    """Plan-inspection helper used by tests and tuning sessions: which of
+    the given physical-plan markers appear in df's formatted explain."""
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    return {n: n in plan for n in needles}
