@@ -57,19 +57,36 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Execute a streaming query over all currently-available data and
     return the result as a batch DataFrame (memory sink) — the batch
-    entry point the driver/oracle comparison uses."""
+    entry point the driver/oracle comparison uses.
+
+    ``state_partitions`` sizes the state store count for the run: each
+    shuffle partition carries a state store instance with fixed
+    maintenance cost, so size it to key cardinality / cluster size, not
+    to the batch default (a real deployment sets this once per job)."""
+    spark = stream_df.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     name = f"stream_sink_{next(_sink_counter)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # sink names are unique per call, so the in-memory table stays
     # valid for the session — return it lazily (no python timestamp
     # roundtrip, which would re-interpret values in the OS timezone).
