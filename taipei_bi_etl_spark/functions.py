@@ -10,7 +10,7 @@ Citations point at representative uses in /root/reference.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -129,3 +129,26 @@ def gen_uuid() -> Column:
 def json_path(col: Column | str, path: str) -> Column:
     """``JSON_EXTRACT(col, '$.x')`` — F18, ``sql/user_rfe.sql:8``."""
     return F.get_json_object(col, path)
+
+
+def to_snake_case(name: str) -> str:
+    """camelCase/PascalCase → snake_case (F22, driver-side column
+    renaming; reference ``utils/marshalling.py:186-197``).
+
+    >>> to_snake_case("campaignToken")
+    'campaign_token'
+    >>> to_snake_case("OSVersion")
+    'os_version'
+    >>> to_snake_case("already_snake")
+    'already_snake'
+    """
+    import re
+
+    s1 = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", name)
+    return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s1).lower()
+
+
+def rename_snake(df: "DataFrame") -> "DataFrame":
+    """Rename every column of ``df`` to snake_case (F22) — metadata-only,
+    no job is triggered."""
+    return df.toDF(*[to_snake_case(c) for c in df.columns])

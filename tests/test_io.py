@@ -1,0 +1,85 @@
+"""Direct sink/scan gates: dynamic partition overwrite keeps untouched
+partitions, latest-snapshot view, backfill window rewrite, CSV header
+injection, and F22 column renaming."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.functions import rename_snake, to_snake_case
+from taipei_bi_etl_spark.io import (
+    const_relation,
+    latest_partition,
+    overwrite_days,
+    read_csv,
+    write_partitioned,
+)
+
+
+def _day_df(spark, day: str, values):
+    return spark.createDataFrame(
+        [(dt.date.fromisoformat(day), v) for v in values], "utc_date date, v int"
+    )
+
+
+def test_dynamic_overwrite_keeps_other_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_partitioned(_day_df(spark, "2024-01-01", [1, 2]), path)
+    write_partitioned(_day_df(spark, "2024-01-02", [3]), path)
+    # rewrite day 2 only; day 1 must survive
+    write_partitioned(_day_df(spark, "2024-01-02", [30, 31]), path)
+    got = sorted(
+        (str(r.utc_date), r.v) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [
+        ("2024-01-01", 1),
+        ("2024-01-01", 2),
+        ("2024-01-02", 30),
+        ("2024-01-02", 31),
+    ]
+
+
+def test_latest_partition_view(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_partitioned(_day_df(spark, "2024-01-01", [1]), path)
+    write_partitioned(_day_df(spark, "2024-01-05", [5, 6]), path)
+    got = sorted(r.v for r in latest_partition(spark, path).collect())
+    assert got == [5, 6]
+
+
+def test_overwrite_days_backfill(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for d, vs in [("2024-01-01", [1]), ("2024-01-02", [2]), ("2024-01-03", [3])]:
+        write_partitioned(_day_df(spark, d, vs), path)
+    # backfill rewrites only days 2-3 from a combined frame
+    comb = _day_df(spark, "2024-01-02", [20]).unionByName(
+        _day_df(spark, "2024-01-03", [30])
+    )
+    overwrite_days(comb, path, ["2024-01-02", "2024-01-03"])
+    got = sorted(
+        (str(r.utc_date), r.v) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [("2024-01-01", 1), ("2024-01-02", 20), ("2024-01-03", 30)]
+
+
+def test_read_csv_header_injection(spark, tmp_path):
+    p = tmp_path / "x.csv"
+    p.write_text("US,100\nID,200\n")
+    df = read_csv(spark, str(p), header=False, names=["country", "volume"])
+    got = {r.country: r.volume for r in df.collect()}
+    assert got == {"US": "100", "ID": "200"}
+
+
+def test_const_relation(spark):
+    df = const_relation(spark, [("a", 1), ("b", 2)], "k string, n int")
+    assert df.count() == 2
+
+
+def test_snake_case_rename(spark):
+    assert to_snake_case("campaignToken") == "campaign_token"
+    assert to_snake_case("OSVersion") == "os_version"
+    assert to_snake_case("HTTPStatus2Code") == "http_status2_code"
+    df = const_relation(spark, [(1, 2)], "campaignToken int, NetworkName int")
+    assert rename_snake(df).columns == ["campaign_token", "network_name"]
