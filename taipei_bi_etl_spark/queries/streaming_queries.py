@@ -87,3 +87,27 @@ def streaming_stateful_rfe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         user_rfe_state(stream_events(spark, sf_dir)), output_mode="update"
     )
+
+
+_DEDUP_STREAM_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
+FROM events
+"""
+
+
+@query("streaming_dedupe", oracle=_DEDUP_STREAM_ORACLE, tags=("streaming", "dedup"))
+def streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on the event stream: output count
+    must equal the batch COUNT(DISTINCT event_id) (and the source has
+    unique ids, so both equal COUNT(*))."""
+    from pyspark.sql import functions as F
+    from taipei_bi_etl_spark.streaming.jobs import dedupe_stream
+
+    deduped = run_available_now(
+        dedupe_stream(stream_events(spark, sf_dir)), output_mode="append"
+    )
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+    )

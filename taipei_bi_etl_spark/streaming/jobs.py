@@ -205,3 +205,17 @@ def user_rfe_state(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedupe_stream(events: DataFrame, key: str = "event_id") -> DataFrame:
+    """Streaming exactly-once-per-key dedup: drop re-deliveries of the
+    same ``key`` arriving within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes — bounded state, unlike a global distinct).
+
+    The batch analog is the reference's raw-cache idempotency (K9,
+    ``utils/cache.py:11-61``): never ingest the same payload twice.
+    """
+    return events.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        [key]
+    )

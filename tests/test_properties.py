@@ -1,0 +1,58 @@
+"""Hypothesis property gates for driver-side helpers (pure Python —
+no Spark job per example, so hundreds of cases run in milliseconds)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from taipei_bi_etl_spark.functions import to_snake_case
+from taipei_bi_etl_spark.geo import ALPHA3_TO_ALPHA2, COUNTRY_TZ_OFFSET
+from taipei_bi_etl_spark.multimodal import N_FEATURES, fake_decode
+from taipei_bi_etl_spark.scale import plan_partitions
+
+identifiers = st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,30}", fullmatch=True)
+
+
+@given(identifiers)
+def test_snake_case_idempotent(name):
+    once = to_snake_case(name)
+    assert to_snake_case(once) == once
+
+
+@given(identifiers)
+def test_snake_case_shape(name):
+    out = to_snake_case(name)
+    assert out == out.lower()
+    assert re.fullmatch(r"[a-z0-9_]+", out)
+
+
+def test_geo_tables_shape():
+    assert all(
+        re.fullmatch(r"[+-]\d{2}:\d{2}", v) for v in COUNTRY_TZ_OFFSET.values()
+    )
+    assert all(re.fullmatch(r"[A-Z]{2}", k) for k in COUNTRY_TZ_OFFSET)
+    assert all(re.fullmatch(r"[A-Z]{3}", k) for k in ALPHA3_TO_ALPHA2)
+    assert all(re.fullmatch(r"[A-Z]{2}", v) for v in ALPHA3_TO_ALPHA2.values())
+    # the reference's XK workaround is preserved
+    assert COUNTRY_TZ_OFFSET["XK"] == "+01:00"
+
+
+@given(st.binary(max_size=2048))
+def test_fake_decode_is_normalized_histogram(payload):
+    feats = fake_decode(payload)
+    assert len(feats) == N_FEATURES
+    assert all(f >= 0 for f in feats)
+    if payload:
+        assert abs(sum(feats) - 1.0) < 1e-9
+    else:
+        assert feats == [0.0] * N_FEATURES
+
+
+@given(st.integers(min_value=0, max_value=10**18))
+def test_plan_partitions_monotone_and_bounded(nbytes):
+    n = plan_partitions(nbytes)
+    assert 32 <= n <= 200_000
+    assert plan_partitions(nbytes * 2) >= n
