@@ -49,9 +49,17 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup.
+    # Warm the JVM and the source files once (footers + page cache) so
+    # per-query numbers measure the query plans, not cold IO / session
+    # startup.  Codegen still happens inside each timed query.
     spark.range(1).count()
+    from taipei_bi_etl_spark.io import TEST_TABLES, read_table
+
+    for t in TEST_TABLES:
+        try:
+            read_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
