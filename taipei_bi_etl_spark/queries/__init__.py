@@ -65,4 +65,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     streaming_queries,
     multimodal_queries,
     rfe,
+    clustering,
 )

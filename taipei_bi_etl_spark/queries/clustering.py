@@ -1,0 +1,216 @@
+"""Clustering operators: near-duplicate connected components (the
+"keep one per duplicate cluster" step a dedup pipeline actually needs)
+and k-means over embeddings (the trained-quantizer IVF path for ANN).
+
+Scale notes:
+
+* Connected components run as iterative min-label propagation over the
+  candidate-pair edge list — the edge list is the OUTPUT of sketch dedup
+  (tiny relative to the corpus), so each iteration is a join on that
+  small set; iterations ≈ component diameter (near-dup clusters are
+  shallow).  The driver only checks a convergence count per round.
+* K-means uses pyspark.ml (distributed Lloyd iterations, seeded); the
+  trained centroids then drive ``ann_ivf_topk``: corpus assignment is
+  one broadcast argmax pass, queries probe the nearest N_PROBE cells —
+  candidate volume |corpus|·nprobe/k instead of |corpus|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.queries.dedup import JACCARD_T
+from taipei_bi_etl_spark.queries.similarity import (
+    N_QUERIES,
+    TOP_K,
+    _corpus_with_norm,
+    cosine,
+)
+
+# ---------------------------------------------------------------------------
+# Near-dup connected components.
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tok FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_T}
+), reach(node, root) AS (
+  SELECT d, d FROM (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs) t(d)
+  UNION
+  SELECT e.b, r.root
+  FROM reach r
+  JOIN (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs) e ON e.a = r.node
+)
+SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=_CC_ORACLE,
+    tags=("dedup", "extension", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-verified near-dup pairs via iterative min-label propagation
+    (oracle: DuckDB recursive CTE).  component_id = min doc_id in the
+    cluster — the canonical survivor a dedup pipeline keeps."""
+    from taipei_bi_etl_spark.queries.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .persist()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "doc_b_id"),
+                F.col("doc_b") == F.col("doc_b_id"),
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("component_id").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# K-means over embeddings + IVF ANN.
+# ---------------------------------------------------------------------------
+
+N_CLUSTERS = 16
+N_PROBE = 8
+
+
+def _fit_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Distributed Lloyd iterations (pyspark.ml), fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = _corpus_with_norm(spark, sf_dir)
+    feats = corpus.select(array_to_vector("emb").alias("features"))
+    km = KMeans(k=N_CLUSTERS, seed=42, maxIter=10)
+    model = km.fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _nearest_cells(emb: Column, centroids: list[list[float]], n: int) -> Column:
+    """Indices of the n centroids with highest cosine to emb (array)."""
+    from taipei_bi_etl_spark.queries.similarity import dot, l2_norm
+
+    sims = F.array(
+        *[
+            F.struct(
+                (
+                    dot(emb, F.array(*[F.lit(v) for v in c]))
+                    / l2_norm(F.array(*[F.lit(v) for v in c]))
+                ).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
+    return F.transform(top, lambda s: s["cell"])
+
+
+@query("embedding_kmeans", oracle=None, tags=("similarity", "extension", "iterative"))
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster profile of the embedding corpus (pyspark.ml,
+    seeded): cluster sizes + mean intra-cluster cosine to the centroid.
+    Rows-only: iterative algorithm, no ANSI twin."""
+    centroids = _fit_centroids(spark, sf_dir)
+    corpus = _corpus_with_norm(spark, sf_dir)
+    cell = _nearest_cells(F.col("emb"), centroids, 1)[0]
+    return (
+        corpus.withColumn("cell", cell)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@query("ann_ivf_topk", oracle=None, tags=("similarity", "extension", "iterative"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: trained coarse quantizer (k-means), corpus assigned to
+    its nearest cell, queries probe the N_PROBE nearest cells, exact
+    cosine re-rank inside probed cells.  Recall vs the exact top-k is
+    gated in tests/test_clustering.py."""
+    centroids = _fit_centroids(spark, sf_dir)
+    corpus = _corpus_with_norm(spark, sf_dir)
+    assigned = corpus.withColumn(
+        "cell", _nearest_cells(F.col("emb"), centroids, 1)[0]
+    )
+    q = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("probes", _nearest_cells(F.col("emb"), centroids, N_PROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("norm").alias("qnorm"),
+            F.explode("probes").alias("cell"),
+        )
+    )
+    cand = assigned.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = cosine(F.col("emb"), F.col("qemb"), F.col("norm"), F.col("qnorm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+    )
