@@ -66,4 +66,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     multimodal_queries,
     rfe,
     clustering,
+    curation,
 )

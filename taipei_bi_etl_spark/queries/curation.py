@@ -1,0 +1,183 @@
+"""End-to-end corpus curation — the composed training-data pipeline the
+individual operators exist for (BASELINE north star), as ONE
+oracle-checked query:
+
+  documents
+    → quality gate   (length + stopword-ratio heuristics)
+    → language gate  (declared-lang whitelist)
+    → exact dedup    (md5 groups, keep min doc_id)
+    → near-dup dedup (3-gram Jaccard pairs → connected components →
+                      keep each cluster's canonical min-doc survivor)
+    → per-source token budget of the surviving corpus
+
+Every stage is the same logic as its standalone query (pipeline.py,
+clustering.py, text.py); the composition is what a real curation run
+executes, and Catalyst fuses the gates into the scans.
+
+Scale: gates are map-side; dedup shuffles on digest/shingle as before;
+the final rollup is tiny.  At 100 TB this plan is the blueprint: the
+expensive stages (pair generation) run on the GATED corpus, so cheap
+filters run first — filter-early ordering matters more than any knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.queries.dedup import shingle_array
+
+MIN_TOKENS = 20
+MAX_STOPWORD_RATIO = 0.5
+KEEP_LANGS = ("en", "es", "fr", "de")
+JACCARD_T = 0.8
+_STOP = ("the", "a", "and", "of", "to", "in")
+
+_CURATION_ORACLE = f"""
+WITH RECURSIVE gated AS (
+  SELECT doc_id, source, text
+  FROM documents
+  WHERE lang IN {KEEP_LANGS!r}
+    AND len(string_split_regex(text, '\\s+')) >= {MIN_TOKENS}
+    AND len(list_filter(string_split_regex(text, '\\s+'),
+            t -> t IN {_STOP!r})) * 1.0
+        / len(string_split_regex(text, '\\s+')) <= {MAX_STOPWORD_RATIO}
+), exact_kept AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+), surviving AS (
+  SELECT g.* FROM gated g JOIN exact_kept k USING (doc_id)
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tok FROM surviving)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_T}
+), reach(node, root) AS (
+  SELECT d, d FROM (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs) t(d)
+  UNION
+  SELECT e.b, r.root FROM reach r
+  JOIN (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs) e ON e.a = r.node
+), components AS (
+  SELECT node AS doc_id, MIN(root) AS component_id FROM reach GROUP BY node
+), final AS (
+  SELECT s.* FROM surviving s
+  LEFT JOIN components c USING (doc_id)
+  WHERE c.doc_id IS NULL OR c.component_id = s.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens
+FROM final GROUP BY source
+"""
+
+
+@query(
+    "curation_end_to_end",
+    oracle=_CURATION_ORACLE,
+    tags=("dedup", "text", "extension", "composed"),
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (see module docstring)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), r"\s+")
+    n_tok = F.size(tok)
+    stop = F.array(*[F.lit(s) for s in _STOP])
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop, t)))
+    gated = d.filter(
+        F.col("lang").isin(*KEEP_LANGS)
+        & (n_tok >= MIN_TOKENS)
+        & (n_stop * 1.0 / n_tok <= MAX_STOPWORD_RATIO)
+    ).select("doc_id", "source", "text")
+
+    # exact dedup: keep each digest group's min doc_id
+    exact_kept = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surviving = gated.join(exact_kept.select("doc_id"), "doc_id")
+
+    # near-dup pairs on the gated corpus (inverted shingle index, exact)
+    toks = surviving.select("doc_id", F.split(F.col("text"), r"\s+").alias("tok"))
+    sh = toks.select(
+        "doc_id", F.explode(shingle_array(F.col("tok"))).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    pairs = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+
+    # connected components by iterative min-label propagation
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .persist()
+    )
+    while True:
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "nbr_id"),
+                F.col("doc_b") == F.col("nbr_id"),
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+
+    # keep docs not in any near-dup cluster, plus each cluster's canonical
+    final = surviving.join(labels, "doc_id", "left").filter(
+        F.col("component_id").isNull()
+        | (F.col("component_id") == F.col("doc_id"))
+    )
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("total_tokens"),
+    )
