@@ -123,7 +123,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume ∝ Σ df(shingle)²), candidate volume here is bounded by band
     buckets — the 100 TB path.
     """
-    docs_sh = _doc_shingles(spark, sf_dir)
+    # the shingle set feeds two independent subtrees (signatures and the
+    # exact-verify join); persist so it computes once per run
+    docs_sh = _doc_shingles(spark, sf_dir).persist()
     # One real hash per shingle, then N_PERM cheap universal-family
     # permutations h*A_i + B_i (odd A_i, wrap-around long arithmetic is
     # deterministic) — 64x fewer hash evaluations than hashing each
