@@ -67,4 +67,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     rfe,
     clustering,
     curation,
+    pandas_api,
 )
