@@ -40,8 +40,16 @@ class EtlTask:
     #: source name → declared output StructType (V1 validation), optional
     schemas: Mapping[str, T.StructType] = {}
 
-    def __init__(self, fetcher: Callable[[str], str] | None = None):
+    def __init__(
+        self,
+        fetcher: Callable[[str], str] | None = None,
+        raw_dir: str | None = None,
+    ):
         self.fetcher = fetcher
+        #: K9 raw cache (``utils/cache.py:11-61``): when set, api extracts
+        #: land in a write-once raw zone and are re-read from there on
+        #: re-runs instead of re-fetching.
+        self.raw_dir = raw_dir
         self.extracted: dict[str, DataFrame] = {}
         self.transformed: dict[str, DataFrame] = {}
 
@@ -76,7 +84,20 @@ class EtlTask:
         iterator values, then one distributed DataFrame.
 
         ``iterator`` values format into ``url``; each response is a JSON
-        array of records (optionally under ``json_path``)."""
+        array of records (optionally under ``json_path``).
+
+        With ``raw_dir`` set, the parsed records are written once as
+        parquet and re-runs read the raw zone instead of re-fetching
+        (K9 idempotent extract cache)."""
+        if self.raw_dir is not None:
+            import re
+
+            default_key = re.sub(r"[^A-Za-z0-9._-]", "_", cfg["url"])
+            cache_path = os.path.join(
+                self.raw_dir, cfg.get("cache_key", default_key)
+            )
+            if os.path.exists(cache_path):
+                return spark.read.parquet(cache_path)
         if self.fetcher is None:
             raise ValueError("api source requires a fetcher")
         urls = [
@@ -94,7 +115,11 @@ class EtlTask:
                 if it is not None and cfg.get("iterator_field"):
                     rec = {**rec, cfg["iterator_field"]: it}
                 records.append(rec)
-        return spark.createDataFrame(records, schema=cfg.get("schema"))
+        df = spark.createDataFrame(records, schema=cfg.get("schema"))
+        if self.raw_dir is not None:
+            df.write.mode("ignore").parquet(cache_path)
+            return spark.read.parquet(cache_path)
+        return df
 
     # -- transform --------------------------------------------------------
     def transform(self, spark: SparkSession) -> dict[str, DataFrame]:

@@ -203,3 +203,36 @@ def test_api_fanout_and_dispatch(spark):
     out = task.run(spark)
     got = {r.country: r.total for r in out["metrics"].collect()}
     assert got == {"US": 3, "IN": 10}
+
+
+def test_raw_cache_skips_refetch(spark, tmp_path):
+    calls = []
+
+    def counting_fetcher(url: str) -> str:
+        calls.append(url)
+        return _fake_fetcher(url)
+
+    raw = str(tmp_path / "raw")
+    t1 = _ApiTask(fetcher=counting_fetcher, raw_dir=raw)
+    t1.run(spark)
+    n_first = len(calls)
+    assert n_first == 2  # one per iterator value
+    # second run: raw zone hit, no new fetches
+    t2 = _ApiTask(fetcher=counting_fetcher, raw_dir=raw)
+    out = t2.run(spark)
+    assert len(calls) == n_first
+    got = {r.country: r.total for r in out["metrics"].collect()}
+    assert got == {"US": 3, "IN": 10}
+
+
+def test_etl_dispatch(spark):
+    from taipei_bi_etl_spark.etl import get_task, run_task
+
+    assert get_task("revenue").__name__ == "RevenueTask"
+    out = run_task(
+        spark,
+        "adjust",
+        sources={"adjust": {"type": "const", "values": [(PAYLOAD,)],
+                            "schema": "payload string"}},
+    )
+    assert out["adjust"].count() == 3
