@@ -1,6 +1,17 @@
-"""Multimodal pipeline registered as driver queries (rows-only: the
-Arrow/mapInPandas decode path has no ANSI-SQL twin; invariants are
-pytest-gated in tests/test_multimodal.py)."""
+"""Multimodal pipeline registered as driver queries.
+
+``multimodal_feature_extract`` IS oracle-checked even though it runs
+through Arrow/mapInPandas: the deterministic byte-histogram decoder is
+re-expressible in SQL (the corpus is ASCII, so bytes == chars), which
+pins the whole Python-worker path — schema, Arrow round-trip, float32
+feature storage — against an engine that shares none of it.  Feature
+values cross as ROUND(f*1e6) integers: the float32 storage error
+(~4e-3 in micro units) cannot move a ROUND, while a FLOOR at exact
+integer boundaries could.
+
+``multimodal_frame_sample`` stays rows-only (byte-slice frame fan-out
+has no clean ANSI twin); invariants live in tests/test_multimodal.py.
+"""
 
 from __future__ import annotations
 
@@ -14,23 +25,48 @@ from taipei_bi_etl_spark.multimodal import (
 )
 from taipei_bi_etl_spark.queries import query
 
+_FEATURE_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+         text
+  FROM documents
+), feat AS (
+  SELECT media_id, kind,
+         CAST(round(
+           len(list_filter(list_transform(string_split(text, ''),
+                                          c -> ascii(c)),
+                           a -> a % 16 = 0)) * 1000000.0 / length(text)
+         ) AS BIGINT) AS f0_micros
+  FROM media
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       ROUND(CAST(SUM(f0_micros) AS BIGINT) / 1000000.0 / COUNT(*), 6) AS avg_f0
+FROM feat GROUP BY kind
+"""
 
-@query("multimodal_feature_extract", oracle=None, tags=("multimodal", "extension"))
+
+@query(
+    "multimodal_feature_extract",
+    oracle=_FEATURE_ORACLE,
+    tags=("multimodal", "extension"),
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary payload + typed metadata → Arrow-batched feature vectors
-    (mapInPandas) → per-kind rollup of feature centroids."""
+    (mapInPandas) → per-kind rollup of the first histogram bucket."""
     feats = extract_features(synthesize_media(spark, sf_dir))
-    return (
-        feats.select(
-            "media_id",
-            "kind",
-            F.element_at("features", 1).alias("f0"),
-        )
-        .groupBy("kind")
-        .agg(
-            F.count(F.lit(1)).alias("n_media"),
-            F.round(F.avg("f0"), 6).alias("avg_f0"),
-        )
+    per_media = feats.select(
+        "kind",
+        F.round(F.element_at("features", 1) * 1_000_000, 0)
+        .cast("long")
+        .alias("f0_micros"),
+    )
+    return per_media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.round(
+            F.sum("f0_micros") / F.lit(1_000_000.0) / F.count(F.lit(1)), 6
+        ).alias("avg_f0"),
     )
 
 

@@ -166,8 +166,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN — the scale path.  Random-hyperplane signatures;
 # candidates only within a bucket.  Recall vs the exact top-k is
-# asserted in tests/test_similarity.py; registered rows-only because the
-# hyperplane sampling is not expressible in ANSI SQL.
+# asserted in tests/test_similarity.py; ALSO oracle-checked: the seeded
+# hyperplanes are inlined into the SQL as literal vectors, so DuckDB
+# reproduces the exact same signatures, candidate sets and ranking.
 # ---------------------------------------------------------------------------
 
 # 4 bits x 16 tables tuned for weakly-clustered corpora (recall ~0.98
@@ -202,7 +203,47 @@ def signature(emb: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
-@query("ann_lsh_bucketed", oracle=None, tags=("similarity", "extension"))
+def _lsh_oracle() -> str:
+    """DuckDB twin of ann_lsh_bucketed with the hyperplanes inlined."""
+    planes = _hyperplanes()
+
+    def sig_expr(emb: str, t: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product({emb}, "
+            f"[{', '.join(repr(v) for v in planes[t][i])}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_BITS)
+        )
+        return f"({bits})"
+
+    corpus_sigs = ", ".join(
+        f"{sig_expr('emb', t)} AS s{t}" for t in range(LSH_TABLES)
+    )
+    any_match = " OR ".join(f"e.s{t} = q.s{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), sigs AS (
+  SELECT vec_id, emb, nrm, {corpus_sigs} FROM e
+), q AS (
+  SELECT * FROM sigs WHERE vec_id < {N_QUERIES}
+), cand AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_inner_product(e.emb, q.emb) / (e.nrm * q.nrm) AS sim
+  FROM sigs e JOIN q ON ({any_match})
+  WHERE e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+       ROUND(sim, 6) AS cosine_sim
+FROM cand
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= {TOP_K}
+"""
+
+
+@query("ann_lsh_bucketed", oracle=_lsh_oracle(), tags=("similarity", "extension"))
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k: OR of LSH_TABLES hyperplane-signature
     tables; exact cosine re-rank inside the candidate union.
