@@ -9,8 +9,10 @@ values cross as ROUND(f*1e6) integers: the float32 storage error
 (~4e-3 in micro units) cannot move a ROUND, while a FLOOR at exact
 integer boundaries could.
 
-``multimodal_frame_sample`` stays rows-only (byte-slice frame fan-out
-has no clean ANSI twin); invariants live in tests/test_multimodal.py.
+``multimodal_frame_sample`` is oracle-checked via the closed form of
+the byte-slice sampler (frame count and byte totals are pure arithmetic
+on payload length); frame-content invariants live in
+tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -70,10 +72,34 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample", oracle=None, tags=("multimodal", "extension"))
+_FRAME_ORACLE = """
+WITH video AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS L
+  FROM documents
+  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+)
+SELECT media_id,
+       CAST(CASE WHEN L >= 4 THEN 4 ELSE L END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN L >= 4 THEN 4 * (L // 4) ELSE L END AS BIGINT)
+         AS frame_bytes
+FROM video
+"""
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=_FRAME_ORACLE,
+    tags=("multimodal", "extension"),
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out (1 row → N frames) + per-media frame
-    byte accounting — the shuffle-free mapInPandas expansion shape."""
+    byte accounting — the shuffle-free mapInPandas expansion shape.
+
+    The oracle is the closed form of the byte-slice sampler: with
+    ``step = max(L // 4, 1)`` the sampler emits ``min(4, L)`` frames
+    totalling ``4 * (L // 4)`` bytes for ``L >= 4`` (each of the 4
+    slices is exactly ``step`` bytes) and ``L`` single-byte frames
+    otherwise."""
     frames = sample_frames(synthesize_media(spark, sf_dir))
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),

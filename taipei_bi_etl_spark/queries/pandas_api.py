@@ -23,14 +23,39 @@ from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
 
 
-@query("pandas_udf_scaled_value", oracle=None, tags=("pandas", "extension"))
+_SCALED_ORACLE = """
+WITH bounds AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type
+), scaled AS (
+  SELECT e.event_type,
+         LEAST(GREATEST(
+           (e.value - b.lo)
+             / (CASE WHEN b.hi > b.lo THEN b.hi - b.lo ELSE 1.0 END),
+           0.0), 1.0) AS s
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(FLOOR(s * 1000000) AS BIGINT)) AS BIGINT)
+             / 1000000.0 / COUNT(*), 6) AS mean_scaled
+FROM scaled GROUP BY event_type
+"""
+
+
+@query(
+    "pandas_udf_scaled_value",
+    oracle=_SCALED_ORACLE,
+    tags=("pandas", "extension"),
+)
 def pandas_udf_scaled_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas_udf: per-type min-max scaling of event values
-    (vectorized numpy inside, Arrow batches outside).  Rows-only: the
-    semantics are checked against a pure-Column computation in
-    tests/test_pandas_api.py — which is also the point: prefer the
-    Column form in production; this query exists to keep the vectorized
-    escape hatch exercised."""
+    (vectorized numpy inside, Arrow batches outside).  Also gated against
+    a pure-Column computation in tests/test_pandas_api.py — which is the
+    point: prefer the Column form in production; this query keeps the
+    vectorized escape hatch exercised.  The float path is hash-safe:
+    identical IEEE double ops on both engines, floored to integer micros
+    before the order-insensitive sum."""
     @F.pandas_udf(T.DoubleType())
     def clip01(v: pd.Series, lo: pd.Series, hi: pd.Series) -> pd.Series:
         rng = (hi - lo).where(hi > lo, 1.0)
@@ -54,11 +79,37 @@ def pandas_udf_scaled_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("grouped_apply_zscore", oracle=None, tags=("pandas", "extension"))
+_ZSCORE_ORACLE = """
+WITH med AS (
+  SELECT source, median(CAST(n_chars AS DOUBLE)) AS med
+  FROM documents GROUP BY source
+), madt AS (
+  SELECT d.source,
+         median(abs(CAST(d.n_chars AS DOUBLE) - m.med)) AS mad
+  FROM documents d JOIN med m USING (source) GROUP BY d.source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN abs(CAST(d.n_chars AS DOUBLE) - m.med)
+                          / (CASE WHEN t.mad > 0 THEN t.mad ELSE 1.0 END)
+                          > 3.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM documents d
+JOIN med m USING (source)
+JOIN madt t ON d.source = t.source
+GROUP BY d.source
+"""
+
+
+@query(
+    "grouped_apply_zscore", oracle=_ZSCORE_ORACLE, tags=("pandas", "extension")
+)
 def grouped_apply_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped applyInPandas: per-source robust z-score outlier counts
     over document lengths — whole-group pandas logic (median/MAD need
-    the full group).  Semantics gated in tests/test_pandas_api.py."""
+    the full group).  Semantics also gated in tests/test_pandas_api.py.
+    Hash-safe vs the oracle: medians of small integers are exact doubles
+    (midpoint interpolation is exact), outputs are integer counts."""
     out_schema = T.StructType(
         [
             T.StructField("source", T.StringType()),
