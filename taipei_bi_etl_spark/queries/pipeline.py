@@ -96,9 +96,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens().alias("tok"))
-    sh = toks.select(
-        "doc_id", F.explode(shingle_array(F.col("tok"))).alias("shingle")
-    ).distinct()
+    # the inverted index feeds three subtrees (sizes + both join sides);
+    # persist so the explode+distinct shuffle computes once per run
+    sh = (
+        toks.select(
+            "doc_id", F.explode(shingle_array(F.col("tok"))).alias("shingle")
+        )
+        .distinct()
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
