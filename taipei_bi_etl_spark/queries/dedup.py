@@ -5,7 +5,7 @@ step 8; BASELINE north star).
 
 Scale shape shared by both operators:
 
-* Sketches (64-perm MinHash signature / 64-bit SimHash fingerprint) are
+* Sketches (64-perm MinHash signature / 60-bit SimHash fingerprint) are
   computed **map-side with zero shuffle** — pure array expressions over
   the shingle array, fully inside whole-stage codegen.
 * Candidate generation shuffles only on **bounded sketch keys** (band
@@ -34,8 +34,8 @@ N_BANDS = 16  # 16 bands x 4 rows: P(detect | J=0.9) ~ 1 - 2.6e-8
 ROWS_PER_BAND = N_PERM // N_BANDS
 JACCARD_T = 0.8
 
-SIMHASH_BITS = 64
-SIMHASH_BLOCKS = 16  # 16 blocks x 4 bits: pigeonhole-complete for hamming <= 15
+SIMHASH_BITS = 60  # low 30 bits of each of two portable polynomial hashes
+SIMHASH_BLOCKS = 15  # 15 blocks x 4 bits: pigeonhole-complete for hamming <= 14
 HAMMING_T = 12
 
 
@@ -183,16 +183,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash.  Rows-only (xxhash64 has no DuckDB twin); equivalence to the
-# exact-Jaccard pair set is asserted in tests/test_dedup.py.
+# SimHash.  The shingle hash is the portable two-prime polynomial (30
+# usable bits per prime → a 60-bit fingerprint), so the ENTIRE sketch —
+# votes, fingerprint, hamming pairs — is integer arithmetic both engines
+# evaluate identically.  The oracle is the all-pairs O(n²) rewrite,
+# valid because the 15×4-bit block decomposition is pigeonhole-COMPLETE
+# at hamming ≤ 12 (12 differing bits touch ≤ 12 of 15 blocks): the
+# Spark block-join finds exactly the pairs the quadratic scan finds.
+# Recall vs exact Jaccard is additionally gated in tests/test_dedup.py.
 # ---------------------------------------------------------------------------
 
+_SIMHASH_P1, _SIMHASH_B1 = 1_000_000_007, 31
+_SIMHASH_P2, _SIMHASH_B2 = 999_999_937, 37
+_HALF_BITS = SIMHASH_BITS // 2
 
-@query("dedup_simhash", oracle=None, tags=("dedup", "extension"))
+
+def _poly_sql(src: str, base: int, mod: int) -> str:
+    # DuckDB list_reduce seeds acc with the first element — identical to
+    # Spark's fold from 0 (0*base + c1 == c1).  Proven by the winnowing
+    # oracle in text.py.
+    return (
+        f"list_reduce(list_transform(string_split({src}, ''),"
+        " c -> ascii(c)::BIGINT),"
+        f" (acc, x) -> (acc * {base} + x) % {mod})"
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN ({'h1' if i < _HALF_BITS else 'h2'}"
+        f" >> {i if i < _HALF_BITS else i - _HALF_BITS}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tok FROM documents)
+), hashed AS (
+  SELECT doc_id,
+         {_poly_sql("shingle", _SIMHASH_B1, _SIMHASH_P1)} AS h1,
+         {_poly_sql("shingle", _SIMHASH_B2, _SIMHASH_P2)} AS h2
+  FROM shingles
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {HAMMING_T}
+"""
+
+
+@query(
+    "dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "extension")
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash over shingle hashes; near-dup pairs = Hamming ≤ 12,
-    found via 16-block decomposition (pigeonhole: hamming ≤ 15 pairs
+    """60-bit SimHash over shingle hashes; near-dup pairs = Hamming ≤ 12,
+    found via 15-block decomposition (pigeonhole: hamming ≤ 14 pairs
     share at least one exact 4-bit block — no all-pairs scan).
+
+    The fingerprint concatenates the low 30 bits of two independent
+    polynomial hashes (bases 31/37, distinct primes) — portable across
+    engines, which is what makes the oracle possible; a production swap
+    back to xxhash64 only loses the cross-engine check, not semantics.
 
     Known limitation (inherent to SimHash, not this implementation):
     docs with very few shingles have high fingerprint variance — one
@@ -201,14 +265,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_a, doc_b, hamming).
     """
+    from taipei_bi_etl_spark.queries.text import _char_array, poly_hash
+
     docs_sh = _doc_shingles(spark, sf_dir)
-    hashed = docs_sh.select(
-        "doc_id", F.explode("sh").alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("h"))
+    chars = _char_array(F.col("s"))
+    hashed = docs_sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id",
+        poly_hash(chars, _SIMHASH_B1, _SIMHASH_P1).alias("h1"),
+        poly_hash(chars, _SIMHASH_B2, _SIMHASH_P2).alias("h2"),
+    )
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1
+                F.shiftright(
+                    "h1" if i < _HALF_BITS else "h2",
+                    i if i < _HALF_BITS else i - _HALF_BITS,
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
             ).alias(f"v{i}")
             for i in range(SIMHASH_BITS)
         ]

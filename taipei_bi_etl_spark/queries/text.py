@@ -40,13 +40,16 @@ def _tokens() -> Column:
     return F.split(F.col("text"), r"\s+")
 
 
-def poly_hash(chars: Column) -> Column:
-    """Portable rolling hash: fold (acc*31 + code) % 1e9+7 over chars."""
+def poly_hash(
+    chars: Column, base: int = 31, mod: int = HASH_MOD
+) -> Column:
+    """Portable rolling hash: fold (acc*base + code) % mod over chars.
+    Operands stay < mod*base + 127 < 2^35 — no long overflow."""
     codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
     return F.aggregate(
         codes,
         F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + x) % HASH_MOD,
+        lambda acc, x: (acc * base + x) % mod,
     )
 
 
