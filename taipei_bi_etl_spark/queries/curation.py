@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
-from taipei_bi_etl_spark.queries.dedup import shingle_array
+from taipei_bi_etl_spark.queries.dedup import _poly_sql, shingle_array
 
 MIN_TOKENS = 20
 MAX_STOPWORD_RATIO = 0.5
@@ -180,4 +180,73 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-addressed corpus splitting.
+# ---------------------------------------------------------------------------
+
+_SPLIT_P1, _SPLIT_B1 = 1_000_000_007, 31
+_SPLIT_P2, _SPLIT_B2 = 999_999_937, 37
+
+_SPLIT_ORACLE = f"""
+WITH hashed AS (
+  SELECT source, n_chars,
+         {_poly_sql("text", _SPLIT_B1, _SPLIT_P1)} % 100 AS b1,
+         {_poly_sql("text", _SPLIT_B2, _SPLIT_P2)} % 10 AS b2
+  FROM documents
+)
+SELECT source,
+       CASE WHEN b1 < 80 THEN 'train'
+            WHEN b1 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN b2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM hashed GROUP BY source, 2
+"""
+
+
+@query(
+    "corpus_hash_split",
+    oracle=_SPLIT_ORACLE,
+    tags=("text", "extension", "curation"),
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test split (80/10/10) plus a
+    deterministic 10% stratified-sample flag from an independent second
+    hash — per (source, split) accounting.
+
+    This is the standard corpus-split mechanism at scale: bucketing on a
+    content hash (not RNG, not row position) keeps the assignment stable
+    under re-partitioning, re-ingestion and dedup, so a document can
+    never migrate from test into train between pipeline runs.  Pure
+    map-side expression + tiny rollup — no shuffle of document content,
+    embarrassingly parallel at 100 TB.  The portable polynomial hash
+    makes the whole assignment cross-engine checkable; swapping in
+    xxhash64 for speed only loses the oracle, not the semantics.
+    """
+    from taipei_bi_etl_spark.queries.text import _char_array, poly_hash
+
+    d = read_table(spark, sf_dir, "documents")
+    chars = _char_array(F.col("text"))
+    b1 = poly_hash(chars, _SPLIT_B1, _SPLIT_P1) % 100
+    b2 = poly_hash(chars, _SPLIT_B2, _SPLIT_P2) % 10
+    split = (
+        F.when(b1 < 80, "train").when(b1 < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "source",
+            split.alias("split"),
+            "n_chars",
+            (b2 == 0).cast("long").alias("sampled"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("sampled").alias("n_sampled"),
+        )
     )
