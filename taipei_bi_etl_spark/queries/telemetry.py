@@ -67,20 +67,25 @@ FROM occ GROUP BY cohort_date
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention pivot (A5).
 
-    Scale notes: one shuffle on user_id computes per-user day sets and the
-    cohort date in the same hash partitioning (window min avoids a second
-    shuffled join); the final groupBy(cohort_date) shuffles the already
-    per-user-deduped rows only.  countDistinct goes through Spark's
-    partial-aggregation expand, no driver collection.
+    Scale notes: ONE shuffle on user_id builds each user's distinct day
+    set (collect_set dedups map-side in the partial aggregate, so the
+    exchange carries day sets, not events) and the cohort date is just
+    array_min of that set — no window, no sort, no second exchange that
+    a distinct-then-window formulation pays.  The final
+    groupBy(cohort_date) shuffles one narrow row per (user, active day).
+    Per-user state is bounded by the calendar (≤ window length days), so
+    the set agg cannot blow up on hot users.
     """
     ev = read_table(spark, sf_dir, "events")
-    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    # min-over-window reuses the user_id hash partitioning the distinct
-    # already produced — no extra shuffle vs a groupBy+join.
-    cohort = days.withColumn(
-        "cohort_date", F.min("day").over(W.partitionBy("user_id"))
+    per_user = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
     )
-    occ = cohort.withColumn("occur_day", F.datediff("day", "cohort_date"))
+    occ = per_user.select(
+        F.array_min("days").alias("cohort_date"),
+        F.explode("days").alias("day"),
+    ).withColumn("occur_day", F.datediff("day", "cohort_date"))
     # (user_id, day) is unique after the distinct and cohort_date is
     # functionally determined by user_id, so within a cohort_date group
     # each user contributes exactly one row per occur_day value — every
