@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
-from taipei_bi_etl_spark.queries.dedup import _poly_sql, shingle_array
+from taipei_bi_etl_spark.queries.dedup import _poly_sql, shingle_hash_array
 
 MIN_TOKENS = 20
 MAX_STOPWORD_RATIO = 0.5
@@ -111,7 +111,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup pairs on the gated corpus (inverted shingle index, exact)
     toks = surviving.select("doc_id", F.split(F.col("text"), r"\s+").alias("tok"))
     sh = toks.select(
-        "doc_id", F.explode(shingle_array(F.col("tok"))).alias("shingle")
+        "doc_id", F.explode(shingle_hash_array(F.col("tok"))).alias("shingle")
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -13,9 +13,12 @@ Scale shape shared by both operators:
   happens strictly inside a bucket.
 * Exact verification (Jaccard / Hamming) runs only on candidate pairs.
 
-At 100 TB add a document-frequency cap on shingles and a bucket-size cap
-(drop or split buckets > K docs) — degenerate buckets are the only
-quadratic risk.
+Degenerate buckets are the only quadratic risk; the guards are real
+parameters here — ``df_cap`` (drop shingles shared by more than K docs
+before the inverted-index join) and ``bucket_cap`` (drop band buckets
+holding more than K docs).  The oracle-checked ``queries()`` entries run
+with the guards off (the sf data has no degenerate keys — max df 25);
+`tests/test_dedup.py` pins the guard semantics on a synthetic corpus.
 """
 
 from __future__ import annotations
@@ -58,11 +61,63 @@ def shingle_array(tok: Column) -> Column:
     return F.array_distinct(arr)
 
 
+def shingle_hash_array(tok: Column) -> Column:
+    """Distinct 64-bit hashes of word-3-gram shingles (empty if < 3).
+
+    Hashes each token once, then combines the three token hashes with
+    xxhash64 — no 3-word string is ever materialized, and everything
+    downstream (distinct, inverted-index join, signature mins) carries
+    8-byte longs instead of ~30-byte strings.  At 100 TB the index
+    shuffle is ∝ 8 B/shingle; collisions (2⁻⁶⁴) are the only semantic
+    delta vs string shingles.
+    """
+    th = F.transform(tok, lambda t: F.xxhash64(t))
+    n = F.size(th)
+    a = F.slice(th, 1, n - 2)
+    b = F.slice(th, 2, n - 2)
+    c = F.slice(th, 3, n - 2)
+    zipped = F.zip_with(
+        a,
+        F.zip_with(b, c, lambda x, y: F.xxhash64(x, y)),
+        lambda x, y: F.xxhash64(x, y),
+    )
+    arr = F.when(n >= 3, zipped).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(arr)
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     tok = F.split(F.col("text"), r"\s+")
     return d.select("doc_id", shingle_array(tok).alias("sh")).filter(
         F.size("sh") > 0
+    )
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), r"\s+")
+    return d.select("doc_id", shingle_hash_array(tok).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+
+
+def cap_document_frequency(index: DataFrame, df_cap: int | None) -> DataFrame:
+    """Drop stop-shingles from an exploded (doc_id, shingle) index.
+
+    A shingle shared by df docs contributes df² candidate rows to the
+    inverted-index self-join; boilerplate shingles ("all rights
+    reserved …") make that quadratic at corpus scale.  One extra
+    aggregation on the same shingle partitioning computes df and the
+    anti-filter.  Apply it BEFORE doc-size counting so similarity is
+    exact Jaccard over the capped universe (stop-shingles leave both
+    intersection and union, as in stopword removal) — pairs whose
+    overlap rests on sub-cap shingles are then unaffected.
+    """
+    if df_cap is None:
+        return index
+    w_df = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        index.join(w_df.filter(F.col("df") <= df_cap).select("shingle"), "shingle")
     )
 
 
@@ -114,18 +169,19 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_T}
 """
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "extension"))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    docs_sh: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
     """MinHash(64) → LSH banding (16x4) → in-bucket candidates → exact
-    Jaccard verify at 0.8.
+    Jaccard verify at ``JACCARD_T`` over a (doc_id, sh: array<bigint>)
+    frame of hashed shingles.
 
-    Unlike :func:`dedup_ngram_jaccard`'s inverted shingle index (join
-    volume ∝ Σ df(shingle)²), candidate volume here is bounded by band
-    buckets — the 100 TB path.
+    ``bucket_cap`` drops band buckets holding more than K docs (a bucket
+    of n docs emits n² candidate rows; at corpus scale a boilerplate
+    band collapses millions of docs into one bucket).  Dropping a bucket
+    only loses pairs whose OTHER 15 bands also collide-or-overflow, so
+    recall for genuinely rare pairs is preserved — pinned in tests.
     """
-    # the shingle set feeds two independent subtrees (signatures and the
-    # exact-verify join); persist so it computes once per run
-    docs_sh = _doc_shingles(spark, sf_dir).persist()
     # One real hash per shingle, then N_PERM cheap universal-family
     # permutations h*A_i + B_i (odd A_i, wrap-around long arithmetic is
     # deterministic) — 64x fewer hash evaluations than hashing each
@@ -142,7 +198,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     A = rng.randint(1, P, size=N_PERM).tolist()
     B = rng.randint(0, P, size=N_PERM).tolist()
     hashed = docs_sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.pmod(F.xxhash64("s"), F.lit(P)).alias("h")
+        "doc_id", F.pmod(F.col("s"), F.lit(P)).alias("h")
     )
     sig = hashed.groupBy("doc_id").agg(
         *[
@@ -169,6 +225,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", "band.band_id", "band.band_hash"
     )
+    if bucket_cap is not None:
+        sizes = banded.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("bn") <= bucket_cap).select("band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -180,6 +244,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _exact_jaccard_on_pairs(cand, docs_sh)
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "extension"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) → LSH banding (16x4) → in-bucket candidates → exact
+    Jaccard verify at 0.8.
+
+    Unlike :func:`dedup_ngram_jaccard`'s inverted shingle index (join
+    volume ∝ Σ df(shingle)²), candidate volume here is bounded by band
+    buckets — the 100 TB path.  Core in :func:`minhash_lsh_pairs`
+    (which also carries the ``bucket_cap`` degenerate-bucket guard).
+    """
+    # the shingle set feeds two independent subtrees (signatures and the
+    # exact-verify join); persist so it computes once per run
+    docs_sh = _doc_shingle_hashes(spark, sf_dir).persist()
+    return minhash_lsh_pairs(docs_sh)
 
 
 # ---------------------------------------------------------------------------

@@ -82,29 +82,32 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
 """
 
 
-@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup",))
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard near-duplicate pairs (threshold 0.6) via an inverted
-    shingle index — candidate pairs only ever meet inside a shingle bucket.
+def ngram_jaccard_pairs(
+    toks: DataFrame, threshold: float = 0.6, df_cap: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs over a (doc_id, tok) frame via an
+    inverted index of hashed shingles (8-byte shuffle keys, never the
+    3-word strings).  ``df_cap`` drops stop-shingles shared by more than
+    K docs before the self-join — the quadratic-bucket guard at corpus
+    scale (join volume ∝ Σ df(shingle)²)."""
+    from taipei_bi_etl_spark.queries.dedup import (
+        cap_document_frequency,
+        shingle_hash_array,
+    )
 
-    Scale notes: at 100 TB add (a) a document-frequency cap dropping
-    shingles shared by > K docs (stop-shingles create quadratic buckets),
-    and (b) MinHash-LSH (see dedup_minhash_lsh) to cut candidate pairs
-    before exact verification.  Semantics here are exact for the oracle.
-    """
-    from taipei_bi_etl_spark.queries.dedup import shingle_array
-
-    d = read_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens().alias("tok"))
     # the inverted index feeds three subtrees (sizes + both join sides);
     # persist so the explode+distinct shuffle computes once per run
     sh = (
         toks.select(
-            "doc_id", F.explode(shingle_array(F.col("tok"))).alias("shingle")
+            "doc_id", F.explode(shingle_hash_array(F.col("tok"))).alias("shingle")
         )
         .distinct()
         .persist()
     )
+    # cap BEFORE sizes: similarity is then exact Jaccard over the capped
+    # shingle universe (stop-shingles excluded from BOTH intersection and
+    # union — identical docs stay at 1.0, like stopword removal).
+    sh = cap_document_frequency(sh, df_cap)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -122,9 +125,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair_inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.6)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-duplicate pairs (threshold 0.6) via an inverted
+    index of HASHED shingles — candidate pairs only ever meet inside a
+    shingle bucket, and the index shuffle carries longs, not strings.
+
+    Core in :func:`ngram_jaccard_pairs`, which also carries the
+    ``df_cap`` stop-shingle guard (off here — the sf data's max df is
+    25; the guard is pinned in tests/test_dedup.py).  MinHash-LSH
+    (dedup_minhash_lsh) is the candidate-pruning path at 100 TB.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d.select("doc_id", _tokens().alias("tok")))
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,83 @@ def test_minhash_lsh_finds_all_exact_pairs(spark):
     assert lsh == exact
 
 
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_df_cap_drops_stop_shingles_keeps_rare_pairs(spark):
+    """The df_cap guard suppresses boilerplate-driven candidates while
+    pairs whose overlap rests on sub-cap shingles keep their (exact)
+    Jaccard."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.pipeline import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the site"  # 4 shingles, df = n_docs
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon zeta {boiler}"),
+    ] + [(i, f"unique{i} words{i} here{i} now{i} {boiler}") for i in range(3, 13)]
+    toks = _mk_docs(spark, rows).select(
+        "doc_id", F.split("text", r"\s+").alias("tok")
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(toks, 0.6).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(toks, 0.6, df_cap=3).collect()
+    }
+    # the cap removes boilerplate shingles from BOTH intersection and
+    # union, so the identical pair keeps Jaccard 1.0 over the capped
+    # universe; boilerplate-only pairs gain no similarity at all
+    assert (1, 2) in uncapped and uncapped[(1, 2)] == 1.0
+    assert (1, 2) in capped and capped[(1, 2)] == 1.0
+    assert set(uncapped) == set(capped) == {(1, 2)}
+
+
+def test_bucket_cap_drops_degenerate_cluster_keeps_rare_pair(spark):
+    """bucket_cap: a cluster of identical docs collapses into one bucket
+    per band and is dropped; the rare near-dup pair survives."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.dedup import (
+        minhash_lsh_pairs,
+        shingle_hash_array,
+    )
+
+    big = "spam spam wonderful spam lovely spam baked beans and spam"
+    rare = (
+        "the quick brown fox jumps over the lazy dog near the river bank today"
+    )
+    rows = [(i, big) for i in range(100, 120)] + [
+        (1, rare),
+        (2, rare + " extra"),
+    ]
+    docs_sh = (
+        _mk_docs(spark, rows)
+        .select(
+            "doc_id",
+            shingle_hash_array(F.split("text", r"\s+")).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs_sh, bucket_cap=5).collect()
+    }
+    assert (1, 2) in capped
+    assert all(a < 100 for a, _ in capped), "degenerate cluster not dropped"
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs_sh).collect()
+    }
+    # without the cap the 20-doc cluster contributes all 190 pairs
+    assert uncapped == capped | {
+        (a, b) for a in range(100, 120) for b in range(a + 1, 120)
+    }
+
+
 def test_simhash_matches_exact_pairs_on_long_docs(spark):
     # SimHash fingerprints of very short docs are high-variance (one
     # differing shingle among ~5 flips dozens of bits), so the
