@@ -61,28 +61,34 @@ def shingle_array(tok: Column) -> Column:
     return F.array_distinct(arr)
 
 
-def shingle_hash_array(tok: Column) -> Column:
-    """Distinct 64-bit hashes of word-3-gram shingles (empty if < 3).
+def ngram_hash_array(tok: Column, n: int) -> Column:
+    """64-bit hashes of word-n-grams of a token array (with repeats;
+    empty if fewer than n tokens).
 
-    Hashes each token once, then combines the three token hashes with
-    xxhash64 — no 3-word string is ever materialized, and everything
-    downstream (distinct, inverted-index join, signature mins) carries
-    8-byte longs instead of ~30-byte strings.  At 100 TB the index
-    shuffle is ∝ 8 B/shingle; collisions (2⁻⁶⁴) are the only semantic
-    delta vs string shingles.
+    Hashes each token once, then left-folds the n token hashes with
+    xxhash64 over shifted slices — no n-word string is ever
+    materialized, and everything downstream (distinct, inverted-index
+    join, signature mins, membership probes) carries 8-byte longs
+    instead of n-word strings.  At 100 TB an index shuffle is
+    ∝ 8 B/gram; collisions (2⁻⁶⁴) are the only semantic delta vs
+    string n-grams.
     """
     th = F.transform(tok, lambda t: F.xxhash64(t))
-    n = F.size(th)
-    a = F.slice(th, 1, n - 2)
-    b = F.slice(th, 2, n - 2)
-    c = F.slice(th, 3, n - 2)
-    zipped = F.zip_with(
-        a,
-        F.zip_with(b, c, lambda x, y: F.xxhash64(x, y)),
-        lambda x, y: F.xxhash64(x, y),
+    sz = F.size(th)
+    m = sz - (n - 1)
+    shifted = [F.slice(th, i + 1, m) for i in range(n)]
+    combined = reduce(
+        lambda acc, nxt: F.zip_with(acc, nxt, lambda x, y: F.xxhash64(x, y)),
+        shifted,
     )
-    arr = F.when(n >= 3, zipped).otherwise(F.array().cast("array<bigint>"))
-    return F.array_distinct(arr)
+    return F.when(sz >= n, combined).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def shingle_hash_array(tok: Column) -> Column:
+    """Distinct 64-bit hashes of word-3-gram shingles (empty if < 3)."""
+    return F.array_distinct(ngram_hash_array(tok, 3))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -249,3 +249,175 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sub_tokens").cast("double") / F.sum("re_tokens"), 6
         ).alias("subtokens_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — 13-gram overlap against a held-out probe
+# set.  The training-data op that keeps eval benchmarks out of the
+# corpus (the reference has no analog; BASELINE north-star extension).
+# ---------------------------------------------------------------------------
+
+N_DECON = 13  # industry-standard decontamination n-gram length
+
+_DECON_TERMS = " || ' ' || ".join(f"tok[i+{j}]" for j in range(N_DECON))
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS tok FROM documents
+), ngr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tok) - {N_DECON - 2}, 1)),
+                i -> {_DECON_TERMS})) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM ngr WHERE doc_id % 20 = 0
+), rest AS (
+  SELECT doc_id, g FROM ngr WHERE doc_id % 20 <> 0
+), hits AS (
+  SELECT r.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit
+  FROM rest r LEFT JOIN bench b USING (g) GROUP BY r.doc_id
+)
+SELECT doc_id, n_grams, n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS contamination
+FROM hits WHERE n_hit > 0
+"""
+
+
+@query(
+    "text_decontaminate",
+    oracle=_DECON_ORACLE,
+    tags=("text", "extension"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing 13-grams with a benchmark probe set
+    (here: every 20th doc by id stands in for the eval suite).
+
+    Scale shape: the probe side of a real decontamination run (MMLU,
+    GSM8K, …) is tiny next to the corpus, so its distinct 13-gram
+    hashes BROADCAST and the corpus is scanned once, map-side — the
+    only shuffle is the per-doc re-aggregation on doc_id.  Grams move
+    as 8-byte xxhash64 combinations (ngram_hash_array), never strings;
+    the oracle runs the string form (equal modulo 2^-64 collisions).
+    """
+    from taipei_bi_etl_spark.queries.dedup import ngram_hash_array
+
+    d = read_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(ngram_hash_array(_tokens(), N_DECON)).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 20 == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    rest = grams.filter(F.col("doc_id") % 20 != 0)
+    return (
+        rest.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_grams"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filtering — within-doc duplicate-n-gram
+# signals (Rae et al. 2021 use duplicate-line/n-gram fractions as
+# quality gates; simplified here to the two n-gram signals).
+# ---------------------------------------------------------------------------
+
+DUP3_MAX = 0.05  # max fraction of repeated 3-gram occurrences
+TOP2_MAX = 0.08  # max share of the single most frequent 2-gram
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS tok FROM documents
+), g3 AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(tok) - 1, 1)),
+                        i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS gs
+  FROM toks
+), dup3 AS (
+  SELECT doc_id,
+         1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) AS dup3_frac
+  FROM g3 WHERE len(gs) > 0
+), g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tok), 1)),
+                i -> tok[i] || ' ' || tok[i+1])) AS g
+  FROM toks
+), cnt AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+), top2 AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top2_frac
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ROUND(dup3_frac, 6) AS dup3_frac,
+       ROUND(top2_frac, 6) AS top2_frac,
+       (dup3_frac <= {DUP3_MAX} AND top2_frac <= {TOP2_MAX}) AS keep
+FROM dup3 d JOIN top2 t ON d.doc_id = t.doc_id
+"""
+
+
+@query(
+    "text_repetition_gopher",
+    oracle=_REPETITION_ORACLE,
+    tags=("text", "extension"),
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality signals: repeated-3-gram occurrence
+    fraction and the most-frequent-2-gram share, with a keep flag.
+
+    Scale shape: dup3_frac is a pure array expression (zero shuffle —
+    1 - distinct/total over the hashed gram array).  top2_frac needs a
+    per-(doc, gram) count, which CANNOT be map-side for unbounded docs
+    without O(len²) per-row work, so it explodes and aggregates twice —
+    groupBy(doc_id, g) then groupBy(doc_id), the second reusing the
+    first's hash-partitioning prefix.  Grams travel as 8-byte hashes.
+    """
+    from taipei_bi_etl_spark.queries.dedup import ngram_hash_array
+
+    d = read_table(spark, sf_dir, "documents")
+    g3 = ngram_hash_array(_tokens(), 3)
+    dup3 = d.select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(g3)).cast("double") / F.size(g3)
+        ).alias("dup3_frac"),
+    ).filter(F.size(g3) > 0)
+    g2 = d.select(
+        "doc_id", F.explode(ngram_hash_array(_tokens(), 2)).alias("g")
+    )
+    top2 = (
+        g2.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top2_frac")
+        )
+    )
+    return dup3.join(top2, "doc_id").select(
+        "doc_id",
+        F.round("dup3_frac", 6).alias("dup3_frac"),
+        F.round("top2_frac", 6).alias("top2_frac"),
+        (
+            (F.col("dup3_frac") <= DUP3_MAX)
+            & (F.col("top2_frac") <= TOP2_MAX)
+        ).alias("keep"),
+    )
