@@ -86,3 +86,24 @@ def test_rank_dedup_partitions_window(spark):
     assert "Window" in plan
     m = re.search(r"partitionBy=\[\]", plan)
     assert m is None, "window has empty partitionBy (global window)"
+
+
+def test_decontaminate_broadcasts_probe_set(spark):
+    """text_decontaminate: the probe-gram side must broadcast — the
+    corpus side is the 100 TB scan and may only shuffle for its own
+    per-doc re-aggregation, never for the membership join."""
+    df = REGISTRY["text_decontaminate"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_repetition_dup3_is_map_side(spark):
+    """text_repetition_gopher: dup3_frac must come from array
+    expressions on the scan side — the only exchanges are the 2-gram
+    count (doc_id, g), its doc_id rollup, and the final join alignment;
+    no exchange may carry the raw gram explosion of the dup3 branch."""
+    df = REGISTRY["text_repetition_gopher"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 3, plan[:3000]
