@@ -110,9 +110,10 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # near-dup pairs on the gated corpus (inverted shingle index, exact)
     toks = surviving.select("doc_id", F.split(F.col("text"), r"\s+").alias("tok"))
+    # no distinct: shingle_hash_array is already array_distinct per doc
     sh = toks.select(
         "doc_id", F.explode(shingle_hash_array(F.col("tok"))).alias("shingle")
-    ).distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -96,14 +96,12 @@ def ngram_jaccard_pairs(
     )
 
     # the inverted index feeds three subtrees (sizes + both join sides);
-    # persist so the explode+distinct shuffle computes once per run
-    sh = (
-        toks.select(
-            "doc_id", F.explode(shingle_hash_array(F.col("tok"))).alias("shingle")
-        )
-        .distinct()
-        .persist()
-    )
+    # persist so the explode computes once per run.  No distinct needed:
+    # shingle_hash_array is array_distinct per doc, so (doc_id, shingle)
+    # is unique by construction — that's one whole index shuffle saved.
+    sh = toks.select(
+        "doc_id", F.explode(shingle_hash_array(F.col("tok"))).alias("shingle")
+    ).persist()
     # cap BEFORE sizes: similarity is then exact Jaccard over the capped
     # shingle universe (stop-shingles excluded from BOTH intersection and
     # union — identical docs stay at 1.0, like stopword removal).
