@@ -421,3 +421,70 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("top2_frac") <= TOP2_MAX)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing — the privacy gate of a training-data
+# pipeline.  Patterns chosen to evaluate identically under Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[+(]?[0-9][0-9()\-\s]{7,}[0-9]"
+PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace emails/phones/IPs with typed placeholder tokens."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IP, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+_PII_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) AS emails,
+         len(regexp_extract_all(text, '{PII_PHONE}')) AS phones,
+         len(regexp_extract_all(text, '{PII_IP}')) AS ips
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(emails) AS BIGINT) AS n_emails,
+       CAST(SUM(phones) AS BIGINT) AS n_phones,
+       CAST(SUM(ips) AS BIGINT) AS n_ips,
+       CAST(SUM(CASE WHEN emails + phones + ips > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii
+FROM per_doc GROUP BY source
+"""
+
+
+@query("text_pii_scan", oracle=_PII_ORACLE, tags=("text", "extension"))
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII inventory (emails / phone numbers / IPv4s).
+
+    Scale shape: pure map-side regexp counting + one rollup shuffle on
+    source.  The companion :func:`pii_scrub` expression rewrites the
+    text column in the same scan for redacted exports — semantics pinned
+    on synthetic PII rows in tests/test_udfs.py (the sf corpus is
+    word-soup, so this rollup's zeros are themselves hash-verified).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("emails"),
+        F.regexp_count("text", F.lit(PII_PHONE)).alias("phones"),
+        F.regexp_count("text", F.lit(PII_IP)).alias("ips"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("emails").alias("n_emails"),
+        F.sum("phones").alias("n_phones"),
+        F.sum("ips").alias("n_ips"),
+        F.sum(
+            ((F.col("emails") + F.col("phones") + F.col("ips")) > 0).cast(
+                "long"
+            )
+        ).alias("docs_with_pii"),
+    )

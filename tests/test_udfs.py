@@ -151,3 +151,41 @@ def test_sql_udfs_match_column_builders(spark):
     for r in df.select(*sel).collect():
         for name, _ in pairs:
             assert r[f"sql_{name}"] == r[f"col_{name}"], (name, dict(r.asDict()))
+
+
+def test_pii_scrub_and_counts(spark):
+    """pii_scrub replaces emails/IPs/phones with typed tokens; the scan
+    counts match, including docs with several PII kinds at once."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.text import (
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+        pii_scrub,
+    )
+
+    rows = [
+        (1, "contact a.smith+x@mail-host.co.uk or b@c.io today"),
+        (2, "server at 10.0.255.7 answered"),
+        (3, "call +1-415-555-0199 or (02) 2345-6789 now"),
+        (4, "mixed: root@box.net from 192.168.0.1 dial 0912345678!"),
+        (5, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        pii_scrub(F.col("text")).alias("scrubbed"),
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("emails"),
+        F.regexp_count("text", F.lit(PII_PHONE)).alias("phones"),
+        F.regexp_count("text", F.lit(PII_IP)).alias("ips"),
+    )
+    got = {r.doc_id: r for r in df.collect()}
+    assert got[1].scrubbed == "contact <EMAIL> or <EMAIL> today"
+    assert (got[1].emails, got[1].phones, got[1].ips) == (2, 0, 0)
+    assert got[2].scrubbed == "server at <IP> answered"
+    assert (got[2].emails, got[2].phones, got[2].ips) == (0, 0, 1)
+    assert got[3].scrubbed == "call <PHONE> or <PHONE> now"
+    assert (got[3].emails, got[3].phones, got[3].ips) == (0, 2, 0)
+    assert got[4].scrubbed == "mixed: <EMAIL> from <IP> dial <PHONE>!"
+    assert (got[4].emails, got[4].phones, got[4].ips) == (1, 1, 1)
+    assert got[5].scrubbed == rows[4][1]
