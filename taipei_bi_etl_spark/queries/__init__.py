@@ -68,4 +68,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     clustering,
     curation,
     pandas_api,
+    packing,
 )
