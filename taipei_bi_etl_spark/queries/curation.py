@@ -251,3 +251,95 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sampled").alias("n_sampled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture rebalancing — deterministic downsampling of
+# over-represented sources to the mean token share (the "data mixing"
+# step of a training pipeline; DoReMi-style weight vectors plug in by
+# replacing the equal-share target).
+# ---------------------------------------------------------------------------
+
+_MIX_MOD = 1_000_000_007
+_MIX_BASE = 31
+_MIX_BUCKETS = 10_000
+
+_MIX_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(string_split_regex(text, '\\s+')) AS n_tokens,
+         ({_poly_sql("text", _MIX_BASE, _MIX_MOD)} % {_MIX_BUCKETS})
+           / {_MIX_BUCKETS}.0 AS u
+  FROM documents
+), totals AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total
+  FROM per_doc GROUP BY source
+), m AS (
+  SELECT AVG(total) AS mean_total FROM totals
+), rates AS (
+  SELECT source, LEAST(1.0, mean_total / total) AS rate FROM totals, m
+)
+SELECT p.source, ROUND(r.rate, 6) AS rate,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS tokens_kept
+FROM per_doc p JOIN rates r USING (source)
+WHERE p.u < r.rate
+GROUP BY p.source, r.rate
+"""
+
+
+@query(
+    "corpus_mix_rebalance",
+    oracle=_MIX_ORACLE,
+    tags=("text", "extension", "sampling"),
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each source to at most the mean per-source token count
+    via a content-addressed keep decision (portable polynomial hash of
+    the text into 10k buckets, keep iff bucket/10k < rate).
+
+    Scale shape: pass 1 is a tiny per-source rollup; the rate table
+    (|sources| rows) BROADCASTS back onto the scan, so membership is
+    decided map-side with no shuffle of content — and, like
+    corpus_hash_split, the sample is stable under repartitioning,
+    re-ingestion, and dedup reordering.  Exact doubles end-to-end:
+    u is a 1e4-denominator rational, rate = mean/total computed from
+    exact long sums, so both engines compare identically.
+    """
+    from taipei_bi_etl_spark.queries.text import _char_array, poly_hash
+
+    d = read_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+        (
+            F.pmod(
+                poly_hash(_char_array(F.col("text")), _MIX_BASE, _MIX_MOD),
+                F.lit(_MIX_BUCKETS),
+            )
+            / F.lit(float(_MIX_BUCKETS))
+        ).alias("u"),
+    )
+    totals = per_doc.groupBy("source").agg(F.sum("n_tokens").alias("total"))
+    mean_total = totals.agg(F.avg("total").alias("mean_total"))
+    rates = totals.crossJoin(F.broadcast(mean_total)).select(
+        "source",
+        F.least(F.lit(1.0), F.col("mean_total") / F.col("total")).alias(
+            "rate"
+        ),
+    )
+    return (
+        per_doc.join(F.broadcast(rates), "source")
+        .filter(F.col("u") < F.col("rate"))
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            F.round("rate", 6).alias("rate"),
+            "n_docs_kept",
+            "tokens_kept",
+        )
+    )
