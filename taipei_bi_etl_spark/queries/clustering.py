@@ -65,6 +65,61 @@ FROM reach GROUP BY node
 """
 
 
+def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Connected components over undirected (a, b) pairs by iterative
+    min-label propagation; returns (node, component_id) for every node
+    that appears in a pair.
+
+    Scale: each round is one join + one agg on the node key (shared
+    hash partitioning); rounds ≤ graph diameter, and dedup similarity
+    graphs are unions of near-cliques (diameter ~2-3), so convergence
+    is a handful of rounds, not O(n).  The per-round count() action is
+    the loop's convergence check — driver sees a scalar only.
+    """
+    edges = pairs.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component_id", F.col("node"))
+        .persist()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst_node"),
+                F.col("dst") == F.col("dst_node"),
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 @query(
     "dedup_components",
     oracle=_CC_ORACLE,
@@ -78,48 +133,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taipei_bi_etl_spark.queries.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).persist()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("component_id", F.col("doc_id"))
-        .persist()
+    labels = min_label_components(pairs, "doc_a", "doc_b")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("component_id").cast("long")
     )
-    while True:
-        neighbor_min = (
-            edges.join(
-                labels.withColumnRenamed("doc_id", "doc_b_id"),
-                F.col("doc_b") == F.col("doc_b_id"),
-            )
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
-                ).alias("component_id"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select("doc_id", F.col("component_id").cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -212,5 +229,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             "rank",
             F.round("sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): k-means cells bound the
+# pair search; exact cosine only within a cell; components; keep the
+# min-id survivor per cluster.
+# ---------------------------------------------------------------------------
+
+SEM_COSINE_T = 0.99
+
+
+@query(
+    "semantic_dedup", oracle=None, tags=("dedup", "similarity", "iterative")
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup at corpus scale: the coarse quantizer turns
+    the O(n²) all-pairs cosine (dedup_embedding_cosine — retained as the
+    exact kernel/oracle) into per-cell joins, so pairwise work is
+    bounded by cell size, exactly like LSH band buckets.  Misses only
+    pairs straddling a cell boundary — near-identical vectors (cosine
+    ≥ 0.99) almost surely share a nearest centroid; the within-cell
+    recall gate lives in tests/test_clustering.py.
+
+    Returns one row per vector: (vec_id, component_id, keep) with
+    keep = "is the canonical min-id member of its duplicate cluster".
+    Rows-only at the driver (k-means is iterative, no ANSI twin).
+    """
+    centroids = _fit_centroids(spark, sf_dir)
+    corpus = _corpus_with_norm(spark, sf_dir)
+    assigned = corpus.withColumn(
+        "cell", _nearest_cells(F.col("emb"), centroids, 1)[0]
+    ).persist()
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= SEM_COSINE_T)
+        .select("vec_a", "vec_b")
+    )
+    comp = min_label_components(pairs, "vec_a", "vec_b").withColumnRenamed(
+        "node", "vec_id"
+    )
+    return (
+        assigned.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component_id", F.col("vec_id"))
+            .cast("long")
+            .alias("component_id"),
+            (
+                F.coalesce("component_id", F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("keep"),
         )
     )

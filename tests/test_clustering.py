@@ -48,3 +48,52 @@ def test_ivf_recall_vs_exact(spark):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+
+
+def test_semantic_dedup_within_cell_complete_and_keeps_canonical(spark):
+    """semantic_dedup must find every exact cosine-0.99 pair that shares
+    a k-means cell (within-cell search is exact), only ever miss
+    cross-cell pairs, and keep exactly the min-id member per cluster."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.clustering import (
+        _fit_centroids,
+        _nearest_cells,
+        semantic_dedup,
+    )
+    from taipei_bi_etl_spark.queries.similarity import (
+        _corpus_with_norm,
+        dedup_embedding_cosine,
+    )
+
+    out = {r.vec_id: r for r in semantic_dedup(spark, SF_DIR).collect()}
+    exact = [
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine(spark, SF_DIR).collect()
+    ]
+    centroids = _fit_centroids(spark, SF_DIR)
+    cells = {
+        r.vec_id: r.cell
+        for r in _corpus_with_norm(spark, SF_DIR)
+        .withColumn("cell", _nearest_cells(F.col("emb"), centroids, 1)[0])
+        .collect()
+    }
+    # every vector labeled exactly once
+    assert set(out) == set(cells)
+    missed_same_cell = [
+        (a, b)
+        for a, b in exact
+        if cells[a] == cells[b]
+        and out[a].component_id != out[b].component_id
+    ]
+    assert not missed_same_cell
+    # on this corpus near-identical vectors co-locate: nothing missed
+    cross_cell = [(a, b) for a, b in exact if cells[a] != cells[b]]
+    assert not cross_cell, f"quantizer split near-dup pairs: {cross_cell}"
+    # keep = min-id member of each component, exactly one per component
+    members: dict[int, list[int]] = {}
+    for v, r in out.items():
+        members.setdefault(r.component_id, []).append(v)
+    for c, ms in members.items():
+        keeps = [v for v in ms if out[v].keep]
+        assert keeps == [min(ms)] and c == min(ms)
