@@ -133,45 +133,11 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # connected components by iterative min-label propagation
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("component_id", F.col("doc_id"))
-        .persist()
+    from taipei_bi_etl_spark.queries.clustering import min_label_components
+
+    labels = min_label_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
     )
-    while True:
-        nbr = (
-            edges.join(
-                labels.withColumnRenamed("doc_id", "nbr_id"),
-                F.col("doc_b") == F.col("nbr_id"),
-            )
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
-                ).alias("component_id"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
 
     # keep docs not in any near-dup cluster, plus each cluster's canonical
     final = surviving.join(labels, "doc_id", "left").filter(
