@@ -175,28 +175,19 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_T}
 """
 
 
-def minhash_lsh_pairs(
-    docs_sh: DataFrame, bucket_cap: int | None = None
-) -> DataFrame:
-    """MinHash(64) → LSH banding (16x4) → in-bucket candidates → exact
-    Jaccard verify at ``JACCARD_T`` over a (doc_id, sh: array<bigint>)
-    frame of hashed shingles.
+def _signatures(docs_sh: DataFrame) -> DataFrame:
+    """64-column MinHash signature per doc from hashed shingles.
 
-    ``bucket_cap`` drops band buckets holding more than K docs (a bucket
-    of n docs emits n² candidate rows; at corpus scale a boilerplate
-    band collapses millions of docs into one bucket).  Dropping a bucket
-    only loses pairs whose OTHER 15 bands also collide-or-overflow, so
-    recall for genuinely rare pairs is preserved — pinned in tests.
+    One real hash per shingle, then N_PERM cheap universal-family
+    permutations h*A_i + B_i — 64x fewer hash evaluations than hashing
+    each shingle N_PERM times.  Flat columnar exprs over the exploded
+    index beat a "zero-shuffle" 64×array_min(transform) formulation
+    (measured ~1.7x slower end-to-end): higher-order lambdas run
+    interpreted and re-traverse the array per permutation, while the
+    explode+groupBy pipeline is whole-stage-codegen with map-side
+    partial mins — the exchange carries one 64-long row per doc per
+    task, negligible against the scan at any scale.
     """
-    # One real hash per shingle, then N_PERM cheap universal-family
-    # permutations h*A_i + B_i — 64x fewer hash evaluations than hashing
-    # each shingle N_PERM times.  Flat columnar exprs over the exploded
-    # index beat a "zero-shuffle" 64×array_min(transform) formulation
-    # (measured ~1.7x slower end-to-end): higher-order lambdas run
-    # interpreted and re-traverse the array per permutation, while the
-    # explode+groupBy pipeline is whole-stage-codegen with map-side
-    # partial mins — the exchange carries one 64-long row per doc per
-    # task, negligible against the scan at any scale.
     import numpy as np
 
     # Universal-hash permutations mod a Mersenne prime: (h*A_i + B_i)
@@ -210,7 +201,7 @@ def minhash_lsh_pairs(
     hashed = docs_sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", F.pmod(F.col("s"), F.lit(P)).alias("h")
     )
-    sig = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min(
                 F.pmod(F.col("h") * F.lit(int(A[i])) + F.lit(int(B[i])), F.lit(P))
@@ -218,7 +209,11 @@ def minhash_lsh_pairs(
             for i in range(N_PERM)
         ]
     )
-    bands = F.array(
+
+
+def _band_structs() -> Column:
+    """Array of (band_id, band_hash) structs over signature columns."""
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -232,7 +227,23 @@ def minhash_lsh_pairs(
             for b in range(N_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
+
+
+def minhash_lsh_pairs(
+    docs_sh: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
+    """MinHash(64) → LSH banding (16x4) → in-bucket candidates → exact
+    Jaccard verify at ``JACCARD_T`` over a (doc_id, sh: array<bigint>)
+    frame of hashed shingles.
+
+    ``bucket_cap`` drops band buckets holding more than K docs (a bucket
+    of n docs emits n² candidate rows; at corpus scale a boilerplate
+    band collapses millions of docs into one bucket).  Dropping a bucket
+    only loses pairs whose OTHER 15 bands also collide-or-overflow, so
+    recall for genuinely rare pairs is preserved — pinned in tests.
+    """
+    sig = _signatures(docs_sh)
+    banded = sig.select("doc_id", F.explode(_band_structs()).alias("band")).select(
         "doc_id", "band.band_id", "band.band_hash"
     )
     if bucket_cap is not None:
@@ -416,3 +427,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — the daily-batch form.  The reference's whole
+# architecture is "process one day, idempotently, against accumulated
+# state" (SURVEY §2.9, tasks/bigquery.py:182-195 cleanup + append);
+# this is that pattern applied to near-dup detection: a persisted band
+# index lets each new batch dedup against 100 TB of history by joining
+# band keys, never re-scanning or re-sketching old documents.
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_index(docs_sh: DataFrame) -> DataFrame:
+    """(band_id, band_hash, doc_id, sh) index rows for a corpus — the
+    persistable state.  In production this is written bucketed by
+    (band_id, band_hash) (scale.write_bucketed) so the incremental join
+    below is shuffle-free on the history side; history is sketched
+    exactly once, on ingest."""
+    sig = _signatures(docs_sh)
+    banded = sig.select("doc_id", F.explode(_band_structs()).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+    return banded.join(docs_sh, "doc_id")
+
+
+def dedup_incremental(
+    new_docs_sh: DataFrame, index: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, jaccard) touching the NEW batch:
+    new-vs-history plus new-vs-new, at the same threshold as the full
+    run.  Guarantee: full_pairs(history ∪ new) = full_pairs(history) ∪
+    dedup_incremental(new, index(history)) — pinned in tests.
+
+    Work is ∝ |new batch| + matched band buckets: history contributes
+    only rows whose band key collides with a new doc (bucketed index →
+    no history shuffle).  ``bucket_cap`` guards degenerate buckets as in
+    :func:`minhash_lsh_pairs`."""
+    new_index = minhash_band_index(new_docs_sh)
+    if bucket_cap is not None:
+        sizes = new_index.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        new_index = new_index.join(
+            sizes.filter(F.col("bn") <= bucket_cap).select("band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+    both = index.unionByName(new_index)
+    a = new_index.alias("a")  # at least one side is new
+    b = both.alias("b")
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.col("a.sh").alias("sha_new"),
+            F.col("b.sh").alias("shb_other"),
+            (F.col("a.doc_id") < F.col("b.doc_id")).alias("a_is_min"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("a_is_min"), F.col("sha_new"))
+            .otherwise(F.col("shb_other"))
+            .alias("sha"),
+            F.when(F.col("a_is_min"), F.col("shb_other"))
+            .otherwise(F.col("sha_new"))
+            .alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = inter.cast("double") / union
+    return cand.withColumn("jaccard", jac).filter(
+        F.col("jaccard") >= JACCARD_T
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))

@@ -141,3 +141,39 @@ def test_simhash_matches_exact_pairs_on_long_docs(spark):
     false_pos = sim - weak
     assert not missed, f"simhash missed long-doc true pairs: {sorted(missed)[:5]}"
     assert not false_pos, f"simhash false positives: {sorted(false_pos)[:5]}"
+
+
+def test_incremental_dedup_equals_full_rerun(spark):
+    """Daily-batch contract: pairs(full corpus) must equal pairs(old)
+    ∪ incremental(new batch vs old index) — nothing missed, nothing
+    invented, identical jaccard values."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.dedup import (
+        _doc_shingle_hashes,
+        dedup_incremental,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+
+    docs_sh = _doc_shingle_hashes(spark, SF_DIR).persist()
+    # split by content hash: ~80% "history", ~20% "today's batch"
+    old = docs_sh.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) != 0).persist()
+    new = docs_sh.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0).persist()
+    assert 0 < new.count() < docs_sh.count()
+
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs_sh).collect()
+    }
+    old_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(old).collect()
+    }
+    inc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_incremental(new, minhash_band_index(old)).collect()
+    }
+    assert set(old_pairs) & set(inc) == set()
+    merged = {**old_pairs, **inc}
+    assert merged == full
