@@ -5,11 +5,13 @@ step 8; BASELINE north star).
 
 Scale shape shared by both operators:
 
-* Sketches (64-perm MinHash signature / 60-bit SimHash fingerprint) are
-  computed **map-side with zero shuffle** — pure array expressions over
-  the shingle array, fully inside whole-stage codegen.
+* Sketches (64-perm MinHash signature / 60-bit SimHash fingerprint)
+  cost O(shingles) per doc; their aggregation is map-side partial
+  min/sum, so the exchange carries one signature-width row per doc per
+  task — never the shingles (see _signatures for why this beats a
+  literally zero-shuffle higher-order-function formulation).
 * Candidate generation shuffles only on **bounded sketch keys** (band
-  hash / 8-bit fingerprint block), never on raw content; pairwise work
+  hash / 4-bit fingerprint block), never on raw content; pairwise work
   happens strictly inside a bucket.
 * Exact verification (Jaccard / Hamming) runs only on candidate pairs.
 
