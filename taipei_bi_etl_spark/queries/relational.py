@@ -408,6 +408,27 @@ def percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "percentile_rollup_approx", oracle=None, tags=("W4", "scale", "extension")
+)
+def percentile_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of percentile_rollup: percentile_approx's
+    mergeable GK sketch replaces the exact sort-based aggregate — same
+    plan shape (one grouped shuffle, partial+final), but executor memory
+    is bounded by the sketch (accuracy parameter), not the group size.
+    Rows-only at the driver (approx has no deterministic ANSI twin);
+    tests/test_queries_vs_oracle.py gates it against the exact rollup.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    acc = 10_000  # rank error <= n/acc per group
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.25, acc).alias("p25"),
+        F.percentile_approx("o_totalprice", 0.50, acc).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.75, acc).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A7/A8 — dedup via DISTINCT / group-by-all-columns
 # (sql/mango_user_rfe_daily_session.sql:1-32).
