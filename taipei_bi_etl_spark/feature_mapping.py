@@ -10,12 +10,19 @@ cascade is a single `when` chain — all whole-stage-codegen'd, no Python
 in the hot path.  At 100 TB this is the difference between a JS/Python
 row loop and vectorized JVM evaluation.
 
+The rule-sets are written once against an abstract backend and compiled
+twice: `feature_mapping()` emits the Spark Column tree, and
+`feature_mapping_sql()` emits the equivalent ANSI/DuckDB SQL expressions
+— which is how the end-to-end telemetry query gets an exact cross-engine
+oracle (the reference's own tests never verify the JS rules' output at
+all; integration tests only assert non-emptiness, SURVEY §5).
+
 Inputs are assumed lowercased and null-coalesced to '' by the upstream
 cleanup stage (`sql/mango_events_feature_mapping.sql:34-46`); callers can
 use :func:`normalized` to apply that contract.
 
-Fidelity is property-tested against an independent Python transcription
-of the JS in tests/test_feature_mapping.py.
+Fidelity is additionally property-tested against an independent Python
+transcription of the JS in tests/test_feature_mapping.py.
 """
 
 from __future__ import annotations
@@ -35,180 +42,266 @@ def normalized(col: Column) -> Column:
     return F.coalesce(F.lower(col), F.lit(""))
 
 
-def _rule(cond: Column, *items) -> Column:
-    """One JS ``if (...) feature.push(...)`` block → conditional array."""
-    return F.when(
-        cond, F.array(*[i if isinstance(i, Column) else F.lit(i) for i in items])
-    ).otherwise(F.array().cast("array<string>"))
+# ---------------------------------------------------------------------------
+# Rule-compilation backends.  Conditions are built with the operators the
+# pyspark Column API already defines (==, !=, &, |, ~, .isin, .contains),
+# so the same rule functions run against real Columns (Spark backend) or
+# against the tiny SQL term algebra below (oracle backend).
+# ---------------------------------------------------------------------------
 
 
-def _cat(*parts) -> Column:
-    return F.concat(*[p if isinstance(p, Column) else F.lit(p) for p in parts])
+class _SparkBackend:
+    """Compile rules to Catalyst Column expressions (the engine path)."""
+
+    @staticmethod
+    def rule(cond, *items) -> Column:
+        """One JS ``if (...) feature.push(...)`` block → conditional array."""
+        return F.when(
+            cond,
+            F.array(*[i if isinstance(i, Column) else F.lit(i) for i in items]),
+        ).otherwise(F.array().cast("array<string>"))
+
+    @staticmethod
+    def cat(*parts) -> Column:
+        return F.concat(*[p if isinstance(p, Column) else F.lit(p) for p in parts])
+
+    @staticmethod
+    def flat(rules) -> Column:
+        return F.flatten(F.array(*rules))
 
 
-def _browser(m, o, v, ek, ev, vert, se) -> Column:
+def _q(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
+class _SqlExpr:
+    """A boolean/string SQL fragment."""
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __and__(self, other: "_SqlExpr") -> "_SqlExpr":
+        return _SqlExpr(f"({self.s} AND {other.s})")
+
+    def __or__(self, other: "_SqlExpr") -> "_SqlExpr":
+        return _SqlExpr(f"({self.s} OR {other.s})")
+
+    def __invert__(self) -> "_SqlExpr":
+        return _SqlExpr(f"(NOT {self.s})")
+
+
+class _SqlCol:
+    """A column term supporting the Column operator subset the rules use."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __eq__(self, other):  # type: ignore[override]
+        return _SqlExpr(f"({self.name} = {_q(other)})")
+
+    def __ne__(self, other):  # type: ignore[override]
+        return _SqlExpr(f"({self.name} <> {_q(other)})")
+
+    def isin(self, *vals) -> _SqlExpr:
+        flat = vals[0] if len(vals) == 1 and isinstance(vals[0], (list, tuple)) else vals
+        return _SqlExpr(f"({self.name} IN ({', '.join(_q(v) for v in flat)}))")
+
+    def contains(self, sub: str) -> _SqlExpr:
+        return _SqlExpr(f"contains({self.name}, {_q(sub)})")
+
+
+class _SqlBackend:
+    """Compile the same rules to DuckDB SQL (the oracle path)."""
+
+    @staticmethod
+    def rule(cond: _SqlExpr, *items) -> str:
+        lst = ", ".join(i.s if isinstance(i, _SqlExpr) else _q(i) for i in items)
+        return f"CASE WHEN {cond.s} THEN [{lst}] ELSE CAST([] AS VARCHAR[]) END"
+
+    @staticmethod
+    def cat(*parts) -> _SqlExpr:
+        return _SqlExpr(
+            "(" + " || ".join(
+                p.name if isinstance(p, _SqlCol)
+                else p.s if isinstance(p, _SqlExpr)
+                else _q(p)
+                for p in parts
+            ) + ")"
+        )
+
+    @staticmethod
+    def flat(rules) -> str:
+        return "flatten([" + ", ".join(rules) + "])"
+
+
+# ---------------------------------------------------------------------------
+# The rule-sets (verbatim ports of the five JS verticals).
+# ---------------------------------------------------------------------------
+
+
+def _browser(B, m, o, v, ek, ev, vert, se):
     """do_browser — udf_js/feature_mapping.sql:30-404."""
     partner = ev.isin(PARTNER_LIST)
     rules = [
-        _rule((m == "add") & (o == "tab") & v.isin("toolbar", "tab_tray"), "feature: add_tab"),
-        _rule((m == "change") & (o == "tab"), "feature: change_tab"),
-        _rule((m == "click") & (o == "close_all") & (v == "tab_tray"), "feature: close_all_tab"),
-        _rule(m.isin("remove", "swipe") & (o == "tab") & (v == "tab_tray"), "feature: remove_tab"),
-        _rule(v == "block_image", "feature: change_block_image"),
-        _rule((m != "share") & (v == "bookmark"), "feature: bookmark"),
-        _rule(
+        B.rule((m == "add") & (o == "tab") & v.isin("toolbar", "tab_tray"), "feature: add_tab"),
+        B.rule((m == "change") & (o == "tab"), "feature: change_tab"),
+        B.rule((m == "click") & (o == "close_all") & (v == "tab_tray"), "feature: close_all_tab"),
+        B.rule(m.isin("remove", "swipe") & (o == "tab") & (v == "tab_tray"), "feature: remove_tab"),
+        B.rule(v == "block_image", "feature: change_block_image"),
+        B.rule((m != "share") & (v == "bookmark"), "feature: bookmark"),
+        B.rule(
             (m.isin("click", "show") & (v == "history"))
             | ((m == "open") & (o == "panel") & (v == "link")),
             "feature: visit_history",
         ),
-        _rule(
+        B.rule(
             ((m == "clear") & (o == "panel") & (v == "history"))
             | ((m == "remove") & (o == "panel") & (v == "link")),
             "feature: clean_history",
         ),
-        _rule(v == "clear_cache", "feature: clear_cache"),
-        _rule(
+        B.rule(v == "clear_cache", "feature: clear_cache"),
+        B.rule(
             (m.isin("change", "click") & (o == "default_browser"))
             | (m.isin("change", "click") & v.contains("default_browser")),
             "feature: change_default_browser",
         ),
-        _rule(
+        B.rule(
             m.isin("click", "change") & v.contains("save_downloads_to"),
             "feature: settings_change_download_location",
         ),
-        _rule(v.contains("clear_browsing_data"), "feature: settings_clear_browsing_data"),
-        _rule(v == "pref_locale", "feature: settings_change_locale"),
-        _rule((o == "setting") & (v == "telemetry"), "feature: settings_change_collection_telemetry"),
-        _rule((m == "click") & (o == "menu") & (v == "settings"), "feature: visit_settings"),
-        _rule(
+        B.rule(v.contains("clear_browsing_data"), "feature: settings_clear_browsing_data"),
+        B.rule(v == "pref_locale", "feature: settings_change_locale"),
+        B.rule((o == "setting") & (v == "telemetry"), "feature: settings_change_collection_telemetry"),
+        B.rule((m == "click") & (o == "menu") & (v == "settings"), "feature: visit_settings"),
+        B.rule(
             (v == "download") | ((m == "open") & (o == "panel") & (v == "file")),
             "feature: visit_download",
         ),
-        _rule(m.isin("remove", "delete") & (o == "panel") & (v == "file"), "feature: clean_download_file"),
-        _rule((m == "click") & (o == "menu") & (v == "exit"), "feature: exit"),
-        _rule((m == "click") & ((o == "feedback") | v.contains("feedback")), "feature: give_feedback"),
-        _rule((o == "find_in_page") | (v == "find_in_page"), "feature: find_in_page"),
-        _rule(v == "forward", "feature: forward_page"),
-        _rule(v == "fullscreen", "feature: fullscreen"),
-        _rule(o == "landscape_mode", "feature: landscape_mode"),
-        _rule((m == "open") & (o == "home") & (v == "link"), "feature: visit_topsite"),
-        _rule(
+        B.rule(m.isin("remove", "delete") & (o == "panel") & (v == "file"), "feature: clean_download_file"),
+        B.rule((m == "click") & (o == "menu") & (v == "exit"), "feature: exit"),
+        B.rule((m == "click") & ((o == "feedback") | v.contains("feedback")), "feature: give_feedback"),
+        B.rule((o == "find_in_page") | (v == "find_in_page"), "feature: find_in_page"),
+        B.rule(v == "forward", "feature: forward_page"),
+        B.rule(v == "fullscreen", "feature: fullscreen"),
+        B.rule(o == "landscape_mode", "feature: landscape_mode"),
+        B.rule((m == "open") & (o == "home") & (v == "link"), "feature: visit_topsite"),
+        B.rule(
             (m == "open") & (o == "home") & (v == "link") & (ek == "source") & partner,
-            _cat("visit_topsite_source: ", ev),
+            B.cat("visit_topsite_source: ", ev),
             "visit_topsite_partner: true",
         ),
-        _rule((m == "remove") & (o == "home") & (v == "link"), "feature: remove_topsite"),
-        _rule((m == "change") & v.contains("night_mode"), "feature: change_night_mode"),
-        _rule(m == "pin_shortcut", "feature: pin_shortcut"),
-        _rule(
+        B.rule((m == "remove") & (o == "home") & (v == "link"), "feature: remove_topsite"),
+        B.rule((m == "change") & v.contains("night_mode"), "feature: change_night_mode"),
+        B.rule(m == "pin_shortcut", "feature: pin_shortcut"),
+        B.rule(
             ((m != "show") & o.contains("private_"))
             | (~m.isin("show", "launch") & v.contains("private_")),
             "feature: private_mode",
         ),
-        _rule(v == "reload_page", "feature: reload_page"),
-        _rule((m != "share") & ((o == "capture") | (v == "capture")), "feature: screenshot"),
-        _rule(
+        B.rule(v == "reload_page", "feature: reload_page"),
+        B.rule((m != "share") & ((o == "capture") | (v == "capture")), "feature: screenshot"),
+        B.rule(
             (o == "browser_contextmenu") | ((m == "long_press") & (o == "browser")),
             "feature: browse",
         ),
-        _rule(
+        B.rule(
             (m.isin("show", "cancel", "clear") & (o == "search_bar") & (v != "content_home"))
             | ((m == "long_press") & (o == "search_suggestion")),
             "feature: pre_search",
         ),
-        _rule(
+        B.rule(
             (m.isin("type_query", "select_query") & (o == "search_bar"))
             | ((m == "click") & (o == "quicksearch"))
             | ((m == "open") & (o == "search_bar") & (v == "link")),
             "feature: search",
         ),
-        _rule(
+        B.rule(
             m.isin("type_query", "select_query") & (o == "search_bar") & se.isin("google", ""),
             "search_source: google",
             "search_feed: google",
             "search_partner: true",
         ),
-        _rule(m.isin("type_query", "select_query") & (o == "search_bar"), "tags: keyword_search"),
-        _rule((m == "click") & (o == "quicksearch"), "tags: quicksearch"),
-        _rule(
+        B.rule(m.isin("type_query", "select_query") & (o == "search_bar"), "tags: keyword_search"),
+        B.rule((m == "click") & (o == "quicksearch"), "tags: quicksearch"),
+        B.rule(
             (m == "click") & (o == "quicksearch") & (ek == "engine") & partner,
-            _cat("quicksearch_source: ", ev),
+            B.cat("quicksearch_source: ", ev),
             "quicksearch_partner: true",
         ),
-        _rule((m == "open") & (o == "search_bar") & (ek == "link"), "tags: url_search"),
-        _rule(
+        B.rule((m == "open") & (o == "search_bar") & (ek == "link"), "tags: url_search"),
+        B.rule(
             m.isin("change", "click") & (o == "setting") & (v == "search_engine"),
             "feature: settings_change_search_engine",
         ),
-        _rule(
+        B.rule(
             (m == "share") | ((o == "setting") & v.contains("share_with_friends")),
             "feature: share",
         ),
-        _rule(o == "themetoy", "feature: themetoy"),
-        _rule((m == "change") & v.contains("turbo"), "feature: change_turbo_mode"),
-        _rule(
+        B.rule(o == "themetoy", "feature: themetoy"),
+        B.rule((m == "change") & v.contains("turbo"), "feature: change_turbo_mode"),
+        B.rule(
             ((m == "click") & o.contains("vpn") & (v == "positive"))
             | ((m == "click") & v.contains("vpn")),
             "feature: vpn",
         ),
-        _rule((m == "click") & (o == "setting") & (v == "learn_more"), "feature: settings_learn_more"),
-        _rule((m == "launch") & (o == "app"), "feature: launch_app"),
-        _rule((m == "launch") & (o == "app") & (v == "external_app"), "tags: launch_app_from_external"),
-        _rule((m == "launch") & (o == "app") & (v == "launcher"), "tags: launch_app_from_launcher"),
-        _rule(
+        B.rule((m == "click") & (o == "setting") & (v == "learn_more"), "feature: settings_learn_more"),
+        B.rule((m == "launch") & (o == "app"), "feature: launch_app"),
+        B.rule((m == "launch") & (o == "app") & (v == "external_app"), "tags: launch_app_from_external"),
+        B.rule((m == "launch") & (o == "app") & (v == "launcher"), "tags: launch_app_from_launcher"),
+        B.rule(
             (m == "launch") & (o == "app") & v.isin("shortcut", "private_mode", "game_shortcut"),
             "tags: launch_app_from_shortcut",
         ),
-        _rule(vert == "all", "tags: browser_vertical"),
+        B.rule(vert == "all", "tags: browser_vertical"),
     ]
-    return F.flatten(F.array(*rules))
+    return B.flat(rules)
 
 
 _CONTENT_TAB_KEYS = ["feed", "source", "category", "component_id", "subcategory_id"]
 
 
-def _content_vertical_rules(m, o, v, ek, ev, vert, name: str) -> list[Column]:
+def _content_vertical_rules(B, m, o, v, ek, ev, vert, name: str) -> list:
     """Shared content_hub/category/content_tab rule block, parameterized by
     vertical name (shopping/lifestyle/game/travel share it verbatim:
     udf_js/feature_mapping.sql:534-577, 674-717, 774-817, 839-882)."""
     partner = ev.isin(PARTNER_LIST)
     return [
-        _rule((o == "content_hub") & (vert == name), f"feature: visit_{name}_content_hub"),
-        _rule((m == "open") & (o == "category") & (vert == name), f"feature: open_category_{name}"),
-        _rule(
+        B.rule((o == "content_hub") & (vert == name), f"feature: visit_{name}_content_hub"),
+        B.rule((m == "open") & (o == "category") & (vert == name), f"feature: open_category_{name}"),
+        B.rule(
             (m == "open") & (o == "category") & (vert == name) & (ek == "category"),
-            _cat(f"tags: open_category_{name}_", ev),
+            B.cat(f"tags: open_category_{name}_", ev),
         ),
-        _rule((o == "content_tab") & (vert == name), f"feature: visit_{name}_content_tab"),
-        _rule(
+        B.rule((o == "content_tab") & (vert == name), f"feature: visit_{name}_content_tab"),
+        B.rule(
             (o == "content_tab") & (vert == name) & ek.isin(_CONTENT_TAB_KEYS),
-            _cat(f"visit_{name}_content_tab_", ek, ": ", ev),
+            B.cat(f"visit_{name}_content_tab_", ek, ": ", ev),
         ),
-        _rule(
+        B.rule(
             (o == "content_tab") & (vert == name) & (ek == "source") & partner,
             f"visit_{name}_content_tab_partner: true",
         ),
     ]
 
 
-def _toolbar_rules(m, o, v, ek, ev, vert, name: str) -> list[Column]:
+def _toolbar_rules(B, m, o, v, ek, ev, vert, name: str) -> list:
     """Shared content-tab toolbar block (udf_js/feature_mapping.sql:579-612
     et al).  NB the 'tags: {name}_toolbar_' rule concatenates EXTRA_VALUE,
     not event_value — faithful to the reference (line 592)."""
     partner = ev.isin(PARTNER_LIST)
     return [
-        _rule((m == "click") & (o == "toolbar") & (vert == name), f"feature: {name}_toolbar"),
-        _rule(
+        B.rule((m == "click") & (o == "toolbar") & (vert == name), f"feature: {name}_toolbar"),
+        B.rule(
             (m == "click") & (o == "toolbar")
             & v.isin("share", "reload", "back", "close") & (vert == name),
-            _cat(f"tags: {name}_toolbar_", ev),
+            B.cat(f"tags: {name}_toolbar_", ev),
         ),
-        _rule(
+        B.rule(
             (m == "click") & (o == "toolbar") & (v == "share") & (vert == name)
             & ek.isin(_CONTENT_TAB_KEYS),
-            _cat(f"{name}_toolbar_share_", ek, ": ", ev),
+            B.cat(f"{name}_toolbar_share_", ek, ": ", ev),
         ),
-        _rule(
+        B.rule(
             (m == "click") & (o == "toolbar") & (v == "share") & (vert == name)
             & (ek == "source") & partner,
             f"{name}_toolbar_share_partner: true",
@@ -216,154 +309,162 @@ def _toolbar_rules(m, o, v, ek, ev, vert, name: str) -> list[Column]:
     ]
 
 
-def _shopping(m, o, v, ek, ev, vert, se) -> Column:
+def _shopping(B, m, o, v, ek, ev, vert, se):
     """do_shopping — udf_js/feature_mapping.sql:409-625."""
     partner = ev.isin(PARTNER_LIST)
     rules = [
-        _rule(v == "lifefeed_ec", "feature: lifefeed", "category: e_ticket"),
-        _rule(
+        B.rule(v == "lifefeed_ec", "feature: lifefeed", "category: e_ticket"),
+        B.rule(
             (m == "click") & (v == "lifefeed_ec") & (ek == "category"),
             "component_type_id: 9",
-            _cat("tags: ", ev),
+            B.cat("tags: ", ev),
         ),
-        _rule(
+        B.rule(
             (m == "click") & (v == "lifefeed_ec") & (ek == "source"),
             "component_type_id: 9",
-            _cat("lifefeed_ec_feed: ", ev),
-            _cat("lifefeed_ec_source: ", ev),
+            B.cat("lifefeed_ec_feed: ", ev),
+            B.cat("lifefeed_ec_source: ", ev),
         ),
-        _rule(
+        B.rule(
             (m == "click") & (v == "lifefeed_ec") & (ek == "source") & partner,
             "lifefeed_ec_partner: true",
         ),
-        _rule(v == "lifefeed_promo", "feature: lifefeed", "category: coupon"),
-        _rule(
+        B.rule(v == "lifefeed_promo", "feature: lifefeed", "category: coupon"),
+        B.rule(
             (m == "click") & (v == "lifefeed_promo") & (ek == "feed") & (ev == "list"),
             "component_type_id: 7",
         ),
-        _rule(
+        B.rule(
             (m == "click") & (v == "lifefeed_promo") & (ek == "feed") & (ev == "banner"),
             "component_type_id: 6",
         ),
-        _rule(
+        B.rule(
             (m == "click") & (v == "lifefeed_promo") & (ek == "source"),
-            _cat("lifefeed_promo_feed: ", ev),
-            _cat("lifefeed_promo_source: ", ev),
+            B.cat("lifefeed_promo_feed: ", ev),
+            B.cat("lifefeed_promo_source: ", ev),
         ),
-        _rule((m == "click") & (v == "lifefeed_promo") & (ek == "subcategory"), _cat("tags: ", ev)),
-        _rule(
+        B.rule((m == "click") & (v == "lifefeed_promo") & (ek == "subcategory"), B.cat("tags: ", ev)),
+        B.rule(
             (m == "click") & (v == "lifefeed_promo") & (ek == "source") & partner,
             "lifefeed_promo_partner: true",
         ),
-        _rule(
+        B.rule(
             m.isin("click", "start", "end", "clear")
             & (v.contains("tab_swipe") | (o == "tab_swipe"))
             & (vert == "shopping"),
             "feature: tab_swipe",
         ),
-        _rule((m == "end") & (o == "tab_swipe") & (ek == "feed"), _cat("tab_swipe_feed: ", ev)),
-        _rule((m == "end") & (o == "tab_swipe") & (ek == "source"), _cat("tab_swipe_source: ", ev)),
-        _rule(
+        B.rule((m == "end") & (o == "tab_swipe") & (ek == "feed"), B.cat("tab_swipe_feed: ", ev)),
+        B.rule((m == "end") & (o == "tab_swipe") & (ek == "source"), B.cat("tab_swipe_source: ", ev)),
+        B.rule(
             (m == "end") & (o == "tab_swipe") & (ek == "source") & partner,
             "tab_swipe_partner: true",
         ),
-        _rule(
+        B.rule(
             (m == "change") & (o == "setting") & (v == "tab_swipe"),
             "tags: change_tab_swipe_settings",
         ),
-        *_content_vertical_rules(m, o, v, ek, ev, vert, "shopping"),
-        *_toolbar_rules(m, o, v, ek, ev, vert, "shopping"),
-        _rule(vert == "shopping", "tags: shopping_vertical"),
+        *_content_vertical_rules(B, m, o, v, ek, ev, vert, "shopping"),
+        *_toolbar_rules(B, m, o, v, ek, ev, vert, "shopping"),
+        B.rule(vert == "shopping", "tags: shopping_vertical"),
     ]
-    return F.flatten(F.array(*rules))
+    return B.flat(rules)
 
 
-def _lifestyle(m, o, v, ek, ev, vert, se) -> Column:
+def _lifestyle(B, m, o, v, ek, ev, vert, se):
     """do_lifestyle — udf_js/feature_mapping.sql:629-765."""
     partner = ev.isin(PARTNER_LIST)
     rules = [
-        _rule(v == "lifefeed_news", "feature: lifefeed_news"),
-        _rule((m == "open") & (v == "lifefeed_news") & (ek == "category"), _cat("category: ", ev)),
-        _rule(
+        B.rule(v == "lifefeed_news", "feature: lifefeed_news"),
+        B.rule((m == "open") & (v == "lifefeed_news") & (ek == "category"), B.cat("category: ", ev)),
+        B.rule(
             (m == "click") & (o == "panel") & (v == "lifefeed_news") & (ek == "feed"),
             "component_type_id: 7",
-            _cat("lifefeed_news_feed: ", ev),
+            B.cat("lifefeed_news_feed: ", ev),
         ),
-        _rule(
+        B.rule(
             (m == "click") & (o == "panel") & (v == "lifefeed_news") & (ek == "source"),
             "component_type_id: 7",
-            _cat("lifefeed_news_source: ", ev),
+            B.cat("lifefeed_news_source: ", ev),
         ),
-        _rule(
+        B.rule(
             (m == "click") & (o == "panel") & (v == "lifefeed_news") & (ek == "feed") & partner,
             "lifefeed_news_partner: true",
         ),
-        *_content_vertical_rules(m, o, v, ek, ev, vert, "lifestyle"),
-        *_toolbar_rules(m, o, v, ek, ev, vert, "lifestyle"),
-        _rule(vert == "lifestyle", "tags: lifestyle_vertical"),
+        *_content_vertical_rules(B, m, o, v, ek, ev, vert, "lifestyle"),
+        *_toolbar_rules(B, m, o, v, ek, ev, vert, "lifestyle"),
+        B.rule(vert == "lifestyle", "tags: lifestyle_vertical"),
     ]
-    return F.flatten(F.array(*rules))
+    return B.flat(rules)
 
 
-def _game(m, o, v, ek, ev, vert, se) -> Column:
+def _game(B, m, o, v, ek, ev, vert, se):
     """do_game — udf_js/feature_mapping.sql:769-830."""
     rules = [
-        *_content_vertical_rules(m, o, v, ek, ev, vert, "game"),
-        _rule(vert == "game", "tags: game_vertical"),
+        *_content_vertical_rules(B, m, o, v, ek, ev, vert, "game"),
+        B.rule(vert == "game", "tags: game_vertical"),
     ]
-    return F.flatten(F.array(*rules))
+    return B.flat(rules)
 
 
-def _travel(m, o, v, ek, ev, vert, se) -> Column:
+def _travel(B, m, o, v, ek, ev, vert, se):
     """do_travel — udf_js/feature_mapping.sql:834-1009."""
-    partner = ev.isin(PARTNER_LIST)
     rules = [
-        *_content_vertical_rules(m, o, v, ek, ev, vert, "travel"),
-        _rule(
+        *_content_vertical_rules(B, m, o, v, ek, ev, vert, "travel"),
+        B.rule(
             (m == "show") & (o == "search_bar") & (v == "content_home") & (vert == "travel"),
             "feature: travel_pre_search",
         ),
-        _rule(
+        B.rule(
             (m == "select_query") & (o == "search_bar") & (v == "content_home") & (vert == "travel"),
             "feature: travel_search",
         ),
-        _rule(
+        B.rule(
             (m == "select_query") & (o == "search_bar") & (v == "content_home")
             & (vert == "travel") & (ek == "source"),
-            _cat("travel_search_source: ", ev),
+            B.cat("travel_search_source: ", ev),
         ),
-        _rule(
+        B.rule(
             (m == "click") & (o == "content_home") & (v == "item") & (vert == "travel"),
             "feature: travel_visit_home_item",
         ),
-        _rule(
+        B.rule(
             (m == "click") & (o == "content_home") & (v == "item") & (vert == "travel")
             & ek.isin("category", "item_name", "item_id"),
-            _cat("travel_visit_home_item_", ek, ": ", ev),
+            B.cat("travel_visit_home_item_", ek, ": ", ev),
         ),
-        _rule(
+        B.rule(
             (m == "open") & (o == "detail_page") & (v == "more") & (vert == "travel"),
             "feature: travel_open_home_more",
         ),
-        _rule(
+        B.rule(
             (m == "open") & (o == "detail_page") & (v == "more") & (vert == "travel")
             & ek.isin("category", "subcategory_id", "item_name", "item_id"),
-            _cat("travel_open_home_more_", ek, ": ", ev),
+            B.cat("travel_open_home_more_", ek, ": ", ev),
         ),
-        *_toolbar_rules(m, o, v, ek, ev, vert, "travel"),
-        _rule(
+        *_toolbar_rules(B, m, o, v, ek, ev, vert, "travel"),
+        B.rule(
             (m == "change") & (o == "setting") & v.isin("detail_page", "content_home")
             & (vert == "travel"),
             "feature: change_travel_settings",
         ),
-        _rule(
+        B.rule(
             (m == "change") & (o == "setting") & v.isin("detail_page", "content_home")
             & (vert == "travel") & (ek == "action"),
-            _cat("tags: change_travel_settings_", ev),
+            B.cat("tags: change_travel_settings_", ev),
         ),
-        _rule(vert == "travel", "tags: travel_vertical"),
+        B.rule(vert == "travel", "tags: travel_vertical"),
     ]
-    return F.flatten(F.array(*rules))
+    return B.flat(rules)
+
+
+_VERTICALS = (
+    ("Browser", _browser),
+    ("Shopping", _shopping),
+    ("Lifestyle", _lifestyle),
+    ("Game", _game),
+    ("Travel", _travel),
+)
 
 
 def feature_mapping(
@@ -395,12 +496,31 @@ def feature_mapping(
             F.lit(app).alias("app"),
         )
 
-    b, s, l, g, t = (fn(*args) for fn in (_browser, _shopping, _lifestyle, _game, _travel))
-    return (
-        F.when(F.size(b) > 0, pack(b, "Browser", "App"))
-        .when(F.size(s) > 0, pack(s, "Shopping", "App"))
-        .when(F.size(l) > 0, pack(l, "Lifestyle", "App"))
-        .when(F.size(g) > 0, pack(g, "Game", "App"))
-        .when(F.size(t) > 0, pack(t, "Travel", "App"))
-        .otherwise(pack(F.array(F.lit("feature: others")), "Others", "Others"))
+    lists = [fn(_SparkBackend, *args) for _, fn in _VERTICALS]
+    out = None
+    for (name, _), lst in zip(_VERTICALS, lists):
+        branch = (F.size(lst) > 0, pack(lst, name, "App"))
+        out = F.when(*branch) if out is None else out.when(*branch)
+    return out.otherwise(pack(F.array(F.lit("feature: others")), "Others", "Others"))
+
+
+def feature_mapping_sql(
+    event_method: str = "event_method",
+    event_object: str = "event_object",
+    event_value: str = "event_value",
+    extra_key: str = "extra_key",
+    extra_value: str = "extra_value",
+    event_vertical: str = "event_vertical",
+    settings_search_engine: str = "settings_search_engine",
+) -> dict[str, str]:
+    """Compile the SAME rule-sets to DuckDB SQL: one VARCHAR[] expression
+    per vertical, keyed by cascade vertical label ('Browser', …).  Used to
+    build the exact cross-engine oracle for the telemetry chain."""
+    cols = tuple(
+        _SqlCol(x)
+        for x in (
+            event_method, event_object, event_value,
+            extra_key, extra_value, event_vertical, settings_search_engine,
+        )
     )
+    return {name: fn(_SqlBackend, *cols) for name, fn in _VERTICALS}

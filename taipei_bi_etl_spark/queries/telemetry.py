@@ -19,17 +19,84 @@ from taipei_bi_etl_spark.queries import query
 
 # ---------------------------------------------------------------------------
 # D1-D4 + U1 — the full reference telemetry chain (mango_events →
-# unnested → feature_mapping fan-out).  Non-SQL-expressible in DuckDB
-# (the 150-rule D4 engine), so registered rows-only; rule fidelity is
-# property-tested in tests/test_feature_mapping.py instead.
+# unnested → feature_mapping fan-out).  The 150-rule D4 cascade is
+# compiled to DuckDB SQL by the SAME rule table that builds the Spark
+# plan (feature_mapping.feature_mapping_sql), so the end-to-end chain is
+# exact-oracle-checked — including the JSON ping parse round-trip, which
+# the oracle skips by computing the synthesized fields directly (the
+# payload is deterministic modular arithmetic over event_id).
 # ---------------------------------------------------------------------------
 
 
-@query("telemetry_feature_fanout", oracle=None, tags=("D1", "D2", "D3", "D4", "U1", "J8"))
+def _fanout_oracle() -> str:
+    from taipei_bi_etl_spark.feature_mapping import feature_mapping_sql
+    from taipei_bi_etl_spark.plans import telemetry_pipeline as tp
+
+    def pick(vocab: list[str], salt: int) -> str:
+        lst = "[" + ", ".join(f"'{x}'" for x in vocab) + "]"
+        return f"({lst})[((event_id + {salt}) % {len(vocab)}) + 1]"
+
+    fm = feature_mapping_sql()
+    lists = ", ".join(
+        f"{sql} AS l_{name.lower()}" for name, sql in fm.items()
+    )
+    nonempty = {name: f"len(l_{name.lower()}) > 0" for name in fm}
+    cascade = " ".join(f"WHEN {c} THEN l_{n.lower()}" for n, c in nonempty.items())
+    vert_case = " ".join(f"WHEN {c} THEN '{n}'" for n, c in nonempty.items())
+    any_match = " OR ".join(nonempty.values())
+    return f"""
+WITH base AS (
+  SELECT user_id AS client_id,
+         CAST(ts AS DATE) AS submission_date,
+         {pick(tp._METHODS, 1)} AS event_method,
+         {pick(tp._OBJECTS, 3)} AS event_object,
+         {pick(tp._VALUES, 5)} AS event_value,
+         {pick(tp._VERTICALS, 7)} AS event_vertical,
+         {pick(tp._SOURCES, 11)} AS src,
+         'google' AS settings_search_engine
+  FROM events
+), extra_rows AS (
+  SELECT *, 'vertical' AS extra_key, event_vertical AS extra_value FROM base
+  UNION ALL
+  SELECT *, 'source' AS extra_key, src AS extra_value FROM base
+), listed AS (
+  SELECT *, {lists} FROM extra_rows
+), mapped AS (
+  SELECT client_id, submission_date,
+         CASE {cascade} ELSE ['feature: others'] END AS features,
+         CASE {vert_case} ELSE 'Others' END AS vertical,
+         CASE WHEN {any_match} THEN 'App' ELSE 'Others' END AS app
+  FROM listed
+), fanned AS (
+  SELECT submission_date, client_id, 'Feature' AS feature_type,
+         UNNEST(features) AS feature_name FROM mapped
+  UNION ALL
+  SELECT submission_date, client_id, 'Vertical', vertical FROM mapped
+  UNION ALL
+  SELECT submission_date, client_id, 'App', app FROM mapped
+)
+SELECT submission_date, feature_type, feature_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT client_id) AS BIGINT) AS n_clients
+FROM fanned
+GROUP BY 1, 2, 3
+"""
+
+
+@query(
+    "telemetry_feature_fanout",
+    oracle=_fanout_oracle(),
+    tags=("D1", "D2", "D3", "D4", "U1", "J8"),
+)
 def telemetry_feature_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ping parse (D1 VARIANT) → explode → cleanup (D2) → kv extract (A6)
     → outer lateral extra (J8) → rule cascade (D4) → 3-way fan-out (U1)
-    → daily per-feature rollup."""
+    → daily per-feature rollup.
+
+    Oracle: the D4 rule table compiles itself to DuckDB SQL
+    (`feature_mapping_sql`), so all ~150 rules are hash-verified
+    cross-engine — stronger than the reference's own tests, which never
+    check the JS rules' output (SURVEY §5)."""
     from taipei_bi_etl_spark.plans.telemetry_pipeline import feature_usage_rollup
 
     return feature_usage_rollup(spark, sf_dir)
