@@ -69,4 +69,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     curation,
     pandas_api,
     packing,
+    temporal,
 )

@@ -107,3 +107,41 @@ def test_repetition_dup3_is_map_side(spark):
     plan = _plan(df)
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges <= 3, plan[:3000]
+
+
+def test_asof_join_is_single_exchange(spark):
+    """The as-of join must be the one-shuffle union+window form: exactly
+    one Exchange (hashpartitioning on user_id), no join operator at all
+    — a BroadcastNestedLoopJoin or per-key cartesian here is the 100 TB
+    failure mode this formulation exists to avoid."""
+    df = REGISTRY["asof_join_attribution"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan[:3000]
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert re.search(r"hashpartitioning\(user_id", plan), plan[:3000]
+
+
+def test_range_join_is_equi_hash_join(spark):
+    """The bucketed range join must plan as an equi join on
+    (user, bucket) — SortMergeJoin or ShuffledHashJoin with the range
+    predicate demoted to a post-join condition — never a
+    BroadcastNestedLoopJoin over the raw inequality."""
+    df = REGISTRY["range_join_error_window"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:3000]
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), (
+        plan[:3000]
+    )
+
+
+def test_gapfill_axis_broadcasts(spark):
+    """The dense-axis joins (hours × types, then back onto the rollup)
+    must broadcast the tiny axis sides; the rollup itself keeps map-side
+    partial aggregation."""
+    df = REGISTRY["time_bucket_gapfill"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan[:3000]
+    )
+    assert re.search(r"partial_(count|sum)", plan), plan[:2000]
