@@ -70,4 +70,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     pandas_api,
     packing,
     temporal,
+    history,
 )

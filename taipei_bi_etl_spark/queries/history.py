@@ -1,0 +1,149 @@
+"""History / lifecycle operators extending the reference's upsert +
+latest-snapshot family (SURVEY §2.1 K2, §2.3 J10): SCD type-2 interval
+build and a staged conversion funnel.  Both are pure DataFrame
+compositions with DuckDB oracle twins.
+
+Reference lineage: J10's keep-latest upsert (tasks/revenue.py:147-167)
+and K2's latest-file snapshot (tasks/base.py:781-821) are the type-1
+forms; SCD2 is the general form that keeps the full validity history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries import query
+
+
+# ---------------------------------------------------------------------------
+# SCD2: collapse each user's attribute stream (props.k) into validity
+# intervals [valid_from, valid_to), open interval flagged current.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH src AS (
+    SELECT user_id, ts, event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS attr_k
+    FROM events
+), marked AS (
+    SELECT user_id, ts, event_id, attr_k,
+           CASE WHEN LAG(attr_k) OVER w IS DISTINCT FROM attr_k
+                THEN 1 ELSE 0 END AS changed
+    FROM src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+    SELECT user_id, ts, attr_k,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+    FROM marked WHERE changed = 1
+)
+SELECT user_id, attr_k,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       COALESCE(CAST(epoch_us(next_ts) AS BIGINT), -1) AS valid_to_us,
+       CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
+FROM changes
+"""
+
+
+@query("scd2_dimension_build", oracle=_SCD2_ORACLE, tags=("ext", "scd2", "J10", "K2"))
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build in one shuffle: partition
+    by user, sort by (ts, event_id), keep change rows
+    (``lag`` null-safe-≠ current), then ``lead`` the next change's ts as
+    the exclusive upper bound.  Open intervals get -1 / is_current=1.
+
+    Both window passes share the same hashpartitioning(user_id) — Spark
+    plans ONE exchange.  At 100 TB this is the standard way to derive a
+    dimension-history table from an event log without a self-join
+    (the MERGE-per-day alternative reads the dimension N times).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    src = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("attr_k"),
+    )
+    marked = src.withColumn(
+        "changed",
+        F.when(
+            ~F.lag("attr_k").over(w).eqNullSafe(F.col("attr_k")), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    changes = marked.filter(F.col("changed") == 1).withColumn(
+        "next_ts", F.lead("ts").over(w)
+    )
+    return changes.select(
+        "user_id",
+        "attr_k",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.coalesce(F.unix_micros("next_ts"), F.lit(-1)).alias("valid_to_us"),
+        F.when(F.col("next_ts").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_current"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel: signup → first click after signup → first purchase
+# after that click; per-stage user counts in one row.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s AS (
+    SELECT user_id, MIN(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS c_ts
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS p_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_signup,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click
+"""
+
+
+@query("funnel_conversion", oracle=_FUNNEL_ORACLE, tags=("ext", "funnel"))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel.  Each stage filters the event log,
+    aggregates first-touch per user (map-side partial min), and joins
+    the previous stage's timestamps; stage frames shrink monotonically,
+    so the join build sides broadcast (BroadcastHashJoin at test scale;
+    at 100 TB AQE keeps them broadcast once a stage fits, else SMJ on
+    the shared user_id key).  The final counts are 1-row aggregates
+    combined by cross join — no driver round-trip.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )

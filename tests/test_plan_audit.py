@@ -145,3 +145,27 @@ def test_gapfill_axis_broadcasts(spark):
         plan[:3000]
     )
     assert re.search(r"partial_(count|sum)", plan), plan[:2000]
+
+
+def test_scd2_is_single_exchange(spark):
+    """SCD2 build: both window passes (lag change-detect, lead upper
+    bound) must share ONE hashpartitioning(user_id) exchange and plan
+    no join at all — the self-join/MERGE formulations this replaces
+    re-shuffle the dimension per pass."""
+    df = REGISTRY["scd2_dimension_build"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2, plan[:3000]
+
+
+def test_funnel_stage_joins_are_hash_joins(spark):
+    """Funnel: stage joins must be hash joins on user_id (broadcast at
+    this scale) with map-side partial min; nested-loop is tolerable
+    only for the 1-row count cross joins."""
+    df = REGISTRY["funnel_conversion"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:3000]
+    assert re.search(r"partial_min", plan), plan[:2000]
