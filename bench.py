@@ -35,6 +35,8 @@ HEADLINE = [
     "percentile_rollup",
     "alt_key_union_join",
     "upsert_keep_latest",
+    "asof_join_attribution",
+    "scd2_dimension_build",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
