@@ -71,4 +71,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     packing,
     temporal,
     history,
+    relational3,
 )

@@ -111,3 +111,30 @@ def streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_id").alias("n_distinct_ids"),
     )
+
+
+_ENRICHED_ORACLE = """
+SELECT CAST(epoch_us(date_trunc('day', e.ts)) AS BIGINT) AS day_start_us,
+       c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(e.value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "streaming_enriched_rollup", oracle=_ENRICHED_ORACLE, tags=("streaming", "J9")
+)
+def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (broadcast customer dim onto the event stream)
+    feeding a watermarked daily rollup per nation — the streaming form
+    of the reference's attribution-dimension joins.  Oracle = the batch
+    join+rollup; window starts go out as epoch micros (tz-proof)."""
+    from taipei_bi_etl_spark.io import read_table
+    from taipei_bi_etl_spark.streaming.jobs import enriched_nation_rollup
+
+    dim = read_table(spark, sf_dir, "customer")
+    return run_available_now(
+        enriched_nation_rollup(stream_events(spark, sf_dir), dim)
+    )

@@ -488,3 +488,39 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("docs_with_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build / heavy hitters: global top-k terms by frequency.
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH tok AS (
+    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents
+), counts AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY term
+)
+SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 100
+"""
+
+
+@query("vocab_top_terms", oracle=_VOCAB_ORACLE, tags=("ext", "text", "topk"))
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 alphabetic terms by frequency.
+
+    Map-side explode → one partial-aggregated shuffle on term → global
+    top-k via orderBy+limit, which Spark executes as
+    TakeOrderedAndProject: each task keeps its local top-100 and the
+    driver merges k·tasks rows — never a global sort.  The (n DESC,
+    term ASC) ordering is total, so the cut line is deterministic.
+    At 100 TB the only scale risk is term-key skew in the count shuffle,
+    and partial aggregation already collapses each task's duplicates.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("term")).limit(100)

@@ -140,6 +140,34 @@ def daily_type_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def enriched_nation_rollup(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + tumbling rollup: each micro-batch
+    hash-joins the broadcast customer dimension (no state, no shuffle of
+    the stream side), then aggregates per (day, nation) with watermarked
+    windows.  This is the streaming form of the reference's
+    user→channel attribution joins (SURVEY §2.3 J1/J9): dimension
+    lookups stay broadcast; only the windowed aggregation keeps state.
+    """
+    dim = F.broadcast(customer_dim.select("c_custkey", "c_nationkey"))
+    enriched = events.join(dim, events.user_id == dim.c_custkey)
+    return (
+        enriched.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000).cast("long")
+            ).alias("sum_value_micros"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("day_start_us"),
+            "c_nationkey",
+            "n_events",
+            "sum_value_micros",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: incremental per-user RFE accumulation
 # (recency/frequency/engagement, the reference's mango_user_rfe_* family
