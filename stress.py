@@ -62,16 +62,25 @@ def build_scaled(spark, src_dir: str, out_dir: str, k: int) -> None:
     ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
     docs = read_table(spark, src_dir, "documents").crossJoin(F.broadcast(rep))
+    # Salt EVERY token with the replica id so shingle/term universes are
+    # DISJOINT across replicas: each replica reproduces the original
+    # duplicate-cluster structure under new content, instead of replicas
+    # of one doc near-duplicating each other (which would grow cluster
+    # sizes K× and candidate-pair work K² — a harness artifact, not a
+    # property of the plans under test).
+    salted = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(F.lit("r"), F.col("replica"), F.lit("_"), t),
+        ),
+        " ",
+    )
     docs = docs.select(
         (F.col("doc_id") + F.col("replica") * F.lit(10_000_000)).alias("doc_id"),
-        # perturb per replica so the duplicate-cluster structure is
-        # preserved (not multiplied into K×-sized clusters)
-        F.concat(F.col("text"), F.lit(" r"), F.col("replica")).alias("text"),
+        salted.alias("text"),
         "lang",
         "source",
-        (F.col("n_chars") + F.length(F.concat(F.lit(" r"), F.col("replica")))).alias(
-            "n_chars"
-        ),
+        F.length(salted).alias("n_chars"),
     )
     docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
