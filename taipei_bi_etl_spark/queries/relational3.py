@@ -137,3 +137,54 @@ def ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("spend_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join — hot-key mitigation with unchanged semantics.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@query("salted_skew_join_rollup", oracle=_SALTED_ORACLE, tags=("ext", "scale"))
+def salted_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue rollup routed through ``scale.salted_join``
+    (SCALE.md "Skew & co-location"): the fact side gets a hash-derived
+    salt in [0, 8), the dim side is replicated 8x, and the join key
+    becomes (suppkey, salt) — one hot supplier key spreads across 8
+    tasks instead of stalling its reducer.
+
+    The oracle is the PLAIN three-way join: salting is a physical
+    rewrite with identical semantics, and this query pins that claim
+    cross-engine.  At sf the replicated dim still broadcasts (so the
+    salt is free); at 100 TB with a shuffle join the salted key is what
+    bounds the largest reducer.  AQE skew-split handles *discovered*
+    skew; ``salted_join`` is the tool for *known* hot keys.
+    """
+    from taipei_bi_etl_spark.scale import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("l_suppkey", "n_name")
+    )
+    joined = salted_join(li, dim, "l_suppkey", n_salts=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("price_cents").alias("rev_cents"),
+    )
