@@ -309,3 +309,98 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_kept",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4/CCNet-style line-level dedup — strip content that repeats across
+# the corpus, keep the rest of each document.
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 10  # chunk width standing in for a "line" (corpus has no \n)
+LINE_FREQ_CAP = 2  # a chunk seen more often than this is boilerplate
+
+
+_LINE_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS tok FROM documents
+), flat AS (
+  SELECT doc_id,
+         unnest(range(1, CAST(ceil(len(tok) / {LINE_TOKENS}.0) AS BIGINT) + 1)) AS pos,
+         unnest(list_transform(range(1, CAST(ceil(len(tok) / {LINE_TOKENS}.0) AS BIGINT) + 1),
+                i -> array_to_string(tok[(i - 1) * {LINE_TOKENS} + 1 : i * {LINE_TOKENS}], ' '))) AS chunk
+  FROM toks
+), freq AS (
+  SELECT chunk, COUNT(*) AS f FROM flat GROUP BY chunk
+), agg AS (
+  SELECT fl.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN fr.f > {LINE_FREQ_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+         array_to_string(
+           COALESCE(list(fl.chunk ORDER BY fl.pos) FILTER (WHERE fr.f <= {LINE_FREQ_CAP}), []),
+           ' ') AS kept_text
+  FROM flat fl JOIN freq fr USING (chunk)
+  GROUP BY fl.doc_id
+)
+SELECT doc_id, n_chunks, n_removed, kept_text
+FROM agg WHERE n_removed > 0
+"""
+
+
+@query("line_dedup_corpus", oracle=_LINE_DEDUP_ORACLE, tags=("ext", "curation"))
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency line dedup (C4 "discard any line seen more than
+    N times"; CCNet paragraph dedup): chunk every document into
+    LINE_TOKENS-token lines, count each line's corpus frequency, strip
+    lines above LINE_FREQ_CAP, and reconstruct the surviving text in
+    position order.  Returns only changed documents (doc_id, n_chunks,
+    n_removed, kept_text; kept_text = '' when everything was
+    boilerplate).  The synthetic corpus has no newline structure, so the
+    boundary function is a fixed-width chunker — swap in split-by-\\n
+    for real text; the plumbing (position-aware explode, global
+    frequency, ordered reassembly) is the operator.
+
+    Scale: two shuffles — line frequency (map-side partial agg; the
+    exchange carries distinct lines per task, 8-byte-hashable) and the
+    per-doc regroup.  Content-level dedup complements doc-level dedup
+    (dedup_* queries drop whole near-dup docs; this strips repeated
+    boilerplate from docs that otherwise survive).  No driver
+    collection; reassembly is array_sort over collect_list per doc.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.split(F.col("text"), r"\s+")
+    chunks = docs.select("doc_id", tok.alias("tok")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, cast(ceil(size(tok) / {LINE_TOKENS}.0) as int)),"
+                f" i -> named_struct('pos', cast(i as bigint),"
+                f" 'chunk', array_join(slice(tok, (i - 1) * {LINE_TOKENS} + 1, {LINE_TOKENS}), ' ')))"
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.pos").alias("pos"),
+        F.col("c.chunk").alias("chunk"),
+        F.xxhash64(F.col("c.chunk")).alias("chunk_h"),
+    )
+    # frequency over the 64-bit line hash: the distinct-line exchange
+    # moves 8-byte keys, never line text (same convention as the
+    # hashed shingle index in dedup.py)
+    freq = chunks.groupBy("chunk_h").agg(F.count(F.lit(1)).alias("f"))
+    joined = chunks.join(freq, "chunk_h")
+    keep = F.col("f") <= LINE_FREQ_CAP
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(~keep, 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return agg.filter(F.col("n_removed") > 0)
