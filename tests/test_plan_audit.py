@@ -169,3 +169,25 @@ def test_funnel_stage_joins_are_hash_joins(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:3000]
     assert re.search(r"partial_min", plan), plan[:2000]
+
+
+def test_salted_join_salts_and_replicates(spark):
+    """The salted rollup must show the salt machinery: a Generate
+    (explode of the salt array) on the replicated dim side, and the
+    final rollup as partial+final HashAggregate.  Results are pinned by
+    the oracle; this pins that the salt path is actually exercised."""
+    df = REGISTRY["salted_skew_join_rollup"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert re.search(r"^\(\d+\) Generate", plan, re.M), plan[:2000]
+    assert "xxhash64" in plan, plan[:2000]
+    assert re.search(r"partial_(sum|count)", plan), plan[:2000]
+
+
+def test_line_dedup_frequency_shuffles_hashes_not_text(spark):
+    """The line-frequency aggregation must key its exchange on the
+    64-bit chunk hash with map-side partial counts — shuffling raw line
+    text into the frequency agg is the 100 TB regression."""
+    df = REGISTRY["line_dedup_corpus"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert re.search(r"hashpartitioning\(chunk_h", plan), plan[:3000]
+    assert re.search(r"partial_count", plan), plan[:2000]
