@@ -72,4 +72,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     temporal,
     history,
     relational3,
+    search,
 )

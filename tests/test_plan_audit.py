@@ -191,3 +191,29 @@ def test_line_dedup_frequency_shuffles_hashes_not_text(spark):
     plan = _plan(df)
     assert re.search(r"hashpartitioning\(chunk_h", plan), plan[:3000]
     assert re.search(r"partial_count", plan), plan[:2000]
+
+
+def test_bm25_search_is_shuffle_free_scoring(spark):
+    """BM25: scoring must stay map-side — no Generate (explode) of the
+    token array into a (doc, term) shuffle; corpus stats come back as a
+    broadcast; top-k runs as TakeOrderedAndProject (local heaps), never
+    a global Sort+Exchange of the scored corpus."""
+    df = REGISTRY["text_bm25_search"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert not re.search(r"^\(\d+\) Generate", plan, re.M), plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan[:3000]
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_histogram_broadcasts_bounds_and_partial_aggregates(spark):
+    """Histogram: the 1-row min/max frame must broadcast back onto the
+    scan, and the bucket rollup must partial-aggregate map-side — the
+    exchange carries ≤ N_BUCKETS rows per task."""
+    df = REGISTRY["numeric_histogram_profile"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan[:3000]
+    )
+    assert re.search(r"partial_count", plan), plan[:2000]
