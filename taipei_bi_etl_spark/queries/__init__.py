@@ -73,4 +73,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     history,
     relational3,
     search,
+    quantization,
 )

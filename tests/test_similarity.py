@@ -35,3 +35,47 @@ def test_lsh_is_deterministic(spark):
 def test_near_dup_pairs_are_symmetric_free(spark):
     rows = dedup_embedding_cosine(spark, SF_DIR).collect()
     assert all(r.vec_a < r.vec_b for r in rows)
+
+
+def test_pq_recall_vs_exact_l2(spark):
+    """PQ ADC shortlist + exact re-rank must recover most of the true
+    L2 top-k (PQ quantizes L2 distance, so the baseline here is the
+    exact L2 scan, not the cosine ranking)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.quantization import ann_pq_topk, _sq_l2
+    from taipei_bi_etl_spark.queries.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _corpus_with_norm,
+    )
+
+    c = _corpus_with_norm(spark, SF_DIR)
+    q = c.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in j.withColumn("d2", _sq_l2(F.col("emb"), F.col("qemb")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    rows = ann_pq_topk(spark, SF_DIR).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(rows) == N_QUERIES * TOP_K
+    # K_SUB=32 codebooks, shortlist 100/500: measured 0.90 at seed data
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ recall too low: {recall:.2f}"
+
+
+def test_pq_is_deterministic(spark):
+    from taipei_bi_etl_spark.queries.quantization import ann_pq_topk
+
+    a = sorted(map(tuple, ann_pq_topk(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, ann_pq_topk(spark, SF_DIR).collect()))
+    assert a == b
