@@ -74,4 +74,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     relational3,
     search,
     quantization,
+    tokenizer,
 )
