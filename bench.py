@@ -44,6 +44,8 @@ HEADLINE = [
     "text_quality_scores",
     "token_count_bpe",
     "doc_fingerprint_winnow",
+    "text_bm25_search",
+    "numeric_histogram_profile",
     "streaming_sessionize",
 ]
 

@@ -43,6 +43,8 @@ STRESS_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "token_count_bpe",
+    "text_bm25_search",
+    "numeric_histogram_profile",
 ]
 
 

@@ -91,3 +91,46 @@ def explain_has(df: DataFrame, *needles: str) -> dict[str, bool]:
         )
     )
     return {n: n in plan for n in needles}
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def runtime_bloom_filters(
+    spark: SparkSession,
+    creation_side_threshold: str = "100MB",
+    application_side_threshold: str = "10GB",
+):
+    """Enable Spark's runtime row-level (bloom) filtering for the scope:
+    a selective filter on one side of a shuffled large-large join is
+    turned into a ``might_contain`` pre-filter on the OTHER side's scan,
+    so non-matching fact rows never enter the exchange.
+
+    This is the large-large complement to broadcasting: when neither
+    side fits a broadcast but one side is selectively filtered, the
+    bloom filter (built from the filtered side's join keys) prunes the
+    probe scan before the shuffle.  Thresholds are surfaced because the
+    defaults (10 MB creation side) are tuned for clusters; tests pin
+    the injection with permissive values.  Restores prior conf on exit.
+    """
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": creation_side_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": application_side_threshold,
+    }
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

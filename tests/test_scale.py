@@ -77,3 +77,49 @@ def test_plan_partitions_bounds():
     assert plan_partitions(1 * gb) == 32  # floor
     assert plan_partitions(100 * 1024**4) == 200_000  # 100 TB capped
     assert plan_partitions(1 * 1024**4) == 8192  # 1 TB → 8k tasks
+
+
+def test_runtime_bloom_filter_prunes_probe_scan(spark):
+    """Large-large shuffled join with a selective build-side filter:
+    runtime row-level filtering must inject a bloom-filter
+    ``might_contain`` predicate on the probe side, so pruned fact rows
+    die at the scan instead of crossing the exchange.  (Broadcast is
+    disabled to model the neither-side-fits case.)"""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.io import read_table
+    from taipei_bi_etl_spark.scale import runtime_bloom_filters
+    from tests.conftest import SF_DIR
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe_bc = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        with runtime_bloom_filters(spark, application_side_threshold="0"):
+            o = (
+                read_table(spark, SF_DIR, "orders")
+                .filter(F.col("o_orderpriority") == "1-URGENT")
+                .select("o_orderkey")
+            )
+            l = read_table(spark, SF_DIR, "lineitem").select(
+                "l_orderkey", "l_quantity"
+            )
+            j = l.join(o, l.l_orderkey == o.o_orderkey).agg(
+                F.sum("l_quantity")
+            )
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "might_contain" in plan, plan[:3000]
+        # conf restored on exit
+        assert (
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+            )
+            != "0"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        if old_aqe_bc is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_bc)
