@@ -134,3 +134,32 @@ def runtime_bloom_filters(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of N non-negative integer columns,
+    ``bits`` bits each — the multi-dimensional clustering key for data
+    layout: sort/range-partition a write by this key and rows close in
+    EVERY dimension land in the same files, so parquet min/max file
+    skipping prunes selective filters on ANY of the dimensions (not
+    just the leading sort column).
+
+    Callers map raw values into [0, 2^bits) first (e.g. bucketized
+    timestamps, hashed ids).  Values are clamped, so out-of-range
+    inputs degrade to the boundary instead of corrupting the key.
+    Pure Column arithmetic (shifts and masks) — codegen'd, no UDF.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cs)
+    clamped = [
+        F.greatest(F.lit(0), F.least(c.cast("long"), F.lit((1 << bits) - 1)))
+        for c in cs
+    ]
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(clamped):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * n + i).cast("long")
+            )
+    return key

@@ -123,3 +123,71 @@ def test_runtime_bloom_filter_prunes_probe_scan(spark):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_bc)
+
+
+def test_zorder_key_matches_morton_reference(spark):
+    """zorder_key == bit-interleave reference on a seeded random batch
+    (property-style: one DataFrame pass instead of per-example Spark
+    jobs), plus clamping at the domain boundary."""
+    import random
+
+    from taipei_bi_etl_spark.scale import zorder_key
+
+    rng = random.Random(42)
+    pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(500)]
+    pts += [(-5, 3), (1 << 20, 1)]  # clamped
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = [
+        r.z
+        for r in df.select(zorder_key(["x", "y"]).alias("z")).collect()
+    ]
+
+    def morton(x, y, bits=16):
+        x = min(max(x, 0), (1 << bits) - 1)
+        y = min(max(y, 0), (1 << bits) - 1)
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == [morton(x, y) for x, y in pts]
+
+
+def test_zorder_layout_concentrates_both_dimensions(spark, tmp_path):
+    """The point of Z-ordering: after range-partitioning a write by the
+    Z key, a selective filter on the SECOND dimension touches fewer
+    files than under a first-dimension-only sort — i.e. parquet min/max
+    file skipping now works for both dimensions."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.io import read_table
+    from taipei_bi_etl_spark.scale import zorder_key
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        F.pmod(F.xxhash64("user_id"), F.lit(256)).alias("ub"),
+        F.pmod(F.xxhash64("event_id"), F.lit(256)).alias("eb"),
+        "value",
+    )
+    n_files = 16
+    linear = str(tmp_path / "linear")
+    zorder = str(tmp_path / "zorder")
+    ev.repartitionByRange(n_files, "ub", "eb").write.parquet(linear)
+    ev.repartitionByRange(
+        n_files, zorder_key(["ub", "eb"]).alias("zk")
+    ).write.parquet(zorder)
+
+    def files_hit(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("eb") < 16)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    lin, zo = files_hit(linear), files_hit(zorder)
+    # linear layout spreads eb across every ub-sorted file; Z-order
+    # clusters it.  (16/256 selectivity, 16 files: lin is ~all files.)
+    assert zo < lin, (zo, lin)
+    assert zo <= n_files // 2, (zo, lin)
