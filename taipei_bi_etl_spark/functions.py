@@ -38,16 +38,40 @@ def date_from_unix_date(days: Column | str) -> Column:
     return F.date_add(F.lit("1970-01-01").cast("date"), c.cast("int"))
 
 
+def as_utc_ts(ts: Column | str) -> Column:
+    """Coerce TIMESTAMP_NTZ to session-zone TIMESTAMP (epoch-preserving).
+
+    Parquet naive ``timestamp[us]`` columns read as TIMESTAMP_NTZ under
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` (matching the DuckDB
+    oracle's naive reading); Spark 4's ``unix_millis`` only accepts
+    TIMESTAMP.  With the session timezone pinned to UTC the NTZ→LTZ cast
+    re-interprets the naive value as UTC, so epoch math is unchanged.
+    No-op on columns that are already TIMESTAMP.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return c.cast("timestamp_ltz")
+
+
+def unix_ms(ts: Column | str) -> Column:
+    """Epoch milliseconds of a TIMESTAMP or TIMESTAMP_NTZ column."""
+    return F.unix_millis(as_utc_ts(ts))
+
+
+def unix_us(ts: Column | str) -> Column:
+    """Epoch microseconds of a TIMESTAMP or TIMESTAMP_NTZ column."""
+    return F.unix_micros(as_utc_ts(ts))
+
+
 def datetime_add_ms(ts: Column, ms: Column) -> Column:
     """``DATETIME_ADD(dt, INTERVAL ms MILLISECOND)`` — F5,
     ``sql/mango_user_rfe_daily_session.sql:73,82-84``."""
-    return F.timestamp_millis(F.unix_millis(ts) + ms.cast("long"))
+    return F.timestamp_millis(unix_ms(ts) + ms.cast("long"))
 
 
 def datetime_diff_ms(a: Column, b: Column) -> Column:
     """``DATETIME_DIFF(a, b, MILLISECOND)`` — F6,
     ``sql/mango_user_rfe_daily_session.sql:102-103``."""
-    return F.unix_millis(a) - F.unix_millis(b)
+    return unix_ms(a) - unix_ms(b)
 
 
 def timestamp_trunc_day(ts: Column | str) -> Column:

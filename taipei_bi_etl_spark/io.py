@@ -58,12 +58,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # ts values are UTC-naive; pin the session tz so the epoch→timestamp
-        # conversion below is correct on sessions we didn't create.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Timestamp values are UTC-naive; pin the session tz so epoch→timestamp
+    # and NTZ→LTZ conversions below are correct on sessions we didn't create.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Naive parquet timestamps (timestamp[us], isAdjustedToUTC=false) read
+    # as TIMESTAMP_NTZ under inferTimestampNTZ; normalize to session-zone
+    # TIMESTAMP (UTC) so epoch math (unix_millis & co) and window functions
+    # see one uniform type whichever physical type the generator used.
+    # Epoch-preserving because the session tz is pinned to UTC above.
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp_ltz"))
     return df
 
 

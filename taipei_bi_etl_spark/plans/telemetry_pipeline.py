@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from taipei_bi_etl_spark import functions as FN
+
 from taipei_bi_etl_spark.feature_mapping import feature_mapping
 from taipei_bi_etl_spark.functions import kv_get
 from taipei_bi_etl_spark.io import read_table
@@ -42,7 +44,7 @@ def synthesize_pings(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.element_at(arr, (F.pmod(F.col("event_id") + salt, F.lit(len(vocab))) + 1).cast("int"))
 
     payload = F.concat(
-        F.lit('[['), F.unix_millis(F.col("ts")).cast("string"),
+        F.lit('[['), FN.unix_ms(F.col("ts")).cast("string"),
         F.lit(',"action","'), pick(_METHODS, 1),
         F.lit('","'), pick(_OBJECTS, 3),
         F.lit('","'), pick(_VALUES, 5),

@@ -75,4 +75,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     search,
     quantization,
     tokenizer,
+    sequence,
 )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from taipei_bi_etl_spark import functions as FN
+
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
 
@@ -78,8 +80,8 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changes.select(
         "user_id",
         "attr_k",
-        F.unix_micros("ts").alias("valid_from_us"),
-        F.coalesce(F.unix_micros("next_ts"), F.lit(-1)).alias("valid_to_us"),
+        FN.unix_us("ts").alias("valid_from_us"),
+        F.coalesce(FN.unix_us("next_ts"), F.lit(-1)).alias("valid_to_us"),
         F.when(F.col("next_ts").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
             "is_current"
         ),

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from taipei_bi_etl_spark import functions as FN
+
 from taipei_bi_etl_spark.queries import query
 from taipei_bi_etl_spark.streaming import (
     daily_type_rollup,
@@ -57,7 +59,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(sessionize(stream_events(spark, sf_dir)))
     return out.select(
         "user_id",
-        F.unix_micros("session_start").alias("session_start_micros"),
+        FN.unix_us("session_start").alias("session_start_micros"),
         "n_events",
         "sum_value_micros",
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from taipei_bi_etl_spark import functions as FN
+
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
 
@@ -231,7 +233,7 @@ def lead_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     because user_id prefixes the grouping key)."""
     ev = read_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    diff_ms = F.unix_millis(F.lead("ts", 1).over(w)) - F.unix_millis(F.col("ts"))
+    diff_ms = FN.unix_ms(F.lead("ts", 1).over(w)) - FN.unix_ms(F.col("ts"))
     dur = F.when(diff_ms.isNull(), F.lit(0)).when(
         diff_ms > 30 * 60 * 1000, F.lit(0)
     ).otherwise(diff_ms)

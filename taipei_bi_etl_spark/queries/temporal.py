@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from taipei_bi_etl_spark import functions as FN
+
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
 
@@ -97,14 +99,14 @@ def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attributed.filter(F.col("is_probe") == 1).select(
         "purchase_id",
         "user_id",
-        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        FN.unix_us("purchase_ts").alias("purchase_ts_us"),
         F.when(F.col("click_ts").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
             "attributed"
         ),
-        F.coalesce(F.unix_micros("click_ts"), F.lit(-1)).alias("click_ts_us"),
+        F.coalesce(FN.unix_us("click_ts"), F.lit(-1)).alias("click_ts_us"),
         F.coalesce("click_value", F.lit(0.0)).alias("click_value"),
         F.coalesce(
-            F.unix_millis("purchase_ts") - F.unix_millis("click_ts"), F.lit(-1)
+            FN.unix_ms("purchase_ts") - FN.unix_ms("click_ts"), F.lit(-1)
         ).alias("lag_ms"),
     )
 
@@ -141,7 +143,7 @@ def range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair matches exactly once (cover buckets are distinct).
     """
     ev = read_table(spark, sf_dir, "events")
-    bucket = lambda c: F.floor(F.unix_millis(c) / F.lit(3600000))  # noqa: E731
+    bucket = lambda c: F.floor(FN.unix_ms(c) / F.lit(3600000))  # noqa: E731
     probes = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -259,7 +261,7 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     b = (
         ev.groupBy(
-            F.floor(F.unix_millis("ts") / F.lit(3600000)).alias("hour_bucket"),
+            F.floor(FN.unix_ms("ts") / F.lit(3600000)).alias("hour_bucket"),
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n"),

@@ -21,22 +21,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from taipei_bi_etl_spark import functions as FN
+
 SESSION_GAP = "30 minutes"
 
-#: Explicit source schema — a streaming file source cannot infer.
-#: ``ts`` arrives as parquet TIMESTAMP(NANOS); with
-#: ``spark.sql.legacy.parquet.nanosAsLong`` it lands as BIGINT nanos and
-#: is converted below (same policy as io.read_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    """Explicit source schema — a streaming file source cannot infer.
+
+    ``ts_type`` adapts to the generator's physical type: TIMESTAMP(NANOS)
+    parquet needs ``spark.sql.legacy.parquet.nanosAsLong`` + LongType and
+    a div-1000 conversion; timestamp[us] parquet reads directly as
+    TimestampNTZType (cast to session-UTC TIMESTAMP below — same policy
+    as io.read_table).
+    """
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 _sink_counter = itertools.count()
 
@@ -46,15 +53,26 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     same program runs on Kafka by swapping the reader)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Probe the batch reader once for the physical ts type (cheap footer
+    # read), then declare the matching streaming schema.
+    import os
+
+    probed = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    ).get("ts", "bigint")
+    nanos_as_long = probed == "bigint"
+    ts_type = T.LongType() if nanos_as_long else T.TimestampNTZType()
     # the file source's basePath must be a directory; select just the
     # events file out of it with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos_as_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
 def run_available_now(
@@ -160,7 +178,7 @@ def enriched_nation_rollup(events: DataFrame, customer_dim: DataFrame) -> DataFr
             ).alias("sum_value_micros"),
         )
         .select(
-            F.unix_micros("w.start").alias("day_start_us"),
+            FN.unix_us("w.start").alias("day_start_us"),
             "c_nationkey",
             "n_events",
             "sum_value_micros",
