@@ -31,6 +31,7 @@ HEADLINE = [
     "lead_sessionize",
     "pricing_summary",
     "dim_join_chain",
+    "region_nation_revenue",
     "ratio_and_total_share",
     "percentile_rollup",
     "alt_key_union_join",
@@ -46,6 +47,8 @@ HEADLINE = [
     "doc_fingerprint_winnow",
     "text_bm25_search",
     "numeric_histogram_profile",
+    "text_ngram_lm_score",
+    "dedup_substring_profile",
     "streaming_sessionize",
 ]
 

@@ -76,4 +76,7 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     quantization,
     tokenizer,
     sequence,
+    timegrid,
+    text2,
+    relational4,
 )

@@ -115,6 +115,36 @@ def streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       CAST(epoch_ms(p.ts) - epoch_ms(c.ts) AS BIGINT) AS lag_ms
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
+@query(
+    "streaming_interval_join",
+    oracle=_INTERVAL_JOIN_ORACLE,
+    tags=("streaming", "join", "extension"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases × same-user clicks within
+    the trailing hour) on the streaming runtime, checked against the
+    batch range-join oracle — the online form of asof/range attribution.
+    Inner stream-stream joins emit in append mode; watermarks + the
+    two-sided time bound keep join state bounded."""
+    from taipei_bi_etl_spark.streaming import click_purchase_interval_join
+
+    return run_available_now(
+        click_purchase_interval_join(stream_events(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
 _ENRICHED_ORACLE = """
 SELECT CAST(epoch_us(date_trunc('day', e.ts)) AS BIGINT) AS day_start_us,
        c.c_nationkey,

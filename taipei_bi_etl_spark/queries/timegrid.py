@@ -1,0 +1,222 @@
+"""Dense-time-grid operators: LOCF interpolation and metric unpivot.
+
+`time_bucket_gapfill` (temporal.py) fills missing buckets with zeros —
+the counting semantics.  This module adds the *state* semantics:
+last-observation-carried-forward (the hypertable `locf()` /
+`gap_fill ... interpolate` shape every metrics store offers), plus the
+wide→long UNPIVOT reshape (the reference pivots with pandas
+`pivot_table`, SURVEY §2.4 A11; unpivot is its inverse and has no
+reference analog — extension).
+
+Both oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark import functions as FN
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# LOCF gap-fill — carry the last observed hourly sum forward.
+# ---------------------------------------------------------------------------
+
+_LOCF_ORACLE = """
+WITH b AS (
+    SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hour_bucket,
+           event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+), bounds AS (SELECT MIN(hour_bucket) AS mn, MAX(hour_bucket) AS mx FROM b),
+   hours AS (SELECT UNNEST(generate_series(mn, mx)) AS hour_bucket FROM bounds),
+   types AS (SELECT DISTINCT event_type FROM events),
+   grid AS (
+    SELECT hours.hour_bucket, types.event_type, b.value_cents,
+           CASE WHEN b.value_cents IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+    FROM hours CROSS JOIN types
+    LEFT JOIN b ON b.hour_bucket = hours.hour_bucket
+               AND b.event_type = types.event_type
+)
+SELECT hour_bucket, event_type, is_observed,
+       COALESCE(
+         last_value(value_cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour_bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ), -1) AS locf_value_cents
+FROM grid
+"""
+
+
+@query("locf_gapfill", oracle=_LOCF_ORACLE, tags=("ext", "gapfill", "timeseries"))
+def locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per event_type where missing buckets carry the
+    last observed value forward (LOCF; -1 before the first observation).
+
+    Same axis construction as ``time_bucket_gapfill`` (rollup bounds →
+    broadcast sequence × broadcast type dim); the fill is one window
+    per series — ``last(value, ignorenulls=True)`` over an unbounded
+    preceding ROWS frame.  hour_bucket is unique within a series, so
+    the frame is deterministic.
+
+    Scale: one rollup shuffle + one window shuffle keyed by the series
+    id.  Series count, not row count, drives window parallelism — at
+    100 TB the series key would be (entity, metric), which is exactly
+    how this partitioning scales out; the dense axis stays ∝ time span.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.floor(FN.unix_ms("ts") / F.lit(3600000)).alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents")
+    )
+    hours = b.agg(
+        F.min("hour_bucket").alias("mn"), F.max("hour_bucket").alias("mx")
+    ).select(F.explode(F.sequence("mn", "mx")).alias("hour_bucket"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        F.broadcast(hours)
+        .crossJoin(F.broadcast(types))
+        .join(b, ["hour_bucket", "event_type"], "left")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.select(
+        "hour_bucket",
+        "event_type",
+        F.when(F.col("value_cents").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_observed"),
+        F.coalesce(
+            F.last("value_cents", ignorenulls=True).over(w), F.lit(-1)
+        ).alias("locf_value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT — wide per-nation metrics to (nation, metric, value) long form.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents_total,
+           CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents_max
+    FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT c_nationkey, 'acctbal_cents_total', acctbal_cents_total FROM wide
+UNION ALL
+SELECT c_nationkey, 'acctbal_cents_max', acctbal_cents_max FROM wide
+"""
+
+
+@query("unpivot_metrics", oracle=_UNPIVOT_ORACLE, tags=("ext", "reshape"))
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-nation customer metrics unpivoted to long
+    (nation, metric, value) form — the inverse of the reference's
+    pandas ``pivot_table`` (A11) and the standard feed for
+    metric-store / BI long tables.
+
+    ``DataFrame.unpivot`` plans as a single Expand over the aggregated
+    (25-row) frame — map-side, no extra shuffle beyond the one rollup;
+    at any scale the long form is metrics× the group count, never the
+    input rows.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    wide = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(cents).alias("acctbal_cents_total"),
+        F.max(cents).alias("acctbal_cents_max"),
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["n_customers", "acctbal_cents_total", "acctbal_cents_max"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing z-score anomaly flags — exact-integer three-sigma test.
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH b AS (
+    SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hour_bucket,
+           event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+), w AS (
+    SELECT hour_bucket, event_type, x,
+           CAST(COUNT(*) OVER t AS BIGINT) AS n,
+           CAST(SUM(x) OVER t AS BIGINT) AS s,
+           CAST(SUM(x * x) OVER t AS BIGINT) AS ss
+    FROM b
+    WINDOW t AS (PARTITION BY event_type ORDER BY hour_bucket
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT hour_bucket, event_type, x, n,
+       CASE WHEN n >= 12
+                 AND (n * x - s) * (n * x - s) > 9 * (n * ss - s * s)
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM w
+"""
+
+
+@query(
+    "anomaly_zscore_trailing",
+    oracle=_ZSCORE_ORACLE,
+    tags=("ext", "timeseries", "anomaly"),
+)
+def anomaly_zscore_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-sigma outlier flags on each event_type's hourly series
+    against its own trailing 24-bucket window.
+
+    The test is the z-score inequality cleared of division —
+    ``(n·x − Σ)² > 9·(n·Σx² − Σ²)`` ⇔ ``(x − μ)² > 9σ²`` — evaluated
+    entirely in BIGINT, so the flags are bit-exact cross-engine (a
+    float z-score would flap at threshold boundaries).  Windows
+    shorter than 12 buckets don't flag (warm-up).
+
+    Scale: one rollup shuffle + one window shuffle on the series key,
+    O(1) state per row (running sums).  The integer headroom bounds:
+    cents·n < 2^31 per bucket keeps every product under 2^63; wider
+    series switch x to a coarser unit, same plan.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.floor(FN.unix_ms("ts") / F.lit(3600000)).alias("hour_bucket"),
+        "event_type",
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("x"))
+    t = (
+        W.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-23, 0)
+    )
+    n = F.count(F.lit(1)).over(t)
+    s = F.sum("x").over(t)
+    ss = F.sum(F.col("x") * F.col("x")).over(t)
+    dev = n * F.col("x") - s
+    return b.select(
+        "hour_bucket",
+        "event_type",
+        "x",
+        n.alias("n"),
+        F.when(
+            (n >= 12) & (dev * dev > 9 * (n * ss - s * s)), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_anomaly"),
+    )

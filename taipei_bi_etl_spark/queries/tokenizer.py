@@ -149,3 +149,62 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode — apply the trained merges to the corpus.
+# ---------------------------------------------------------------------------
+
+
+@query("bpe_encode_apply", oracle=None, tags=("text", "extension", "iterative"))
+def bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the merges `bpe_train_merges` learns:
+    each distinct word starts as characters and replays the merge table
+    in rank order (greedy left-to-right, the training rewrite), giving
+    words → piece counts; per-source totals weight by word frequency.
+
+    Rows-only (the merge table is data-trained, so no static SQL twin);
+    pinned against a pure-Python encoder in tests/test_tokenizer.py.
+
+    Scale: the encode fold runs on the DISTINCT-WORD frame (vocabulary-
+    sized), entirely in Catalyst (N chained folds, no Python, no UDF);
+    the corpus is touched twice — once to build (source, word) counts
+    (map-side combined), once never: totals come from the count frame
+    joined to the encoded vocabulary on the word key.  The merge table
+    itself is a driver-side scalar list (same policy as k-means
+    centroids), N_MERGES rows.
+    """
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    d = read_table(spark, sf_dir, "documents")
+    tok = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+    ).alias("word")
+    sw = d.select("source", tok).groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    vocab = sw.select("word").distinct()
+    enc = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    for left, right in merges:
+        enc = _merge_pair(enc, left, right)
+    word_pieces = vocab.select(
+        "word", F.size(enc).cast("long").alias("n_pieces")
+    )
+    return (
+        sw.join(word_pieces, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("k").alias("total_words"),
+            F.sum(F.col("k") * F.col("n_pieces")).alias("total_pieces"),
+        )
+        .select(
+            "source",
+            "total_words",
+            "total_pieces",
+            F.round(
+                F.col("total_pieces").cast("double") / F.col("total_words"), 6
+            ).alias("pieces_per_word"),
+        )
+    )

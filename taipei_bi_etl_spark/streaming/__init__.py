@@ -19,6 +19,7 @@ against a live file/Kafka source — the DataFrame program is the same.
 """
 
 from taipei_bi_etl_spark.streaming.jobs import (  # noqa: F401
+    click_purchase_interval_join,
     daily_type_rollup,
     run_available_now,
     sessionize,

@@ -265,3 +265,49 @@ def dedupe_stream(events: DataFrame, key: str = "event_id") -> DataFrame:
     return events.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
         [key]
     )
+
+
+def click_purchase_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding hour — the attribution join run
+    *online* (the batch as-of/range joins in queries/temporal.py are
+    its offline twins).
+
+    Both sides carry a 1-hour watermark and the join condition bounds
+    click_ts to [purchase_ts - 1h, purchase_ts], so the state store
+    retains at most one watermark-horizon of each side per key — the
+    textbook bounded-state stream-stream join.  Inner joins emit in
+    append mode as soon as both sides arrive.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        (FN.unix_ms("purchase_ts") - FN.unix_ms("click_ts")).alias("lag_ms"),
+    )

@@ -78,3 +78,40 @@ def test_fixed_k_sample_quota_and_stability(spark):
     # content-addressed: a different physical layout yields the same set
     again = {(r.source, r.doc_id) for r in stratified_fixed_k_sample(spark, SF_DIR).collect()}
     assert {(r.source, r.doc_id) for r in rows} == again
+
+
+def _python_encode(word: str, merges) -> int:
+    out: list[str] = []
+    syms = list(word)
+    for _, l, r, _ in merges:
+        out = []
+        for x in syms:
+            if out and out[-1] == l and x == r:
+                out[-1] = l + r
+            else:
+                out.append(x)
+        syms = out
+    return len(syms)
+
+
+def test_bpe_encode_matches_python_reference(spark, duck):
+    from taipei_bi_etl_spark.queries.tokenizer import bpe_encode_apply
+
+    counts = duck.execute(
+        "SELECT source, t, COUNT(*) FROM (SELECT source, unnest(list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
+        " AS t FROM documents) GROUP BY source, t"
+    ).fetchall()
+    word_freq: Counter = Counter()
+    for _, w, k in counts:
+        word_freq[w] += k
+    merges = _python_bpe(dict(word_freq), N_MERGES)
+    expected: dict[str, tuple[int, int]] = {}
+    for src, w, k in counts:
+        tw, tp = expected.get(src, (0, 0))
+        expected[src] = (tw + k, tp + k * _python_encode(w, merges))
+    got = {
+        r.source: (r.total_words, r.total_pieces)
+        for r in bpe_encode_apply(spark, SF_DIR).collect()
+    }
+    assert got == expected
