@@ -213,3 +213,127 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tokens_before") < TOKEN_BUDGET)
         .select("doc_id", "source", "n_tokens", "tokens_before")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group — window-ranked, never a global sort.
+# ---------------------------------------------------------------------------
+
+TOP_K = 3
+
+_TOPK_GROUP_ORACLE = f"""
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS spend_cents
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT c.c_nationkey, s.o_custkey AS custkey, s.spend_cents,
+           ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                              ORDER BY s.spend_cents DESC, s.o_custkey ASC)
+             AS rnk
+    FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+)
+SELECT c_nationkey, custkey, spend_cents, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query(
+    "topk_per_group", oracle=_TOPK_GROUP_ORACLE, tags=("relational", "topk", "O3")
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} customers by lifetime spend within each nation —
+    the grouped top-k that generalizes W1's keep-first dedup (top-1).
+    Deterministic under ties (spend desc, custkey asc = total order).
+
+    Scale: spend aggregates with map-side combine on o_custkey; the
+    rank is a per-nation window over the *aggregated* frame (one row
+    per customer, not per order).  No global sort anywhere — each
+    partition sorts only its nations' customers; with huge groups this
+    swaps to a per-partition bounded heap, same semantics.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "spend_cents"
+        )
+    )
+    return (
+        spend.join(c, spend["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_nationkey",
+            F.col("o_custkey").alias("custkey"),
+            "spend_cents",
+        )
+        .withColumn("rnk", F.row_number().over(
+            W.partitionBy("c_nationkey").orderBy(
+                F.col("spend_cents").desc(), F.col("custkey").asc()
+            )
+        ))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-profile summary — melt-then-profile, one pass.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query(
+    "table_profile_summary",
+    oracle=_PROFILE_ORACLE,
+    tags=("ext", "profiling", "V1"),
+)
+def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of ``orders`` (row/null/distinct counts)
+    — the ANALYZE/profiling pass a warehouse runs before trusting a
+    feed; extends the reference's assertion checks (V1–V6) from
+    pass/fail to measured stats.
+
+    Shape: melt the table to (col_name, value-as-string) with a single
+    Expand (stack), then one groupBy(col_name) with count / null-count
+    / distinct — the whole profile is ONE aggregation pass whatever
+    the column count, instead of |cols| separate scans (the UNION-ALL
+    oracle runs the naive form).  Distinctness counts are unaffected
+    by the string cast (injective per column).  At 100 TB swap the
+    exact distinct for approx_count_distinct at the call site —
+    identical plan shape, mergeable sketch.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    melted = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("m")
+    ).select("m.col_name", "m.v")
+    return melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.countDistinct("v").alias("n_distinct"),
+    )

@@ -296,3 +296,77 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).alias("cosine_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection — dimensionality reduction as a
+# corpus transform (the bytes-shrink step ahead of ANN bucketing).
+# ---------------------------------------------------------------------------
+
+IN_DIM = 64
+OUT_DIM = 16
+_JL_KNUTH = 2654435761
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 entry of the projection matrix."""
+    return 1 if ((i * OUT_DIM + j + 1) * _JL_KNUTH) % 2 == 0 else -1
+
+
+def _jl_rows() -> list[list[int]]:
+    """OUT_DIM sign rows, each IN_DIM long (matrix is a pure function
+    of indices — identical literals go to Spark and the oracle)."""
+    return [
+        [_jl_sign(i, j) for i in range(IN_DIM)] for j in range(OUT_DIM)
+    ]
+
+
+_JL_ORACLE = f"""
+SELECT vec_id,
+       [{", ".join(
+           "ROUND(list_inner_product(embedding::DOUBLE[], ["
+           + ", ".join(f"{s}.0" for s in row)
+           + "]), 6)"
+           for row in _jl_rows()
+       )}] AS proj
+FROM embeddings
+"""
+
+
+@query(
+    "embedding_random_projection",
+    oracle=_JL_ORACLE,
+    tags=("similarity", "extension"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection {IN_DIM}→{OUT_DIM}: each
+    output dim is a ±1-weighted sum of the input — the classic
+    distance-preserving shrink that quarters vector bytes before LSH /
+    IVF bucketing (and the building block of SimHash-style signatures).
+
+    The sign matrix is a pure function of (i, j) — no training, no
+    state — inlined as literals on both engines, so the projection is
+    content-addressed and reproducible anywhere.  Everything is a
+    map-side zip_with/aggregate fold in whole-stage codegen: zero
+    shuffle, zero Python; DuckDB's ``list_inner_product`` folds the
+    same doubles in the same order, so values hash-match at ROUND 6.
+
+    At 100 TB this is the bytes-bound preprocessing scan: 4× fewer
+    floats into every downstream shuffle (bucketing, k-means, PQ).
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = as_double("embedding")
+    rows = _jl_rows()
+    proj = F.array(
+        *[
+            F.round(
+                dot(
+                    emb,
+                    F.array(*[F.lit(float(s)) for s in row]),
+                ),
+                6,
+            )
+            for row in rows
+        ]
+    )
+    return e.select("vec_id", proj.alias("proj"))

@@ -220,3 +220,60 @@ def anomaly_zscore_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average — duration-weighted mean per series.
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH seq AS (
+    SELECT event_type,
+           CAST(floor(value * 1000000) AS BIGINT) AS v_micros,
+           epoch_ms(LEAD(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id))
+             - epoch_ms(ts) AS dur_ms
+    FROM events
+)
+SELECT event_type,
+       CAST(SUM(v_micros * dur_ms) AS BIGINT) AS weighted_sum,
+       CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+       ROUND(CAST(SUM(v_micros * dur_ms) AS DOUBLE) / SUM(dur_ms), 6)
+         AS twa_micros
+FROM seq WHERE dur_ms IS NOT NULL AND dur_ms > 0
+GROUP BY event_type
+"""
+
+
+@query(
+    "time_weighted_avg", oracle=_TWA_ORACLE, tags=("ext", "timeseries", "W2")
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean value per event type: each observation
+    counts for the milliseconds until the same user's next event (the
+    hypertable ``time_weight('locf')`` shape — a plain AVG over
+    irregular samples over-weights bursts).
+
+    Weights come from one LEAD window on (user_id; ts, event_id — a
+    total order), then a map-side-combined rollup; exact integer
+    micros·ms products keep the hash portable.  Scale: one user_id
+    shuffle + one tiny per-type aggregation, same two-exchange shape
+    as lead_sessionize.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    dur_ms = FN.unix_ms(F.lead("ts", 1).over(w)) - FN.unix_ms(F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_micros"),
+        dur_ms.alias("dur_ms"),
+    ).filter(F.col("dur_ms").isNotNull() & (F.col("dur_ms") > 0))
+    return seq.groupBy("event_type").agg(
+        F.sum(F.col("v_micros") * F.col("dur_ms")).alias("weighted_sum"),
+        F.sum("dur_ms").alias("total_ms"),
+        F.round(
+            F.sum(F.col("v_micros") * F.col("dur_ms")).cast("double")
+            / F.sum("dur_ms"),
+            6,
+        ).alias("twa_micros"),
+    )

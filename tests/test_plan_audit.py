@@ -217,3 +217,49 @@ def test_histogram_broadcasts_bounds_and_partial_aggregates(spark):
         plan[:3000]
     )
     assert re.search(r"partial_count", plan), plan[:2000]
+
+
+def test_region_nation_revenue_broadcasts_dims_and_pushes_date(spark):
+    """Q5 shape: supplier/nation/region must broadcast (no dim shuffle
+    against the lineitem leg) and the 1996 date window must reach the
+    orders scan as PushedFilters."""
+    df = REGISTRY["region_nation_revenue"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in g for g in m), plan[:2000]
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    """The hashed-feature scorer is a pure per-document map — any
+    Exchange in its plan is a regression."""
+    plan = _plan(REGISTRY["quality_classifier_linear"].fn(spark, SF_DIR))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan[:2000]
+    assert "Join" not in plan
+
+
+def test_token_budget_sample_single_window_exchange(spark):
+    """Budget sampling = one hash-partitioned window on source; no
+    joins, no extra shuffles."""
+    plan = _plan(REGISTRY["token_budget_sample"].fn(spark, SF_DIR))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_avg_quantity_subquery_reuses_partitioning(spark):
+    """Q17 decorrelation: the per-part aggregate and the join probe
+    share the l_partkey hash partitioning — at most two exchanges
+    total (fact + agg leg), never a third for re-partitioning."""
+    plan = _plan(REGISTRY["avg_quantity_subquery_filter"].fn(spark, SF_DIR))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 3, plan[:2000]
+
+
+def test_anomaly_zscore_two_exchanges(spark):
+    """Hourly rollup + series window: exactly the two keyed shuffles,
+    O(1) running-sum state per row (ROWS frame, no self-join)."""
+    plan = _plan(REGISTRY["anomaly_zscore_trailing"].fn(spark, SF_DIR))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 2, plan[:2000]
+    assert "Join" not in plan
