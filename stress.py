@@ -45,6 +45,10 @@ STRESS_QUERIES = [
     "token_count_bpe",
     "text_bm25_search",
     "numeric_histogram_profile",
+    "text_ngram_lm_score",
+    "dedup_substring_profile",
+    "anomaly_zscore_trailing",
+    "time_weighted_avg",
 ]
 
 

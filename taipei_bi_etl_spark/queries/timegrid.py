@@ -277,3 +277,128 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlation / regression aggregates — exact-integer moment sums.
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH pts AS (
+    SELECT event_type,
+           CAST(floor(epoch_ms(ts) / 3600000) % 24 AS BIGINT) AS hod,
+           CAST(floor(value * 1000000) AS BIGINT) AS v
+    FROM events
+), m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(hod) AS BIGINT) AS sx,
+           CAST(SUM(v) AS BIGINT) AS sy,
+           CAST(SUM(hod * v) AS BIGINT) AS sxy,
+           CAST(SUM(hod * hod) AS BIGINT) AS sxx
+    FROM pts GROUP BY event_type
+)
+SELECT event_type, n, sx, sy, sxy, sxx,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx), 6) AS slope_micros_per_hour
+FROM m
+"""
+
+
+@query(
+    "correlation_stats", oracle=_CORR_ORACLE, tags=("ext", "stats", "A1")
+)
+def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type regression of value on hour-of-day from the five moment
+    sums (n, Σx, Σy, Σxy, Σx²) — the sufficient statistics every
+    corr/covar/regr_* aggregate derives from, accumulated as exact
+    BIGINTs so they combine associatively (order-independent under any
+    partitioning) and hash-check cross-engine; only the final slope is
+    a (rounded) float.
+
+    The built-in ``corr``/``covar_pop`` compute running floats whose
+    value depends on partition order — unusable for a cross-engine
+    hash; this moment-sum form is also the textbook map-side-combine
+    shape: one shuffle carrying 5 longs per group.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (F.floor(FN.unix_ms("ts") / F.lit(3600000)) % 24).alias("hod"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("hod").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("hod") * F.col("v")).alias("sxy"),
+        F.sum(F.col("hod") * F.col("hod")).alias("sxx"),
+    )
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return m.select(
+        "event_type", "n", "sx", "sy", "sxy", "sxx",
+        slope.alias("slope_micros_per_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — ntile buckets with exact bounds.
+# ---------------------------------------------------------------------------
+
+N_DEPTH_BUCKETS = 10
+
+_EQUIDEPTH_ORACLE = f"""
+WITH v AS (
+    SELECT event_type,
+           CAST(floor(value * 1000000) AS BIGINT) AS v_micros,
+           NTILE({N_DEPTH_BUCKETS}) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(floor(value * 1000000) AS BIGINT), event_id
+           ) AS bucket
+    FROM events
+)
+SELECT event_type, CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(v_micros) AS BIGINT) AS lo_micros,
+       CAST(MAX(v_micros) AS BIGINT) AS hi_micros
+FROM v GROUP BY event_type, bucket
+"""
+
+
+@query(
+    "equidepth_histogram",
+    oracle=_EQUIDEPTH_ORACLE,
+    tags=("ext", "profiling", "stats"),
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) value histogram per event type — the
+    quantile-bucket profile optimizers and drift monitors want where
+    `numeric_histogram_profile` gives equi-width.  NTILE over the
+    (value, event_id) total order makes bucket assignment
+    deterministic under ties; bounds are exact micros.
+
+    Scale: one window shuffle per series + a rollup that reuses the
+    same partitioning prefix.  For 100 TB series swap NTILE for
+    approx_percentile cut-points (mergeable sketch) and bucket by
+    range — same output schema, no total sort.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_micros"),
+        "event_id",
+    )
+    w = W.partitionBy("event_type").orderBy("v_micros", "event_id")
+    return (
+        v.withColumn("bucket", F.ntile(N_DEPTH_BUCKETS).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v_micros").alias("lo_micros"),
+            F.max("v_micros").alias("hi_micros"),
+        )
+    )

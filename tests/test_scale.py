@@ -191,3 +191,17 @@ def test_zorder_layout_concentrates_both_dimensions(spark, tmp_path):
     # clusters it.  (16/256 selectivity, 16 files: lin is ~all files.)
     assert zo < lin, (zo, lin)
     assert zo <= n_files // 2, (zo, lin)
+
+
+def test_bench_and_stress_query_names_resolve():
+    """bench.py / stress.py run whatever these lists name — a typo or a
+    renamed query would silently shrink the driver's benchmark."""
+    import bench
+    import stress
+
+    from taipei_bi_etl_spark.queries import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench HEADLINE names not in REGISTRY: {missing}"
+    missing = [n for n in stress.STRESS_QUERIES if n not in REGISTRY]
+    assert not missing, f"stress names not in REGISTRY: {missing}"
