@@ -149,3 +149,71 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff — FULL OUTER join of two daily snapshots.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH base AS (
+    SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events
+), s AS (
+    SELECT user_id,
+           date_diff('day', base.d0, CAST(date_trunc('day', ts) AS DATE))
+             AS rd,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+    FROM events, base GROUP BY 1, 2
+), a AS (SELECT user_id, v FROM s WHERE rd = 10),
+   b AS (SELECT user_id, v FROM s WHERE rd = 11)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            WHEN a.v = b.v THEN 'same'
+            ELSE 'changed' END AS status,
+       COALESCE(b.v, 0) - COALESCE(a.v, 0) AS delta_micros
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+"""
+
+
+@query("snapshot_diff_cdc", oracle=_CDC_ORACLE, tags=("ext", "cdc", "join"))
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff of two consecutive daily per-user
+    snapshots (relative days 10 and 11): FULL OUTER join classifies
+    every user as added / removed / changed / same with an exact
+    integer delta — the comparison V6 runs as a check, productized as
+    a diff feed (and the engine's FULL OUTER join coverage).
+
+    The day axis is relative to the data's own MIN(day) (an in-plan
+    1-row broadcast, no driver round-trip).  Scale: both snapshots
+    come from ONE scan + one (user, day) rollup; the diff join
+    partitions on user_id — at 100 TB this is the standard
+    partition-to-partition CDC join, no side ever broadcast.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    day = F.to_date(FN.as_utc_ts("ts"))
+    d0 = ev.agg(F.min(day).alias("d0"))
+    s = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.datediff(day, F.col("d0")).alias("rd"),
+            F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+        )
+        .groupBy("user_id", "rd")
+        .agg(F.sum("v").alias("v"))
+    )
+    a = s.filter(F.col("rd") == 10).select("user_id", F.col("v").alias("va"))
+    b = s.filter(F.col("rd") == 11).select("user_id", F.col("v").alias("vb"))
+    j = a.join(b, "user_id", "full")
+    return j.select(
+        "user_id",
+        F.when(F.col("va").isNull(), F.lit("added"))
+        .when(F.col("vb").isNull(), F.lit("removed"))
+        .when(F.col("va") == F.col("vb"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        (F.coalesce("vb", F.lit(0)) - F.coalesce("va", F.lit(0))).alias(
+            "delta_micros"
+        ),
+    )

@@ -402,3 +402,76 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v_micros").alias("hi_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical rollup pyramid — hour → day → week from partials.
+# ---------------------------------------------------------------------------
+
+_PYRAMID_ORACLE = """
+WITH hourly AS (
+    SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS b,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+), daily AS (
+    SELECT b // 24 AS b, event_type,
+           CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+    FROM hourly GROUP BY 1, 2
+), weekly AS (
+    SELECT b // 7 AS b, event_type,
+           CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+    FROM daily GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, b, event_type, n, cents FROM hourly
+UNION ALL SELECT 'day', b, event_type, n, cents FROM daily
+UNION ALL SELECT 'week', b, event_type, n, cents FROM weekly
+"""
+
+
+@query(
+    "hierarchical_rollup", oracle=_PYRAMID_ORACLE, tags=("ext", "rollup", "A1")
+)
+def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour → day → week rollup pyramid where each coarser grain
+    re-aggregates the next finer grain's PARTIALS, never the raw rows —
+    the materialized-rollup discipline the reference applies to its
+    daily-partial → 28-day chain (SURVEY §2.4), extended to a full
+    pyramid.
+
+    Scale: the raw scan feeds exactly one (hour, type) aggregation; the
+    day and week levels run over frames whose size is the bucket count
+    (∝ time span), so their cost is independent of input rows.  The
+    hourly frame persists across its two consumers; at 100 TB each
+    level is what you'd materialize as a table, and incremental
+    refresh touches only the trailing buckets.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.floor(FN.unix_ms("ts") / F.lit(3600000)).alias("b"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .persist()
+    )
+    daily = (
+        hourly.groupBy(
+            (F.col("b") / 24).cast("long").alias("b"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .persist()
+    )
+    weekly = daily.groupBy(
+        (F.col("b") / 7).cast("long").alias("b"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    lvl = lambda df, g: df.select(  # noqa: E731
+        F.lit(g).alias("grain"), "b", "event_type", "n", "cents"
+    )
+    return lvl(hourly, "hour").unionByName(lvl(daily, "day")).unionByName(
+        lvl(weekly, "week")
+    )
