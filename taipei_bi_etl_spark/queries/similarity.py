@@ -370,3 +370,131 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return e.select("vec_id", proj.alias("proj"))
+
+
+# ---------------------------------------------------------------------------
+# JL-shortlist ANN — project, shortlist in 16-dim, re-rank exact.
+# ---------------------------------------------------------------------------
+
+JL_SHORTLIST = 256
+
+
+def _jl_sql_row(row: list[int]) -> str:
+    return "[" + ", ".join(f"{s}.0" for s in row) + "]"
+
+
+_JL_ANN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm,
+         [{", ".join("list_inner_product(embedding::DOUBLE[], " + _jl_sql_row(r) + ")" for r in _jl_rows())}]
+           AS p
+  FROM embeddings
+), pn AS (
+  SELECT vec_id, emb, nrm, p, sqrt(list_inner_product(p, p)) AS pnrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm,
+         p AS qp, pnrm AS qpnrm
+  FROM pn WHERE vec_id < {N_QUERIES}
+), shortlist AS (
+  SELECT q.query_id, pn.vec_id AS neighbor_id, pn.emb, pn.nrm,
+         q.qemb, q.qnrm,
+         list_inner_product(pn.p, q.qp) / (pn.pnrm * q.qpnrm) AS jl_sim
+  FROM pn CROSS JOIN q
+  WHERE pn.vec_id <> q.query_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id
+                             ORDER BY jl_sim DESC, pn.vec_id) <= {JL_SHORTLIST}
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY list_inner_product(emb, qemb) / (nrm * qnrm) DESC,
+                                        neighbor_id) AS INT) AS rank,
+       ROUND(list_inner_product(emb, qemb) / (nrm * qnrm), 6) AS cosine_sim
+FROM shortlist
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY list_inner_product(emb, qemb) / (nrm * qnrm) DESC,
+                                    neighbor_id) <= {TOP_K}
+"""
+
+
+@query(
+    "ann_jl_shortlist_topk",
+    oracle=_JL_ANN_ORACLE,
+    tags=("similarity", "extension"),
+)
+def ann_jl_shortlist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: shortlist {JL_SHORTLIST} candidates per query by
+    cosine in the 16-dim JL sign projection, then re-rank the shortlist
+    with the exact 64-dim cosine and keep top-{TOP_K} — the
+    project-shortlist-rerank composition every production vector store
+    runs (and the third scale path next to LSH buckets and PQ codes).
+
+    Scale: the 64-dim dot product — the expensive kernel — runs on
+    |queries|·{JL_SHORTLIST} rows instead of |queries|·|corpus|; the
+    corpus-wide pass happens in 16 dims (4× fewer multiplies, 4× fewer
+    bytes if the projection is materialized).  Every stage is codegen'd
+    zip_with/aggregate — and because both engines fold identical
+    doubles in identical order, even this composed pipeline
+    hash-matches the oracle exactly.  Recall vs the exact top-k is
+    gated in tests/test_similarity.py.
+
+    Recall caveat: the synthetic embeddings are near-isotropic (pairwise
+    cosines concentrate, top-k margins are tiny), the adversarial case
+    for any projection — measured recall at this shortlist is ~0.5
+    (gate 0.4).  Real text embeddings have low intrinsic dimension and
+    shortlist recall is far higher at the same settings; the plan shape
+    (cheap wide scan → tiny exact re-rank) is the point.
+    """
+    pn = _corpus_with_norm(spark, sf_dir)
+    rows = _jl_rows()
+    proj = F.array(
+        *[
+            dot(F.col("emb"), F.array(*[F.lit(float(s)) for s in row]))
+            for row in rows
+        ]
+    )
+    pn = pn.select(
+        "vec_id", "emb", "norm", proj.alias("p")
+    ).withColumn("pnorm", l2_norm(F.col("p")))
+    q = pn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+        F.col("p").alias("qp"),
+        F.col("pnorm").alias("qpnorm"),
+    )
+    jl_sim = dot(F.col("p"), F.col("qp")) / (F.col("pnorm") * F.col("qpnorm"))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("jl_sim").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        pn.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "emb",
+            "norm",
+            "qemb",
+            "qnorm",
+            jl_sim.alias("jl_sim"),
+        )
+        .withColumn("r", F.row_number().over(w_short))
+        .filter(F.col("r") <= JL_SHORTLIST)
+    )
+    exact = dot(F.col("emb"), F.col("qemb")) / (F.col("norm") * F.col("qnorm"))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.withColumn("sim", exact)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("sim"), 6).alias("cosine_sim"),
+        )
+    )

@@ -79,3 +79,25 @@ def test_pq_is_deterministic(spark):
     a = sorted(map(tuple, ann_pq_topk(spark, SF_DIR).collect()))
     b = sorted(map(tuple, ann_pq_topk(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_jl_shortlist_recall_vs_exact(spark):
+    """Project-shortlist-rerank must recover a meaningful share of the
+    exact top-k even on isotropic embeddings (the adversarial case for
+    projections — see the query docstring); recall on real low-
+    intrinsic-dimension embeddings is far higher."""
+    from taipei_bi_etl_spark.queries.similarity import (
+        ann_cosine_topk,
+        ann_jl_shortlist_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk(spark, SF_DIR).collect()
+    }
+    jl = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_jl_shortlist_topk(spark, SF_DIR).collect()
+    }
+    recall = len(exact & jl) / len(exact)
+    assert recall >= 0.4, f"JL shortlist recall too low: {recall:.2f}"
