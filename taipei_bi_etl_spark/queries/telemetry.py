@@ -495,3 +495,59 @@ def market_presentation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.count(F.when(F.col("is_target"), 1)).alias("n_target_customers"),
     )
+
+
+_BATCH_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_micros,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_value_micros
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@query(
+    "batch_session_window",
+    oracle=_BATCH_SESSION_ORACLE,
+    tags=("W2", "W3", "session"),
+)
+def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` run as a plain BATCH aggregation — the same
+    DataFrame program `streaming_sessionize` executes on the streaming
+    runtime, proving the batch/streaming unification both ways (one
+    oracle, two runtimes; the reference needs a LEAD rewrite for this,
+    SURVEY §2.9).
+
+    Scale: one shuffle on user_id; session merging is a sort within
+    the partition — no state store in batch mode, no self-join.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                "sum_value_micros"
+            ),
+        )
+        .select(
+            "user_id",
+            FN.unix_us(F.col("w.start")).alias("session_start_micros"),
+            "n_events",
+            "sum_value_micros",
+        )
+    )

@@ -283,3 +283,44 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
         )
     )
+
+
+_ROLLUP_ORACLE = """
+SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_pricing", oracle=_ROLLUP_ORACLE, tags=("ext", "cube", "A1"))
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — the hierarchical subset of CUBE
+    (`grouping_sets_pricing`): per (flag, status), per flag, and grand
+    total in one pass.  ROLLUP expands to 3 grouping sets instead of
+    CUBE's 4 — a strictly smaller Expand, the right choice when the
+    drill path is hierarchical.  Exact cents; grouping_id
+    disambiguates real NULL keys from subtotal rows.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "revenue_cents",
+            "n_lines",
+            F.col("gid").cast("long").alias("gid"),
+        )
+    )
