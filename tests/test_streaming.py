@@ -49,3 +49,66 @@ def test_stateful_rfe_last_seen_is_max_ts(spark):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once incremental ingest across job restarts: a second
+    availableNow run over the same checkpoint must process ONLY files
+    that arrived since the first run — the streaming analog of the
+    reference's raw-cache idempotency (K9) and the property that makes
+    a daily file-drop pipeline re-runnable without double counting."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "incoming"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "batch1.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probed = dict(spark.read.parquet(str(src / "batch1.parquet")).dtypes)["ts"]
+
+    def run_once():
+        from taipei_bi_etl_spark.streaming.jobs import _events_raw_schema
+        from pyspark.sql import types as T
+
+        ts_type = T.LongType() if probed == "bigint" else T.TimestampNTZType()
+        raw = (
+            spark.readStream.schema(_events_raw_schema(ts_type))
+            .format("parquet")
+            .load(str(src))
+        )
+        q = (
+            raw.select("event_id")
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(str(sink)).count()
+    base = spark.read.parquet(str(src / "batch1.parquet")).count()
+    assert n1 == base
+
+    # restart with NO new files: nothing must be reprocessed
+    run_once()
+    assert spark.read.parquet(str(sink)).count() == n1
+
+    # drop a second batch (fresh ids) and restart: only it is ingested
+    spark.read.parquet(str(src / "batch1.parquet")).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    ).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    b2 = [p for p in (tmp_path / "b2").glob("*.parquet")]
+    for i, p in enumerate(b2):
+        shutil.copy(p, src / f"batch2_{i}.parquet")
+    run_once()
+    out = spark.read.parquet(str(sink))
+    assert out.count() == 2 * n1
+    assert out.select("event_id").distinct().count() == 2 * n1
