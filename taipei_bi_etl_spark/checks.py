@@ -92,3 +92,40 @@ def compare_to_previous(current: DataFrame, previous: DataFrame, keys: Sequence[
         for r in added.unionByName(removed).groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     return {"added": counts.get("added", 0), "removed": counts.get("removed", 0)}
+
+
+def observed(
+    df: DataFrame,
+    name: str = "checks",
+    count_col: str | None = None,
+    not_null: Sequence[str] = (),
+    bounds: Sequence[str] = (),
+) -> tuple[DataFrame, "Observation"]:
+    """Attach V-family metrics to ``df`` as a zero-cost ``observe``:
+    row count, per-column null counts (V4), per-column min/max (V2) —
+    computed BY THE ACTION THAT RUNS ANYWAY, no second scan, no extra
+    job (the reference's asserts each re-scan the pandas frame).
+
+    Returns ``(df, observation)``; read ``observation.get`` after any
+    action on the returned frame.  At 100 TB a validation pass that
+    re-aggregates the output is a whole extra job — observe rides the
+    existing one.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+        )
+    for c in bounds:
+        metrics.append(F.min(c).alias(f"min_{c}"))
+        metrics.append(F.max(c).alias(f"max_{c}"))
+    if count_col:
+        # DISTINCT aggregates are disallowed in observed metrics —
+        # the HLL sketch is the observe-compatible (and 100 TB) form
+        metrics.append(
+            F.approx_count_distinct(count_col).alias(f"distinct_{count_col}")
+        )
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

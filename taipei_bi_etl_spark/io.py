@@ -179,3 +179,39 @@ def overwrite_days(
     overwrite — the reference loops re-clean+re-append per day
     (``tasks/bigquery.py:42-55,464-474``)."""
     write_partitioned(df.filter(F.col(date_col).isin(list(days))), path, date_col)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    tokens_per_shard: int = 100_000,
+) -> int:
+    """Write a document frame as size-targeted training shards
+    (``shard_id=K/`` partitions averaging ``tokens_per_shard``
+    whitespace tokens) — the sink a tokenize/pack stage consumes.
+
+    Sharding is content-addressed hash assignment, NOT a global
+    cumulative sum: the shard count comes from one 1-row total, and
+    each doc routes to ``xxhash64(md5(text)) mod n_shards`` — zero
+    global sort, one shuffle (the write's repartition by shard),
+    deterministic under any input partitioning, and per-shard totals
+    concentrate around the target (law of large numbers at ~200-token
+    docs; variance ∝ 1/sqrt(docs per shard)).  A global prefix-sum
+    would give exact boundaries but serializes at 100 TB — the
+    avoided scale bug.
+
+    Returns the shard count.
+    """
+    n_tokens = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    ).cast("long")
+    total = df.select(F.sum(n_tokens).alias("t")).collect()[0].t or 0
+    n_shards = max(1, int((total + tokens_per_shard - 1) // tokens_per_shard))
+    out = df.withColumn(
+        "shard_id", F.pmod(F.xxhash64(F.md5(F.col(text_col))), F.lit(n_shards))
+    )
+    out.repartition("shard_id").write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(path)
+    return n_shards

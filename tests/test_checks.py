@@ -60,3 +60,22 @@ def test_compare_to_previous_v6(spark):
     prev = spark.createDataFrame([(2,), (3,), (4,), (5,)], "k long")
     out = checks.compare_to_previous(cur, prev, ["k"])
     assert out == {"added": 1, "removed": 2}
+
+
+def test_observed_metrics_ride_the_action(spark):
+    """V2/V4 as df.observe: metrics must materialize from the SAME
+    action that produced the output — no second scan."""
+    from taipei_bi_etl_spark.checks import observed
+    from taipei_bi_etl_spark.io import read_table
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    df, obs = observed(
+        ev, not_null=["user_id"], bounds=["ts"], count_col="event_id"
+    )
+    n = df.count()  # the one action
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["nulls_user_id"] == 0
+    assert abs(got["distinct_event_id"] - n) / n < 0.05  # HLL ±rsd
+    assert got["min_ts"] <= got["max_ts"]

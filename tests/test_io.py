@@ -83,3 +83,32 @@ def test_snake_case_rename(spark):
     assert to_snake_case("HTTPStatus2Code") == "http_status2_code"
     df = const_relation(spark, [(1, 2)], "campaignToken int, NetworkName int")
     assert rename_snake(df).columns == ["campaign_token", "network_name"]
+
+
+def test_write_training_shards_sizes_and_determinism(spark, tmp_path):
+    from taipei_bi_etl_spark.io import read_table, write_training_shards
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, SF_DIR, "documents")
+    target = 20_000
+    p1 = str(tmp_path / "shards1")
+    n_shards = write_training_shards(d, p1, tokens_per_shard=target)
+    out = spark.read.parquet(p1)
+    # nothing lost, shard ids dense-bounded
+    assert out.count() == d.count()
+    assert out.select("shard_id").distinct().count() <= n_shards
+    # per-shard token totals concentrate around the target (hash
+    # assignment: loose 3x bound, no shard empty beyond hash variance)
+    tok = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    per = out.groupBy("shard_id").agg(F.sum(tok).alias("t")).collect()
+    assert max(r.t for r in per) < 3 * target
+    # content-addressed: a reshuffled input produces identical shards
+    p2 = str(tmp_path / "shards2")
+    write_training_shards(d.repartition(7), p2, tokens_per_shard=target)
+    a = {(r.doc_id, r.shard_id) for r in out.select("doc_id", "shard_id").collect()}
+    b = {
+        (r.doc_id, r.shard_id)
+        for r in spark.read.parquet(p2).select("doc_id", "shard_id").collect()
+    }
+    assert a == b
