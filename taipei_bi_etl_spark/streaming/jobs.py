@@ -311,3 +311,37 @@ def click_purchase_interval_join(events: DataFrame) -> DataFrame:
         "click_id",
         (FN.unix_ms("purchase_ts") - FN.unix_ms("click_ts")).alias("lag_ms"),
     )
+
+
+def stream_to_warehouse(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    date_col: str = "day",
+) -> None:
+    """foreachBatch sink: land a streaming aggregate in the
+    date-partitioned warehouse with DYNAMIC PARTITION OVERWRITE per
+    micro-batch — idempotent under batch replay (a re-delivered batch
+    rewrites its days instead of double-appending), which is how the
+    streaming path meets the batch layer's K7 idempotency contract.
+
+    The plain file sink can only append; update-mode aggregates need
+    exactly this upsert-by-partition pattern.
+    """
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(date_col)
+            .parquet(path)
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )

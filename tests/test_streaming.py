@@ -112,3 +112,33 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     out = spark.read.parquet(str(sink))
     assert out.count() == 2 * n1
     assert out.select("event_id").distinct().count() == 2 * n1
+
+
+def test_foreachbatch_warehouse_sink_is_idempotent(spark, tmp_path):
+    """Streaming rollup → dynamic-partition-overwrite warehouse: a
+    re-run of the same input must leave the warehouse unchanged (K7
+    idempotency on the streaming path), and the landed rows must equal
+    the batch rollup."""
+    from pyspark.sql import functions as F
+    from taipei_bi_etl_spark.streaming import stream_events, daily_type_rollup
+    from taipei_bi_etl_spark.streaming.jobs import stream_to_warehouse
+    from tests.conftest import SF_DIR
+
+    wh = str(tmp_path / "wh")
+
+    def run(ck: str):
+        agg = daily_type_rollup(stream_events(spark, SF_DIR)).withColumn(
+            "day_str", F.col("day").cast("string")
+        )
+        stream_to_warehouse(agg, wh, str(tmp_path / ck), date_col="day_str")
+
+    run("ck1")
+    first = sorted(
+        map(tuple, spark.read.parquet(wh).drop("day_str").collect())
+    )
+    assert first
+    run("ck2")  # fresh checkpoint: the whole input replays
+    second = sorted(
+        map(tuple, spark.read.parquet(wh).drop("day_str").collect())
+    )
+    assert first == second
