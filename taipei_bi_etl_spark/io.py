@@ -215,3 +215,33 @@ def write_training_shards(
         "shard_id"
     ).parquet(path)
     return n_shards
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> int:
+    """Compact a parquet directory to ~``target_mb`` files: the
+    maintenance pass that keeps a 100 TB warehouse readable after many
+    small incremental appends (thousands of KB-files per partition turn
+    every scan into a metadata storm).
+
+    Sizes from the actual on-disk bytes (not row counts), rewrites via
+    a temp dir + atomic rename — the read and the overwrite never race.
+    Returns the output file count.
+    """
+    import math
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return n_files

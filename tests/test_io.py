@@ -112,3 +112,18 @@ def test_write_training_shards_sizes_and_determinism(spark, tmp_path):
         for r in spark.read.parquet(p2).select("doc_id", "shard_id").collect()
     }
     assert a == b
+
+
+def test_compact_parquet_dir_shrinks_files_preserves_rows(spark, tmp_path):
+    from taipei_bi_etl_spark.io import compact_parquet_dir, read_table
+    from tests.conftest import SF_DIR
+
+    p = str(tmp_path / "frag")
+    ev = read_table(spark, SF_DIR, "events")
+    ev.repartition(64).write.parquet(p)
+    n_before = len([f for f in __import__("os").listdir(p) if f.endswith(".parquet")])
+    assert n_before >= 64
+    compact_parquet_dir(spark, p, target_mb=128)
+    n_after = len([f for f in __import__("os").listdir(p) if f.endswith(".parquet")])
+    assert n_after < n_before
+    assert spark.read.parquet(p).count() == ev.count()

@@ -56,3 +56,16 @@ def test_plan_partitions_monotone_and_bounded(nbytes):
     n = plan_partitions(nbytes)
     assert 32 <= n <= 200_000
     assert plan_partitions(nbytes * 2) >= n
+
+
+def test_jl_sign_matrix_balanced_and_deterministic():
+    """The inlined JL projection matrix must be a fixed ±1 matrix with
+    both signs present in every output row (an all-equal row would
+    collapse that dimension to a scaled sum)."""
+    from taipei_bi_etl_spark.queries.similarity import IN_DIM, _jl_rows
+
+    a, b = _jl_rows(), _jl_rows()
+    assert a == b
+    for row in a:
+        assert len(row) == IN_DIM
+        assert set(row) == {-1, 1}
