@@ -23,12 +23,14 @@ executes as a single Spark job per table write, not 18 BigQuery jobs.
 
 from __future__ import annotations
 
+import json
 import os
+import time
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import write_partitioned
@@ -118,7 +120,36 @@ class Pipeline:
                 )
             else:
                 window = out.filter(F.col(t.partition_col) == F.lit(date))
+            # run manifest: row count + partition bounds observed BY the
+            # write action itself (df.observe — no second scan; the
+            # reference's post-hoc asserts each re-scan the frame)
+            obs = Observation(f"{name}@{date}")
+            window = window.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(t.partition_col).alias("min_part"),
+                F.max(t.partition_col).alias("max_part"),
+            )
+            t0 = time.perf_counter()
             write_partitioned(window, self._table_path(name), t.partition_col)
+            got = obs.get
+            with open(
+                os.path.join(self.warehouse, "_manifest.jsonl"), "a"
+            ) as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "date": date,
+                            "task": name,
+                            "n_rows": got["n_rows"],
+                            "min_part": str(got["min_part"]),
+                            "max_part": str(got["max_part"]),
+                            "sec": round(time.perf_counter() - t0, 3),
+                        },
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
 
     def run_range(self, spark: SparkSession, dates: Sequence[str]) -> None:
         for d in dates:

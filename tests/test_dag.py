@@ -96,3 +96,28 @@ def test_retained_users_window(spark, warehouse):
     for r in rows:
         assert r.d0_retained <= r.cohort_size
         assert r.d1_retained <= r.cohort_size
+
+
+def test_run_manifest_records_observed_counts(spark, warehouse):
+    """Every table write appends a manifest line whose row count was
+    observed by the write action itself (no second scan) and matches
+    the materialized partition."""
+    import json
+    import os
+
+    wh, _pipe = warehouse
+    path = os.path.join(wh, "_manifest.jsonl")
+    assert os.path.exists(path)
+    lines = [json.loads(l) for l in open(path)]
+    assert lines
+    by_task = {}
+    for m in lines:
+        assert m["n_rows"] >= 0 and m["sec"] >= 0
+        by_task.setdefault(m["task"], []).append(m)
+    # spot-check one materialized table against its manifest total
+    task, entries = sorted(by_task.items())[0]
+    manifest_total = sum(m["n_rows"] for m in entries)
+    # re-runs overwrite partitions, so the on-disk count can be below
+    # the manifest sum but never above it
+    on_disk = spark.read.parquet(os.path.join(wh, task)).count()
+    assert on_disk <= manifest_total
