@@ -475,3 +475,63 @@ def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvl(hourly, "hour").unionByName(lvl(daily, "day")).unionByName(
         lvl(weekly, "week")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing — recursive fold over the ordered hourly series.
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH b AS (
+    SELECT event_type,
+           CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hb,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT event_type,
+           list_sort(list(struct_pack(hb := hb, x := x))) AS pts
+    FROM b GROUP BY event_type
+)
+SELECT event_type,
+       CAST(len(pts) AS BIGINT) AS n_buckets,
+       ROUND(list_reduce(list_transform(pts, p -> CAST(p.x AS DOUBLE)),
+                         (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma
+FROM s
+"""
+
+
+@query("ewma_smoothing", oracle=_EWMA_ORACLE, tags=("ext", "timeseries"))
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) of each
+    event_type's hourly series — the recursive smoother
+    (s_t = α·x_t + (1−α)·s_{t−1}) that windows can't express because
+    each output depends on ALL preceding inputs.
+
+    Expressed as an ordered fold: the hourly rollup collects into a
+    bucket-sorted array per series and a single Catalyst ``aggregate``
+    replays the recurrence.  α = 1/2 keeps every step a halving —
+    exactly representable, so the fold is bit-identical cross-engine.
+
+    Scale: state is one array per SERIES (∝ time-span buckets, not raw
+    rows — the rollup collapses rows first).  Series too long for one
+    array chunk into segments whose partial (value, weight) pairs
+    compose associatively — same plan, one extra rollup level.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(FN.unix_ms("ts") / F.lit(3600000)).alias("hb"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("x"))
+    s = b.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("hb", "x"))).alias("pts")
+    )
+    ewma = F.aggregate(
+        F.transform(F.col("pts"), lambda p: p["x"].cast("double")),
+        F.lit(0.0),
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+    )
+    return s.select(
+        "event_type",
+        F.size("pts").cast("long").alias("n_buckets"),
+        F.round(ewma, 6).alias("ewma"),
+    )
