@@ -223,3 +223,91 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("edit_distance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence lift — market-basket association over user baskets.
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH u AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), totals AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+), singles AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY event_type
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM u a JOIN u b ON a.user_id = b.user_id
+         AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both, sa.n AS n_a, sb.n AS n_b,
+       t.n_users,
+       ROUND(CAST(p.n_both AS DOUBLE) * t.n_users / (sa.n * sb.n), 6)
+         AS lift
+FROM pairs p
+JOIN singles sa ON p.type_a = sa.event_type
+JOIN singles sb ON p.type_b = sb.event_type
+CROSS JOIN totals t
+"""
+
+
+@query(
+    "event_cooccurrence_lift", oracle=_LIFT_ORACLE, tags=("ext", "basket")
+)
+def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over per-user event baskets:
+    P(A∧B)/(P(A)·P(B)) for every unordered event-type pair, from exact
+    distinct-user counts (the "users who did X also did Y" feed).
+
+    Shape: distinct (user, type) collapses the raw events once; the
+    pair self-join runs on that |users|·|types|-bounded frame keyed by
+    user_id (never the raw events); singles and the 1-row user total
+    broadcast onto the tiny pair frame.  At 100 TB the only big
+    exchanges are the distinct and the user-keyed pair join — both
+    bounded by baskets, not events.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct().persist()
+    totals = u.select(F.countDistinct("user_id").alias("n_users"))
+    singles = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = u.alias("a"), u.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            "n_users",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
