@@ -299,3 +299,88 @@ def dedup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling — keep-probability from the classifier score.
+# ---------------------------------------------------------------------------
+
+_MD5_POLY_SQL = (
+    "list_reduce(list_transform(string_split(md5(text), ''),"
+    " c -> ascii(c)::BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+_WSAMPLE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, text,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tok
+    FROM documents
+), scored AS (
+    SELECT doc_id, source,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(tok, t -> {_WEIGHT_SQL}))
+                AS BIGINT) AS total_weight,
+           {_MD5_POLY_SQL} % 1000 AS u
+    FROM toks WHERE len(tok) > 0
+)
+SELECT doc_id, source,
+       CAST(u AS BIGINT) AS u,
+       total_weight // n_tokens AS avg_w,
+       CASE WHEN u < 500 + greatest(-500, least(500, total_weight // n_tokens))
+            THEN 1 ELSE 0 END AS kept
+FROM scored
+"""
+
+
+@query(
+    "quality_weighted_sample",
+    oracle=_WSAMPLE_ORACLE,
+    tags=("curation", "sampling", "extension"),
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted Bernoulli sampling: each doc's
+    keep-probability is (500 + clamped per-token classifier score)/1000
+    and the coin flip is a content hash — upsample good docs, keep the
+    sample reproducible under any layout/re-ingestion (the
+    quality-proportional mixing step of a curation pipeline, after the
+    hard gates).
+
+    Everything is exact integers: the uniform draw is a polynomial fold
+    of md5(text) mod 1000, the threshold a clamped integer floor-div —
+    no float boundary can flap the membership hash.  Map-side only;
+    zero shuffle.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = F.filter(_tokens(), lambda t: t != "")
+    total = F.aggregate(
+        F.transform(tok, _token_weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    md5_chars = F.filter(F.split(F.md5("text"), ""), lambda c: c != "")
+    u = (
+        F.aggregate(
+            F.transform(md5_chars, lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % HASH_MOD,
+        )
+        % 1000
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(tok).cast("long").alias("n_tokens"),
+        total.alias("total_weight"),
+        u.alias("u"),
+    ).filter(F.col("n_tokens") > 0)
+    avg_w = F.expr("total_weight div n_tokens")
+    clamped = F.greatest(F.lit(-500), F.least(F.lit(500), avg_w))
+    return scored.select(
+        "doc_id",
+        "source",
+        "u",
+        avg_w.alias("avg_w"),
+        F.when(F.col("u") < 500 + clamped, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("kept"),
+    )
