@@ -535,3 +535,77 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("pts").cast("long").alias("n_buckets"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization — percentile-clamped robust aggregates.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH v AS (
+    SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v_micros
+    FROM events
+), cuts AS (
+    SELECT event_type,
+           CAST(ceil(quantile_cont(v_micros, 0.05)) AS BIGINT) AS lo,
+           CAST(floor(quantile_cont(v_micros, 0.95)) AS BIGINT) AS hi
+    FROM v GROUP BY event_type
+)
+SELECT v.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v_micros < lo OR v_micros > hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       CAST(SUM(greatest(lo, least(hi, v_micros))) AS BIGINT)
+         AS winsorized_sum_micros,
+       ROUND(CAST(SUM(greatest(lo, least(hi, v_micros))) AS DOUBLE)
+             / COUNT(*), 6) AS winsorized_mean
+FROM v JOIN cuts ON v.event_type = cuts.event_type
+GROUP BY v.event_type
+"""
+
+
+@query(
+    "winsorize_values", oracle=_WINSOR_ORACLE, tags=("ext", "stats", "W4")
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clamped) per-type value aggregates — the
+    robust-statistics cleaning step for long-tailed telemetry.  The
+    interpolated `percentile` cut-points (cross-engine equivalence
+    pinned by the W4 rollup) integerize to [ceil(p05), floor(p95)] so
+    the clamped sum stays an exact BIGINT — order-independent under
+    any partitioning, per the global float policy.
+
+    Plan: cut-points aggregate per type (tiny frame, broadcast back
+    onto the scan), then one clamped rollup — two exchanges, the
+    second carrying only group partials.  At 100 TB swap `percentile`
+    for `percentile_approx` at the call site (mergeable sketch, same
+    shape) and the clamp is unchanged.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_micros"),
+    )
+    cuts = v.groupBy("event_type").agg(
+        F.ceil(F.expr("percentile(v_micros, 0.05)")).cast("long").alias("lo"),
+        F.floor(F.expr("percentile(v_micros, 0.95)")).cast("long").alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v_micros")))
+    return (
+        v.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("v_micros") < F.col("lo"))
+                    | (F.col("v_micros") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clamped"),
+            F.sum(clamped).alias("winsorized_sum_micros"),
+            F.round(
+                F.sum(clamped).cast("double") / F.count(F.lit(1)), 6
+            ).alias("winsorized_mean"),
+        )
+    )
