@@ -217,3 +217,104 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_micros"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time dimension lookup — time-travel join against SCD2.
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH src AS (
+    SELECT user_id, ts, event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS attr_k
+    FROM events
+), marked AS (
+    SELECT user_id, ts, event_id, attr_k,
+           CASE WHEN LAG(attr_k) OVER w IS DISTINCT FROM attr_k
+                THEN 1 ELSE 0 END AS changed
+    FROM src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), iv AS (
+    SELECT user_id, attr_k, ts AS f,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+    FROM marked WHERE changed = 1
+), p AS (
+    SELECT user_id, event_id AS purchase_id, ts FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+       COALESCE(iv.attr_k, -1) AS attr_k_at_ts
+FROM p LEFT JOIN iv
+  ON p.user_id = iv.user_id
+ AND p.ts >= iv.f AND (iv.t IS NULL OR p.ts < iv.t)
+"""
+
+
+@query(
+    "pit_dimension_lookup", oracle=_PIT_ORACLE, tags=("ext", "scd2", "asof")
+)
+def pit_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each purchase tagged with the dimension
+    attribute that was valid AT its timestamp — the time-travel join
+    every SCD2 history exists to answer (the oracle runs the literal
+    validity-interval join).
+
+    Implementation is the one-shuffle union+window form, not an
+    interval join: dimension changes and probes union into one frame,
+    one window per user ordered by (ts, is_probe, event_id) carries the
+    last attribute forward onto each probe.  Changes sort before probes
+    at equal ts — valid_from is inclusive, matching the interval
+    semantics exactly.  No join node, no interval explosion for
+    long-lived attribute versions (the bucketed-range-join trick would
+    fan long validity windows out across every bucket they span).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    src = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("attr_k"),
+    )
+    changes = (
+        src.withColumn(
+            "changed",
+            F.when(
+                ~F.lag("attr_k").over(w).eqNullSafe(F.col("attr_k")), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .filter(F.col("changed") == 1)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "attr_k",
+            F.lit(0).alias("is_probe"),
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("int").alias("attr_k"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    uw = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        changes.unionByName(probes)
+        .withColumn("pit_attr", F.last("attr_k", ignorenulls=True).over(uw))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            FN.unix_us("ts").alias("ts_us"),
+            F.coalesce("pit_attr", F.lit(-1)).alias("attr_k_at_ts"),
+        )
+    )
