@@ -260,10 +260,11 @@ def pit_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every SCD2 history exists to answer (the oracle runs the literal
     validity-interval join).
 
-    Implementation is the one-shuffle union+window form, not an
-    interval join: dimension changes and probes union into one frame,
-    one window per user ordered by (ts, is_probe, event_id) carries the
-    last attribute forward onto each probe.  Changes sort before probes
+    Implementation is the union+window form, not an interval join:
+    dimension changes and probes union into one frame, one window per
+    user ordered by (ts, is_probe, event_id) carries the last
+    attribute forward onto each probe — two user_id-keyed shuffles
+    (change detection, then the union window), plan-pinned.  Changes sort before probes
     at equal ts — valid_from is inclusive, matching the interval
     semantics exactly.  No join node, no interval explosion for
     long-lived attribute versions (the bucketed-range-join trick would

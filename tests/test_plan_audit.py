@@ -263,3 +263,22 @@ def test_anomaly_zscore_two_exchanges(spark):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges <= 2, plan[:2000]
     assert "Join" not in plan
+
+
+def test_pit_lookup_is_single_window_no_join(spark):
+    """PIT lookup must stay the union+window form: two user_id-keyed
+    exchanges (change-detection window, then the union window), no
+    Join node — an interval-join plan here would fan long-lived
+    dimension versions across their whole validity span."""
+    plan = _plan(REGISTRY["pit_dimension_lookup"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan[:2000]
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 2, plan[:2000]
+
+
+def test_ewma_state_is_series_bounded(spark):
+    """EWMA folds one array per series built from the ROLLUP, not raw
+    rows: the plan must aggregate before collecting (two HashAggregate
+    levels, no window over raw events)."""
+    plan = _plan(REGISTRY["ewma_smoothing"].fn(spark, SF_DIR))
+    assert "Window" not in plan, plan[:2000]
