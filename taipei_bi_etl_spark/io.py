@@ -245,3 +245,43 @@ def compact_parquet_dir(
     shutil.rmtree(path)
     os.replace(tmp, path)
     return n_files
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    df_new: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_col: str,
+    date_col: str = "utc_date",
+) -> None:
+    """MERGE-style upsert into a date-partitioned parquet warehouse:
+    per key keep the row with the greatest ``order_col`` across
+    existing ∪ new — the reference's pandasql max-datetime dedup-merge
+    (J10, ``tasks/revenue.py:147-167``) productized at the sink.
+
+    Plain parquet has no row-level MERGE, so the upsert is: union the
+    incoming batch with ONLY the partitions it touches (static
+    partition pruning on the existing scan), window keep-latest, and
+    dynamically overwrite those partitions.  Cost ∝ touched partitions,
+    never the whole table; ties break toward the incoming batch.
+    """
+    if not os.path.exists(path):
+        write_partitioned(df_new, path, date_col)
+        return
+    from pyspark.sql import Window
+
+    touched = [r[0] for r in df_new.select(date_col).distinct().collect()]
+    existing = spark.read.parquet(path).filter(F.col(date_col).isin(touched))
+    merged = existing.withColumn("__new", F.lit(0)).unionByName(
+        df_new.withColumn("__new", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("__new").desc()
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__new")
+    )
+    write_partitioned(latest, path, date_col)

@@ -127,3 +127,33 @@ def test_compact_parquet_dir_shrinks_files_preserves_rows(spark, tmp_path):
     n_after = len([f for f in __import__("os").listdir(p) if f.endswith(".parquet")])
     assert n_after < n_before
     assert spark.read.parquet(p).count() == ev.count()
+
+
+def test_upsert_partitioned_merges_and_is_idempotent(spark, tmp_path):
+    from taipei_bi_etl_spark.io import upsert_partitioned
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 10, "2024-01-01"), (2, "b", 10, "2024-01-01"),
+         (3, "c", 10, "2024-01-02")],
+        "k int, v string, ver int, utc_date string",
+    )
+    upsert_partitioned(spark, base, path, keys=["k"], order_col="ver")
+    # update k=2, insert k=4, leave the 01-02 partition untouched
+    batch = spark.createDataFrame(
+        [(2, "B", 20, "2024-01-01"), (4, "d", 5, "2024-01-01")],
+        "k int, v string, ver int, utc_date string",
+    )
+    upsert_partitioned(spark, batch, path, keys=["k"], order_col="ver")
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 20), 3: ("c", 10), 4: ("d", 5)}
+    # replay the same batch: nothing changes (idempotent merge)
+    upsert_partitioned(spark, batch, path, keys=["k"], order_col="ver")
+    again = {r.k: (r.v, r.ver) for r in spark.read.parquet(path).collect()}
+    assert again == got
+    # stale version must NOT clobber a newer row
+    stale = spark.createDataFrame(
+        [(2, "old", 1, "2024-01-01")], "k int, v string, ver int, utc_date string"
+    )
+    upsert_partitioned(spark, stale, path, keys=["k"], order_col="ver")
+    assert {r.k: (r.v, r.ver) for r in spark.read.parquet(path).collect()} == got
