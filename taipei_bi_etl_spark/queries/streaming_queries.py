@@ -170,3 +170,48 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         enriched_nation_rollup(stream_events(spark, sf_dir), dim)
     )
+
+
+# Append mode emits a day's window only once the watermark (the lagged
+# minimum of both input streams' max event times) passes its end — the
+# oracle encodes exactly that finalization rule, so the comparison
+# checks the chained pipeline AND the emission semantics.
+_ATTRIB_ORACLE = """
+WITH pairs AS (
+    SELECT p.ts AS purchase_ts
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+), wm AS (
+    SELECT least(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+    ) - INTERVAL 1 HOUR AS w
+)
+SELECT CAST(date_trunc('day', purchase_ts) AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs, wm
+GROUP BY 1, wm.w
+HAVING CAST(date_trunc('day', MIN(purchase_ts)) AS DATE)
+       + INTERVAL 1 DAY <= wm.w
+"""
+
+
+@query(
+    "streaming_attributed_rollup",
+    oracle=_ATTRIB_ORACLE,
+    tags=("streaming", "extension"),
+)
+def streaming_attributed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained stateful operators in ONE continuous query:
+    stream-stream interval join → tumbling daily rollup of attributed
+    pairs.  The oracle replays both the computation and append-mode's
+    watermark finalization rule (only days whose window closed before
+    the lagged min-of-both-streams watermark emit)."""
+    from taipei_bi_etl_spark.streaming.jobs import attributed_daily_rollup
+
+    return run_available_now(
+        attributed_daily_rollup(stream_events(spark, sf_dir)),
+        output_mode="append",
+    )

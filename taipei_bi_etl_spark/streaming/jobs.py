@@ -345,3 +345,45 @@ def stream_to_warehouse(
         .start()
         .awaitTermination(300)
     )
+
+
+def attributed_daily_rollup(events: DataFrame) -> DataFrame:
+    """CHAINED stateful operators: the stream-stream interval join's
+    output aggregated by a tumbling daily window — two state stores in
+    one continuous query (supported since multiple-stateful-operator
+    chaining landed; the watermark from the join's inputs propagates
+    into the window operator).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    j = purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    )
+    return (
+        j.groupBy(F.window("purchase_ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("w.start").cast("date").alias("day"), "n_pairs")
+    )
