@@ -149,3 +149,58 @@ def approx_distinct_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_dau"))
     )
+
+
+_GROUPED_AGG_ORACLE = """
+WITH v AS (
+    SELECT event_type,
+           CAST(floor(value * 1000000) AS BIGINT) AS v_micros,
+           CAST(length(props) AS BIGINT) AS w
+    FROM events
+)
+SELECT event_type,
+       CAST(SUM(v_micros * w) AS BIGINT) AS weighted_sum,
+       CAST(SUM(w) AS BIGINT) AS total_w
+FROM v GROUP BY event_type
+"""
+
+
+@query(
+    "pandas_grouped_agg_weighted",
+    oracle=_GROUPED_AGG_ORACLE,
+    tags=("pandas", "extension"),
+)
+def pandas_grouped_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf — the fourth pandas surface (scalar /
+    grouped-map / map / with-state live elsewhere): a weighted sum per
+    group computed as one Arrow batch per group in numpy.
+
+    Accumulation is int64 (value micros × weight), so the result is
+    independent of within-group arrival order — the float-sum
+    non-determinism a naive pandas ``(v*w).sum()`` of doubles would
+    smuggle in.  At scale a grouped-agg pandas_udf ships each whole
+    group to Python — right only when groups are bounded (they are:
+    one per event type); unbounded groups belong in JVM aggregates.
+    """
+    import pandas as pd
+
+    from taipei_bi_etl_spark.io import read_table
+
+    @F.pandas_udf(T.LongType())
+    def wsum(v: pd.Series, w: pd.Series) -> int:
+        return int((v.astype("int64") * w.astype("int64")).sum())
+
+    @F.pandas_udf(T.LongType())
+    def tsum(w: pd.Series) -> int:
+        return int(w.astype("int64").sum())
+
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_micros"),
+        F.length("props").cast("long").alias("w"),
+    )
+    return v.groupBy("event_type").agg(
+        wsum(F.col("v_micros"), F.col("w")).alias("weighted_sum"),
+        tsum(F.col("w")).alias("total_w"),
+    )
