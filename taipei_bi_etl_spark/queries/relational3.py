@@ -188,3 +188,41 @@ def salted_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum("price_cents").alias("rev_cents"),
     )
+
+
+_DIST_WINDOW_ORACLE = """
+WITH v AS (
+    SELECT o_orderpriority, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT o_orderpriority, o_orderkey,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+FROM v
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents)
+"""
+
+
+@query(
+    "distribution_window_ranks",
+    oracle=_DIST_WINDOW_ORACLE,
+    tags=("ext", "window"),
+)
+def distribution_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK and CUME_DIST per order within its priority class —
+    the remaining distribution window functions next to
+    `ntile_spend_quartiles`.  Both are tie-stable (equal keys share the
+    value), so the hash is deterministic without a tiebreak column;
+    the division (rank-1)/(n-1) is the same double both engines
+    compute.  One window shuffle on the partition key.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = W.partitionBy("o_orderpriority").orderBy(cents)
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
