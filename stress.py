@@ -49,6 +49,10 @@ STRESS_QUERIES = [
     "dedup_substring_profile",
     "anomaly_zscore_trailing",
     "time_weighted_avg",
+    "ohlc_downsample",
+    "max_concurrent_intervals",
+    "heartbeat_gap_downtime",
+    "array_day_overlap",
 ]
 
 

@@ -79,4 +79,7 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     timegrid,
     text2,
     relational4,
+    relational5,
+    temporal2,
+    arrays,
 )
