@@ -15,7 +15,7 @@ are float-order-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
@@ -235,11 +235,14 @@ def max_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue is an exact BIGINT cents sum.
 
     Scale: the ship-date predicate pushes to the lineitem scan before
-    the l_suppkey aggregation; ``rev`` is |suppliers|-sized, so the max
-    is a 1-row re-aggregation of partials broadcast back via cross
-    join, and the supplier join broadcasts the filtered winner side.
-    The fact is scanned once — Catalyst reuses the ``rev`` subplan for
-    both the max and the equality probe via ReusedExchange.
+    the l_suppkey aggregation, and the fact is scanned exactly ONCE —
+    the max is taken as a global window over the already-aggregated
+    ``rev`` frame (|suppliers| rows, not |lineitem|), so no second
+    subplan re-derives it.  The empty-frame window funnels |suppliers|
+    rows through one partition, which is fine at any TPC-H scale
+    (suppliers ≪ fact); the naive "WHERE rev = (SELECT MAX ...)" form
+    would instead plan the fact aggregation twice unless exchange reuse
+    kicks in.  The supplier join broadcasts the 1-to-few winner side.
     """
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(_Q15_WINDOW[0]).cast("timestamp"))
@@ -252,9 +255,11 @@ def max_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
         ).alias("total_rev_cents")
     )
-    top = rev.agg(F.max("total_rev_cents").alias("max_rev_cents"))
     winners = (
-        rev.crossJoin(F.broadcast(top))
+        rev.withColumn(
+            "max_rev_cents",
+            F.max("total_rev_cents").over(W.partitionBy()),
+        )
         .filter(F.col("total_rev_cents") == F.col("max_rev_cents"))
         .drop("max_rev_cents")
     )

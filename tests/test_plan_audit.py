@@ -282,3 +282,49 @@ def test_ewma_state_is_series_bounded(spark):
     levels, no window over raw events)."""
     plan = _plan(REGISTRY["ewma_smoothing"].fn(spark, SF_DIR))
     assert "Window" not in plan, plan[:2000]
+
+
+def test_ohlc_is_single_aggregation_no_window(spark):
+    """OHLC folds open/close into the same aggregation pass as
+    high/low via min_by/max_by on the (ts,event_id) struct — the plan
+    must show ONE keyed exchange and NO Window node (the oracle's
+    two-ROW_NUMBER form would sort the bucket twice)."""
+    plan = _plan(REGISTRY["ohlc_downsample"].fn(spark, SF_DIR))
+    assert "Window" not in plan, plan[:2000]
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan[:2000]
+
+
+def test_heartbeat_gap_single_user_shuffle(spark):
+    """The LEAD window and the per-user aggregation must share the ONE
+    user_id hash partitioning — a second exchange here would double-
+    shuffle every event at 100 TB."""
+    plan = _plan(REGISTRY["heartbeat_gap_downtime"].fn(spark, SF_DIR))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_max_revenue_supplier_scans_fact_once(spark):
+    """Q15's max-of-aggregate must NOT re-derive the revenue subplan
+    for the scalar max: one lineitem scan, with the max taken as a
+    window over the |suppliers|-row aggregate."""
+    df = REGISTRY["max_revenue_supplier"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan[:3000]
+
+
+def test_order_count_distribution_keeps_outer_join(spark):
+    """Q13's ON-clause filter must not collapse the LEFT join to inner
+    (zero-order customers carry count 0); the priority predicate stays
+    in the join, not a pre-filter that would drop null rows."""
+    plan = _plan(REGISTRY["order_count_distribution"].fn(spark, SF_DIR))
+    assert re.search(r"LeftOuter|BuildRight.*LeftOuter|LeftOuter.*Build", plan), plan[:3000]
+
+
+def test_value_share_threshold_broadcasts_scalar(spark):
+    """Q11's grand total must ride a broadcast (1-row nested-loop or
+    exchange), never a shuffled join of the scalar against every
+    partition."""
+    plan = _plan(REGISTRY["value_share_threshold"].fn(spark, SF_DIR))
+    assert "Broadcast" in plan, plan[:2000]
