@@ -82,4 +82,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     relational5,
     temporal2,
     arrays,
+    modern_api,
 )
