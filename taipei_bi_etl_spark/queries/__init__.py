@@ -83,4 +83,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     temporal2,
     arrays,
     modern_api,
+    sketches,
 )

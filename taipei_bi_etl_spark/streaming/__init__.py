@@ -23,6 +23,7 @@ from taipei_bi_etl_spark.streaming.jobs import (  # noqa: F401
     daily_type_rollup,
     run_available_now,
     sessionize,
+    sliding_wau,
     stream_events,
     user_rfe_state,
 )

@@ -387,3 +387,37 @@ def attributed_daily_rollup(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .select(F.col("w.start").cast("date").alias("day"), "n_pairs")
     )
+
+
+def sliding_wau(events: DataFrame) -> DataFrame:
+    """Sliding 7-day / 1-day-slide weekly-active-users — the streaming
+    form of the reference's WAU re-scan (SURVEY §2.9,
+    ``/root/reference/sql/mango_active_user_count.sql:40-84``).
+
+    Exact COUNT DISTINCT is unsupported in streaming aggregation, so
+    the plan chains two stateful operators instead: each event expands
+    to the 7 day-aligned windows that contain it, dropDuplicates on
+    (user, window) keeps one row per user per window, and a count per
+    window is then an *exact* distinct-user count, incrementally
+    maintained.  (Deduping on (user, day) instead would count
+    user-days, not users — a user active on 3 days of a window must
+    still count once.)
+
+    State: one row per (user, window) pair — 7× the user-day
+    cardinality.  A production run bounds it with
+    dropDuplicatesWithinWatermark keyed the same way; availableNow
+    batch-over-stream runs complete-mode with full state, which is
+    what the oracle comparison needs.
+    """
+    expanded = events.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+    ).select(
+        "user_id", F.date_sub("day", F.col("i")).alias("window_start")
+    )
+    return (
+        expanded.dropDuplicates(["user_id", "window_start"])
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
