@@ -300,3 +300,74 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe corpus split — split by duplicate-CLUSTER, not by document.
+# ---------------------------------------------------------------------------
+
+from taipei_bi_etl_spark.queries.clustering_split_oracle import (  # noqa: E402
+    _LEAKAGE_SPLIT_ORACLE,
+)
+
+
+@query(
+    "split_leakage_safe",
+    oracle=_LEAKAGE_SPLIT_ORACLE,
+    tags=("curation", "dedup", "extension"),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split keyed on the NEAR-DUP CLUSTER representative
+    instead of the document itself — the leakage guard
+    ``corpus_hash_split`` cannot give: two near-duplicate documents
+    hash to different buckets under per-doc content addressing, so one
+    lands in train and its twin in test, inflating eval.  Here every
+    member of a near-dup component inherits the representative's (min
+    doc_id) content hash, so a whole cluster moves between splits as a
+    unit and eval contamination by near-dups is structurally zero.
+
+    Pipeline composition: MinHash-LSH verified pairs → min-label
+    components → representative text hash → 80/10/10 bucket.  Docs in
+    no component are their own representative (singleton clusters).
+
+    Scale: the component step runs on the PAIR list (output of sketch
+    dedup, ≪ corpus); the only corpus-sized shuffles are the LEFT join
+    attaching component ids and the rep-text lookup join on rep_id.
+    Split assignment stays content-addressed ⇒ stable under
+    re-partitioning, re-ingestion, and appends (a new near-dup of a
+    test doc joins the test split, never train).
+    """
+    from taipei_bi_etl_spark.io import read_table
+    from taipei_bi_etl_spark.queries.curation import _SPLIT_B1, _SPLIT_P1
+    from taipei_bi_etl_spark.queries.dedup import dedup_minhash_lsh
+    from taipei_bi_etl_spark.queries.text import _char_array, poly_hash
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(pairs, "doc_a", "doc_b")
+    d = read_table(spark, sf_dir, "documents")
+    rep = (
+        d.select("doc_id", "source")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("component_id", "doc_id").cast("long").alias("rep_id"),
+        )
+    )
+    rep_hash = d.select(
+        F.col("doc_id").alias("h_doc_id"),
+        (poly_hash(_char_array(F.col("text")), _SPLIT_B1, _SPLIT_P1) % 100)
+        .alias("b1"),
+    )
+    return (
+        rep.join(rep_hash, rep["rep_id"] == rep_hash["h_doc_id"])
+        .select(
+            "doc_id",
+            "source",
+            "rep_id",
+            F.when(F.col("b1") < 80, "train")
+            .when(F.col("b1") < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

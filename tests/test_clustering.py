@@ -97,3 +97,20 @@ def test_semantic_dedup_within_cell_complete_and_keeps_canonical(spark):
     for c, ms in members.items():
         keeps = [v for v in ms if out[v].keep]
         assert keeps == [min(ms)] and c == min(ms)
+
+
+def test_leakage_safe_split_never_separates_near_dups(spark):
+    """The property the query exists for: every verified near-dup pair
+    lands in the SAME split (and shares a representative)."""
+    from taipei_bi_etl_spark.queries import REGISTRY
+    from taipei_bi_etl_spark.queries.dedup import dedup_minhash_lsh
+
+    splits = {
+        r.doc_id: (r.rep_id, r.split)
+        for r in REGISTRY["split_leakage_safe"].fn(spark, SF_DIR).collect()
+    }
+    pairs = dedup_minhash_lsh(spark, SF_DIR).select("doc_a", "doc_b").collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert splits[p.doc_a][0] == splits[p.doc_b][0]
+        assert splits[p.doc_a][1] == splits[p.doc_b][1]
