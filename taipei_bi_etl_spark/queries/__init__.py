@@ -84,4 +84,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     arrays,
     modern_api,
     sketches,
+    relational6,
 )

@@ -328,3 +328,26 @@ def test_value_share_threshold_broadcasts_scalar(spark):
     partition."""
     plan = _plan(REGISTRY["value_share_threshold"].fn(spark, SF_DIR))
     assert "Broadcast" in plan, plan[:2000]
+
+
+def test_disjunctive_bracket_join_derives_pushable_predicates(spark):
+    """Q19's OR-of-ANDs spans both join sides; the hand-derived implied
+    predicates (brand IN, quantity range) must reach BOTH parquet scans
+    as PushedFilters, and the join must stay an equi hash join."""
+    plan = _plan(REGISTRY["disjunctive_bracket_join"].fn(spark, SF_DIR))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("l_quantity" in s for s in pushed), plan[:3000]
+    assert any("p_brand" in s for s in pushed), plan[:3000]
+    assert "NestedLoop" not in plan, plan[:3000]
+
+
+def test_sole_late_supplier_scans_fact_once(spark):
+    """Q21's EXISTS pair must not duplicate the fact subtree: one
+    lineitem scan, per-order counts via window over the aggregated
+    flags, at most 3 exchanges (fact repartition, orders leg, final
+    rollup)."""
+    df = REGISTRY["sole_late_supplier"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan[:3000]
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 3, plan[:3000]
