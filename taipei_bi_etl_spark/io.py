@@ -107,7 +107,50 @@ def read_json(
     return reader.json(list(path_or_glob) if isinstance(path_or_glob, (list, tuple)) else path_or_glob)
 
 
+def read_json_quarantine(
+    spark: SparkSession,
+    path_or_glob: str | Sequence[str],
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON scan with row-level error quarantine: returns
+    ``(good, bad)`` where ``bad`` carries the raw line of every record
+    that failed to parse or conform to ``schema``.
+
+    Extends the reference's all-or-nothing validation (V1-V6 hard
+    asserts, ``/root/reference/tasks/base.py:670-674``) with the
+    warehouse-standard alternative: PERMISSIVE mode routes malformed
+    rows into a ``_corrupt_record`` column instead of failing the job
+    or silently dropping rows (DROPMALFORMED), so a 100 TB ingest
+    survives a bad producer and the quarantine table preserves the
+    evidence for replay after a fix.
+
+    Both returned frames come from ONE scan subtree; a caller that
+    writes both should persist the parsed frame first.  Spark requires
+    caching/materialization before filtering on ``_corrupt_record`` —
+    the raw-zone pattern (write good/bad out immediately) satisfies
+    that naturally; for the in-memory path we cache here.
+    """
+    corrupt = "_corrupt_record"
+    full = T.StructType(schema.fields + [T.StructField(corrupt, T.StringType())])
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+    )
+    df = reader.json(
+        list(path_or_glob)
+        if isinstance(path_or_glob, (list, tuple))
+        else path_or_glob
+    ).cache()
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_record")
+    )
+    return good, bad
+
+
 def read_csv(
+
     spark: SparkSession,
     path_or_glob: str,
     schema: T.StructType | None = None,

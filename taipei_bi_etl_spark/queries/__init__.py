@@ -85,4 +85,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     modern_api,
     sketches,
     relational6,
+    attribution,
 )

@@ -157,3 +157,27 @@ def test_upsert_partitioned_merges_and_is_idempotent(spark, tmp_path):
     )
     upsert_partitioned(spark, stale, path, keys=["k"], order_col="ver")
     assert {r.k: (r.v, r.ver) for r in spark.read.parquet(path).collect()} == got
+
+
+def test_read_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    """PERMISSIVE quarantine: malformed lines land in the bad frame
+    with their raw text; good rows parse fully; nothing is dropped."""
+    from taipei_bi_etl_spark import io as io_mod
+    from pyspark.sql import types as T
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "NaN-ish", "v": 3}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, bad = io_mod.read_json_quarantine(spark, str(p), schema)
+    good_rows = {(r.id, r.v) for r in good.collect()}
+    bad_rows = [r.raw_record for r in bad.collect()]
+    assert (1, "a") in good_rows and (2, "b") in good_rows
+    assert any("not json" in b for b in bad_rows)
+    assert good.count() + bad.count() == 4

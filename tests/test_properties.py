@@ -69,3 +69,20 @@ def test_jl_sign_matrix_balanced_and_deterministic():
     for row in a:
         assert len(row) == IN_DIM
         assert set(row) == {-1, 1}
+
+
+def test_multi_touch_credit_is_conserved(spark):
+    """Every conversion's attributed credit must sum to exactly
+    1,000,000 ppm — the invariant integer weighting exists for."""
+    from taipei_bi_etl_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["multi_touch_attribution"].fn(spark, SF_DIR)
+    bad = (
+        df.groupBy("conv_id")
+        .agg(F.sum("weight_ppm").alias("total"))
+        .filter(F.col("total") != 1_000_000)
+        .count()
+    )
+    assert bad == 0
