@@ -86,4 +86,7 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     sketches,
     relational6,
     attribution,
+    relational7,
+    relational8,
+    modern_api2,
 )

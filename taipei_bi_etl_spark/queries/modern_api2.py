@@ -1,0 +1,116 @@
+"""Modern SQL surfaces, part 2 — Spark 4 SQL pipe syntax and the
+correlated LATERAL subquery (per-group top-k as a join, the Q-shape
+twin of the window-rank form in `topk_per_group`).
+
+These exist so a user of the reference (whose only query language was
+BigQuery Standard SQL strings, `tasks/bigquery.py:315-319`) can migrate
+templated SQL forward: pipe syntax is the modern authoring surface for
+exactly the layered-CTE style the reference uses everywhere
+(`sql/mango_user_rfe_daily_session.sql` is five stacked CTEs), and
+LATERAL is the standard-SQL spelling of its UNNEST cross-joins (J7)
+generalized to arbitrary correlated subqueries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from taipei_bi_etl_spark.io import register_views
+from taipei_bi_etl_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax — Spark 4 authoring surface.
+# ---------------------------------------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT l.l_returnflag, l.l_linestatus,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l.l_quantity BETWEEN 5 AND 45
+GROUP BY 1, 2
+"""
+
+_PIPE_QUERY = """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+   AND l_quantity BETWEEN 5 AND 45
+|> EXTEND CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+     AS cents
+|> AGGREGATE CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+             COUNT(*) AS n_lines
+   GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pipe_syntax_rollup", oracle=_PIPE_ORACLE, tags=("modern", "sql"))
+def pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing rollup written in Spark 4 SQL pipe syntax (`|>` stages:
+    WHERE → EXTEND → AGGREGATE) — each stage reads top-to-bottom the
+    way the plan executes, replacing the inside-out nested-CTE style
+    of the reference's SQL files.
+
+    Pipe syntax is pure surface: Catalyst parses it to the identical
+    logical plan as the GROUP BY form, so pushdown, pruning, and
+    map-side partial aggregation all apply unchanged — the oracle
+    match proves the equivalence.
+    """
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_PIPE_QUERY)
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery with LIMIT — per-order top-k as a join.
+# ---------------------------------------------------------------------------
+
+_LATERAL_CUT = "2001-01-01"
+
+_LATERAL_ORACLE = f"""
+SELECT o.o_orderkey, t.l_linenumber, t.cents
+FROM orders o, LATERAL (
+    SELECT l.l_linenumber,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+    ORDER BY cents DESC, l.l_linenumber
+    LIMIT 2) t
+WHERE o.o_orderdate >= TIMESTAMP '{_LATERAL_CUT}'
+"""
+
+_LATERAL_QUERY = f"""
+SELECT o.o_orderkey, t.l_linenumber, t.cents
+FROM orders o JOIN LATERAL (
+    SELECT l.l_linenumber,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+    ORDER BY cents DESC, l.l_linenumber
+    LIMIT 2) t
+WHERE o.o_orderdate >= TIMESTAMP '{_LATERAL_CUT}'
+"""
+
+
+@query(
+    "lateral_topk_per_order",
+    oracle=_LATERAL_ORACLE,
+    tags=("modern", "sql", "topk"),
+)
+def lateral_topk_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two priciest lines of each recent order via a correlated
+    LATERAL subquery with ORDER BY + LIMIT — the standard-SQL spelling
+    of "top-k per group as a join", and the generalization of the
+    reference's `CROSS JOIN UNNEST` laterals (J7,
+    `sql/mango_revenue_google.sql:10-11`) to arbitrary subqueries.
+
+    Catalyst decorrelates this into a window-rank under the hood (no
+    per-outer-row re-execution — the naive nested-loop reading would
+    be quadratic), which is exactly the hand-written plan in
+    `topk_per_group`; the deterministic tie-break (cents DESC,
+    linenumber) makes the LIMIT stable cross-engine.  Scale: one
+    orderkey shuffle for the decorrelated join+rank; the date filter
+    pushes to the orders scan and prunes the fact via the join.
+    """
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_LATERAL_QUERY)
