@@ -351,3 +351,64 @@ def test_sole_late_supplier_scans_fact_once(spark):
     assert plan.count("lineitem.parquet") == 1, plan[:3000]
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges <= 3, plan[:3000]
+
+
+def test_forecast_revenue_delta_zero_shuffle_pushed_scan(spark):
+    """Q6 shape: a scan-only aggregate — no Exchange other than the
+    1-row final gather, no join, and all three predicates pushed to
+    the parquet reader."""
+    df = REGISTRY["forecast_revenue_delta"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan, plan[:2000]
+    # only the SinglePartition gather for the global aggregate
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 1, plan[:2000]
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("l_shipdate" in s and "l_quantity" in s for s in pushed), (
+        plan[:2000]
+    )
+
+
+def test_market_share_star_is_single_wide_shuffle(spark):
+    """Q8 shape: an 8-table star must broadcast every dimension leg —
+    the only sort-merge-eligible exchange pair is the fact⋈orders
+    orderkey join."""
+    df = REGISTRY["market_share_by_year"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3, plan[:3000]
+    # hashpartitioning exchanges: the orderkey join pair + the tiny
+    # ≤7-row year rollup
+    wide = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    fact_keys = {k.strip() for k in wide if "year" not in k.lower()}
+    assert all("orderkey" in k for k in fact_keys), (fact_keys, plan[:3000])
+
+
+def test_topk_queries_use_heap_not_global_sort(spark):
+    """Q3/Q10 shapes: orderBy(...).limit(k) must plan as
+    TakeOrderedAndProject (per-partition heaps), never a global Sort."""
+    for name in ("unshipped_order_priority", "returned_revenue_topk"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, (name, plan[:2000])
+        assert not re.search(r"^\(\d+\) Sort\b", plan, re.M), (
+            name,
+            plan[:2000],
+        )
+
+
+def test_supplier_census_anti_join_broadcasts_blacklist(spark):
+    """Q16 shape: the NOT-IN blacklist (6 rows) must run as a
+    BroadcastHashJoin LeftAnti, not a shuffled anti join."""
+    plan = _plan(REGISTRY["supplier_census_notin"].fn(spark, SF_DIR))
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan) or (
+        "LeftAnti, BuildRight" in plan and "Broadcast" in plan
+    ), plan[:3000]
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The correlated LATERAL LIMIT subquery must decorrelate — the
+    physical plan has a window/rank or join, never a per-outer-row
+    re-execution (which would show as a nested-loop over a subquery)."""
+    plan = _plan(REGISTRY["lateral_topk_per_order"].fn(spark, SF_DIR))
+    assert "Window" in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
