@@ -328,3 +328,36 @@ def upsert_partitioned(
         .drop("__rn", "__new")
     )
     write_partitioned(latest, path, date_col)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet range-clustered on ``cluster_cols``:
+    ``repartitionByRange`` (sampled range boundaries → one contiguous
+    key range per output file) + ``sortWithinPartitions`` (sorted row
+    groups inside each file).
+
+    This is the data-layout lever for 100 TB scans that partitioning
+    can't give: partitionBy(date) prunes directories, but WITHIN a
+    partition a filter like ``l_shipdate BETWEEN x AND y`` or
+    ``user_id = k`` still reads every file unless file/row-group
+    min-max statistics are tight.  Range clustering makes the parquet
+    footer stats disjoint across files, so the reader's stats filter
+    (and any engine's — DuckDB, Trino — reading the same files) skips
+    whole files and row groups.  The equivalent of a warehouse
+    CLUSTER BY / Delta OPTIMIZE ZORDER for the single-column-prefix
+    case, built from two public primitives.
+
+    Cost: one range-exchange (sampling pass + shuffle) and an in-
+    partition sort — no global sort; each task sorts only its slice.
+    """
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -5,6 +5,7 @@ injection, and F22 column renaming."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import functions as F
 
@@ -181,3 +182,46 @@ def test_read_json_quarantine_splits_good_and_bad(spark, tmp_path):
     assert (1, "a") in good_rows and (2, "b") in good_rows
     assert any("not json" in b for b in bad_rows)
     assert good.count() + bad.count() == 4
+
+
+def test_range_clustered_layout_has_disjoint_file_stats(spark, tmp_path):
+    """write_range_clustered must produce files whose parquet footer
+    min/max ranges on the cluster key are non-overlapping (modulo the
+    boundary key that range-partitioning may split), so stats-based
+    readers skip whole files for narrow key predicates."""
+    import pyarrow.parquet as pq
+
+    from taipei_bi_etl_spark.io import read_table, write_range_clustered
+    from tests.conftest import SF_DIR
+
+    # cluster on the BIGINT key: INT96 timestamp columns carry no
+    # parquet min/max statistics, so they cannot demonstrate skipping
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    out = str(tmp_path / "clustered")
+    write_range_clustered(li, out, ["l_orderkey"], n_files=6)
+
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(out, f)).metadata
+        idx = meta.schema.names.index("l_orderkey")
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    overlaps = sum(1 for a, b in zip(ranges, ranges[1:]) if b[0] < a[1])
+    # boundary keys may straddle adjacent files; gross overlap may not
+    assert overlaps <= 1, ranges
+
+    # and Spark's reader must answer a narrow range from a subset of
+    # the data: the filtered scan reads fewer rows than the table
+    lo = ranges[0][1]  # a single boundary key
+    narrow = spark.read.parquet(out).filter(F.col("l_orderkey") == lo)
+    assert narrow.count() < li.count()

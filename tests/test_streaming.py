@@ -3,6 +3,10 @@ invariants and late-data/watermark behavior."""
 
 from __future__ import annotations
 
+import os
+
+import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
@@ -142,3 +146,42 @@ def test_foreachbatch_warehouse_sink_is_idempotent(spark, tmp_path):
         map(tuple, spark.read.parquet(wh).drop("day_str").collect())
     )
     assert first == second
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin of the stateful RFE
+    accumulator.  Environment-gated: the TWS python runner needs a
+    working google.protobuf; where absent (this container) the test
+    skips and the applyInPandasWithState twin above carries coverage."""
+    from taipei_bi_etl_spark.streaming import tws
+
+    if not tws.tws_available():
+        pytest.skip("google.protobuf unavailable: TWS runner cannot start")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", tws.ROCKSDB_PROVIDER
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pd.DataFrame(
+        {"user_id": ["a", "a", "b"], "value_micros": [100, 250, 40]}
+    ).to_parquet(src + "/batch0.parquet")
+    stream = spark.readStream.schema(
+        "user_id string, value_micros long"
+    ).parquet(src)
+    out = tws.stream_running_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["user_id"]: (r["n_events"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM tws_totals").collect()
+    }
+    assert rows == {"a": (2, 350), "b": (1, 40)}
