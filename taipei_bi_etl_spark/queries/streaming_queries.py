@@ -215,3 +215,61 @@ def streaming_attributed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         attributed_daily_rollup(stream_events(spark, sf_dir)),
         output_mode="append",
     )
+
+
+# LEFT OUTER adds a finalization rule on top of the inner interval
+# join: an unmatched purchase emits its NULL-click row only once the
+# global watermark (lagged min of both streams' max event times) has
+# passed its purchase_ts — younger unmatched purchases are still open
+# and must NOT appear.  The oracle encodes exactly that rule; the
+# strict `<` mirrors the state-eviction predicate.
+_LEFT_OUTER_ORACLE = """
+WITH clicks AS (
+    SELECT event_id AS click_id, user_id, ts FROM events
+    WHERE event_type = 'click'
+), purchases AS (
+    SELECT event_id AS purchase_id, user_id, ts FROM events
+    WHERE event_type = 'purchase'
+), wm AS (
+    SELECT least((SELECT MAX(ts) FROM clicks),
+                 (SELECT MAX(ts) FROM purchases))
+           - INTERVAL 1 HOUR AS w
+), matched AS (
+    SELECT p.purchase_id, c.click_id
+    FROM purchases p JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+), unmatched AS (
+    SELECT p.purchase_id, CAST(-1 AS BIGINT) AS click_id
+    FROM purchases p, wm
+    WHERE p.ts < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM clicks c
+          WHERE c.user_id = p.user_id
+            AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
+@query(
+    "streaming_left_outer_join",
+    oracle=_LEFT_OUTER_ORACLE,
+    tags=("streaming", "join"),
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase with its
+    prior-hour clicks, plus a NULL-click row for purchases the
+    watermark has PROVEN unmatched — the operator where emission time
+    is part of the semantics (see the oracle's finalization rule).
+    State retention is identical to the inner join; only the eviction
+    pass changes (null emission via no-data micro-batch once input is
+    exhausted)."""
+    from taipei_bi_etl_spark.streaming.jobs import (
+        click_purchase_left_outer_join,
+    )
+
+    return run_available_now(
+        click_purchase_left_outer_join(stream_events(spark, sf_dir)),
+        output_mode="append",
+    )

@@ -313,6 +313,60 @@ def click_purchase_interval_join(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_left_outer_join(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase, matched
+    to the same user's clicks in the preceding hour OR emitted once
+    with a NULL click after the watermark proves no match can arrive.
+
+    The semantics the outer side adds: an unmatched purchase row sits
+    in the state store until the global watermark (lagged min of both
+    streams' max event times) passes its purchase_ts — only then is
+    "no click" a safe claim, and the null row is emitted by the state
+    eviction pass (a no-data micro-batch if the data is exhausted).
+    Purchases younger than the final watermark are still "open" and
+    never emit — the batch oracle must encode that finalization rule,
+    which is exactly what makes this a different operator from the
+    inner join, not a syntax variant.
+
+    State bound: identical to the inner join (one watermark horizon
+    per side per user); the outer semantics change emission, not
+    retention.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        ),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        # unmatched marker: -1 instead of NULL so the row multiset is
+        # totally ordered for the cross-engine hash compare
+        F.coalesce("click_id", F.lit(-1).cast("long")).alias("click_id"),
+    )
+
+
 def stream_to_warehouse(
     stream_df: DataFrame,
     path: str,
