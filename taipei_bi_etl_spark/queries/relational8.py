@@ -447,3 +447,60 @@ def dominant_supplier_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated percentiles — PERCENTILE_CONT WITHIN GROUP (ordered-set
+# aggregate), completing W4's distribution family.
+# ---------------------------------------------------------------------------
+
+_PCONT_ORACLE = """
+SELECT l.l_returnflag,
+       percentile_cont(0.25) WITHIN GROUP
+         (ORDER BY CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS p25_cents,
+       percentile_cont(0.50) WITHIN GROUP
+         (ORDER BY CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS p50_cents,
+       percentile_cont(0.75) WITHIN GROUP
+         (ORDER BY CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS p75_cents
+FROM lineitem l
+GROUP BY 1
+"""
+
+
+@query(
+    "percentile_cont_quartiles",
+    oracle=_PCONT_ORACLE,
+    tags=("relational", "W4"),
+)
+def percentile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated price quartiles per return flag via the ordered-set
+    aggregate ``PERCENTILE_CONT(q) WITHIN GROUP`` — the ANSI spelling
+    of the reference's 27-way `PERCENTILE_CONT ... OVER` rollup (W4,
+    `sql/mango_feature_roi.sql:3-62`), which this engine rewrites as a
+    GROUP BY aggregate (the window+DISTINCT form materializes every
+    row once per percentile).
+
+    Float-policy note: the inputs are exact integer cents and the
+    quartile fractions are dyadic (1/4, 1/2, 3/4), so the linear
+    interpolation ``lo + (hi-lo)·f`` is exactly representable — the
+    one place a float crosses the oracle hash without rounding, safe
+    by construction.  Scale: one shuffle on the group key; Spark's
+    percentile aggregate buffers per-group values — bounded here by
+    the 3-flag cardinality, the right plan when groups are few and
+    wide (for high-cardinality groups see `percentile_rollup_approx`'s
+    GK sketch).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    w = li.select(F.col("l_returnflag"), cents.alias("c"))
+    return w.groupBy("l_returnflag").agg(
+        F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY c)").alias(
+            "p25_cents"
+        ),
+        F.expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY c)").alias(
+            "p50_cents"
+        ),
+        F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY c)").alias(
+            "p75_cents"
+        ),
+    )
