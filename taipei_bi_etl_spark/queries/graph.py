@@ -1,0 +1,131 @@
+"""Graph analytics over relational data: integerized PageRank on the
+part co-purchase graph — the iterative join-aggregate loop family
+(alongside `dedup_components`' label propagation and
+`embedding_kmeans`' Lloyd iterations).
+
+The reference has no graph operators (SURVEY §1.1: "no graphs"), but a
+catalog/recommendation surface over the same star schema is a standard
+extension, and PageRank is the canonical "would this survive 1000
+executors" iterative workload: every iteration is ONE shuffle join of
+the score frame against the edge frame plus one aggregation — state
+between iterations is a (node, score) frame, never driver-side.
+
+Float policy: scores are integer MICROS and every update uses floor
+division (``DIV``) and the rational damping 17/20 = 0.85, so each
+iteration is exact BIGINT arithmetic — bit-identical across engines
+and across summation orders, which is what lets an ITERATIVE float
+algorithm be oracle-hashed at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries import query
+
+N_ITER = 5
+INIT_MICROS = 1_000_000
+#: (1 - d) * 1e6 with d = 0.85
+TELEPORT_MICROS = 150_000
+
+_PAGERANK_ORACLE = f"""
+WITH RECURSIVE
+parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM parts a JOIN parts b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM edges GROUP BY 1),
+pr(iter, node, score) AS (
+    SELECT 0, src, CAST({INIT_MICROS} AS BIGINT) FROM outw
+    UNION ALL
+    SELECT p.iter + 1, e.dst,
+           CAST({TELEPORT_MICROS}
+                + (CAST(SUM((p.score * e.w) // o.tw) AS BIGINT) * 17) // 20
+             AS BIGINT)
+    FROM pr p
+    JOIN edges e ON e.src = p.node
+    JOIN outw o ON o.src = p.node
+    WHERE p.iter < {N_ITER}
+    GROUP BY 1, 2
+)
+SELECT node AS p_partkey, score AS pagerank_micros
+FROM pr WHERE iter = {N_ITER}
+"""
+
+
+@query(
+    "part_copurchase_pagerank",
+    oracle=_PAGERANK_ORACLE,
+    tags=("graph", "iterative"),
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts are linked when
+    they appear in the same order; edge weight = co-occurrence count),
+    {N_ITER} exact-integer iterations — score(v) ← 150000 +
+    (Σ_u floor(score(u)·w(u,v) / outweight(u)) · 17) div 20.
+
+    Oracle: the identical recursion as a DuckDB recursive CTE — an
+    iterative algorithm hash-checked cross-engine, possible only
+    because every step is floor-division BIGINT arithmetic (see module
+    docstring).
+
+    Scale: the edge build is the one quadratic-looking step, but the
+    self-join runs per order and fan-out is bounded by lines-per-order
+    (≤7 here; basket-bounded in general — the same bound as
+    `event_cooccurrence_lift`).  Edges and out-weights are computed
+    ONCE and persisted; each iteration then shuffles the (node, score)
+    frame — rows = |V|, narrow — against the edge frame on src and
+    re-aggregates on dst.  Nothing ever collects to the driver; the
+    loop is unrolled lazily and materialized per iteration via the
+    persisted edge frame, so plan depth stays O(iterations).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.alias("a")
+    b = parts.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    # weight share precomputed per edge: floor((score*w)/tw) needs score,
+    # so carry (w, tw) on each edge instead
+    ew = edges.join(outw, "src").select("src", "dst", "w", "tw").persist()
+    ew.count()  # materialize once; iterations reuse
+    scores = outw.select(
+        F.col("src").alias("node"), F.lit(INIT_MICROS).cast("long").alias("score")
+    )
+    for _ in range(N_ITER):
+        scores = (
+            ew.join(scores, ew["src"] == scores["node"])
+            .select(
+                "dst",
+                F.expr("score * w DIV tw").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(TELEPORT_MICROS)
+                    + F.expr(f"sum(contrib) * 17 DIV 20")
+                ).alias("score")
+            )
+            .select(F.col("dst").alias("node"), F.col("score").cast("long"))
+        )
+    return scores.select(
+        F.col("node").alias("p_partkey"), F.col("score").alias("pagerank_micros")
+    )
