@@ -361,3 +361,54 @@ def write_range_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def assign_dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
+    """Assign dense unique ids 0..n-1 WITHOUT a global sort — the scale
+    replacement for ``row_number() OVER (ORDER BY ...)`` (whose empty/
+    global window collapses 100 TB onto one task) and for
+    ``monotonically_increasing_id`` (unique but sparse, useless where a
+    dense sample index is required, e.g. training-shard addressing).
+
+    Two passes: (1) per-partition row counts (a tiny driver collect —
+    one long per partition), folded into exclusive prefix offsets;
+    (2) an Arrow-batched ``mapInPandas`` that adds partition offset +
+    local position.  No shuffle at all; cost is one extra scan.
+
+    Contract: ids are dense and unique for a FIXED partitioning of a
+    DETERMINISTIC input (both passes re-evaluate ``df``; a file scan
+    or any deterministic plan yields identical partitions).  Persist
+    ``df`` first if its lineage is nondeterministic (sampling, now()).
+    The assignment itself is layout-dependent by design — use the
+    content-addressed splitters (`corpus_hash_split`) when stability
+    under re-layout matters more than density.
+    """
+    counts = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[int(r["__pid"])] = acc
+        acc += int(r["count"])
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(id_col, T.LongType(), False)]
+    )
+    bc = df.sparkSession.sparkContext.broadcast(offsets)
+
+    def add_ids(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = bc.value.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[id_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return df.mapInPandas(add_ids, schema)

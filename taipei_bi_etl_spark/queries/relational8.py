@@ -504,3 +504,71 @@ def percentile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p75_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — warehouse ops as a query.
+# ---------------------------------------------------------------------------
+
+_FK_ORACLE = """
+SELECT 'orders.o_custkey' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem.l_partkey', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem.l_suppkey', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+"""
+
+
+@query("fk_orphan_audit", oracle=_FK_ORACLE, tags=("checks", "anti_join"))
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign key
+    in the star schema, one row per constraint — the warehouse ops
+    query behind the reference's validation layer (V1–V6,
+    `tasks/revenue.py:126-144`) generalized from column checks to
+    cross-table constraints.
+
+    Each constraint is a LEFT ANTI join + count.  Scale: the parent
+    key sets (customer/part/supplier) broadcast after pruning to the
+    key column; the orders-side parent of lineitem is large, so that
+    anti join shuffles both sides on orderkey — at 100 TB you run
+    this audit per ingested partition, not per table, and the counts
+    union map-side (4 one-row frames).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def orphans(child: DataFrame, cond, parent: DataFrame, label: str) -> DataFrame:
+        return (
+            child.join(parent, cond, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    out = orphans(o, o["o_custkey"] == F.col("c_custkey"), c, "orders.o_custkey")
+    out = out.unionByName(
+        orphans(
+            li,
+            li["l_orderkey"] == o["o_orderkey"],
+            o.select("o_orderkey"),
+            "lineitem.l_orderkey",
+        )
+    )
+    out = out.unionByName(
+        orphans(li, li["l_partkey"] == F.col("p_partkey"), p, "lineitem.l_partkey")
+    )
+    return out.unionByName(
+        orphans(li, li["l_suppkey"] == F.col("s_suppkey"), s, "lineitem.l_suppkey")
+    )

@@ -225,3 +225,24 @@ def test_range_clustered_layout_has_disjoint_file_stats(spark, tmp_path):
     lo = ranges[0][1]  # a single boundary key
     narrow = spark.read.parquet(out).filter(F.col("l_orderkey") == lo)
     assert narrow.count() < li.count()
+
+
+def test_assign_dense_ids_unique_dense_no_shuffle(spark):
+    """Dense 0..n-1 ids with no global sort: unique, dense, row count
+    preserved, and the physical plan contains no Exchange (the whole
+    point — row_number over an empty window would collapse to 1 task)."""
+    from taipei_bi_etl_spark.io import assign_dense_ids, read_table
+    from tests.conftest import SF_DIR
+
+    d = read_table(spark, SF_DIR, "documents").repartition(7)
+    out = assign_dense_ids(d.persist(), "row_id")
+    ids = [r.row_id for r in out.select("row_id").collect()]
+    n = d.count()
+    assert len(ids) == n
+    assert sorted(ids) == list(range(n))
+    # the assigner's own subtree (above the cached input) must add no
+    # Exchange — the test's repartition(7) below the cache is expected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assigner_part = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in assigner_part, plan[:1500]
+    assert "MapInPandas" in assigner_part, plan[:1500]
