@@ -53,6 +53,13 @@ STRESS_QUERIES = [
     "max_concurrent_intervals",
     "heartbeat_gap_downtime",
     "array_day_overlap",
+    # relational fact-growth family (facts K×, dims fixed)
+    "pricing_summary",
+    "market_share_by_year",
+    "sole_late_supplier",
+    "min_cost_supplier",
+    "returned_revenue_topk",
+    "part_copurchase_pagerank",
 ]
 
 
@@ -93,6 +100,30 @@ def build_scaled(spark, src_dir: str, out_dir: str, k: int) -> None:
         F.length(salted).alias("n_chars"),
     )
     docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    # Facts replicate K× under NEW orderkeys (horizontal growth of the
+    # fact tables); dimensions are copied unchanged — the realistic
+    # shape of a warehouse scale-up (facts grow, dims don't), which
+    # means per-dim-key fact density grows K× and broadcast/AQE
+    # decisions are tested at K× probe volume.
+    okey_shift = F.col("replica") * F.lit(100_000_000_000)
+    orders = read_table(spark, src_dir, "orders").crossJoin(F.broadcast(rep))
+    orders.select(
+        (F.col("o_orderkey") + okey_shift).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    li = read_table(spark, src_dir, "lineitem").crossJoin(F.broadcast(rep))
+    li.select(
+        (F.col("l_orderkey") + okey_shift).alias("l_orderkey"),
+        "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    for dim in ("customer", "supplier", "part", "nation", "region", "embeddings"):
+        read_table(spark, src_dir, dim).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{dim}.parquet")
+        )
 
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:

@@ -114,3 +114,51 @@ def lateral_topk_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ["orders", "lineitem"])
     return spark.sql(_LATERAL_QUERY)
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL + IDENTIFIER clause — safe templating.
+# ---------------------------------------------------------------------------
+
+_PARAM_CUT = "2000-07-01"
+
+_PARAM_ORACLE = f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_PARAM_CUT}'
+GROUP BY 1
+"""
+
+
+@query("parameterized_sql_rollup", oracle=_PARAM_ORACLE, tags=("modern", "sql"))
+def parameterized_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole query-compilation layer is string
+    templating — ``read_string("sql/x.sql").format(project=, dataset=,
+    start_date=, ...)`` (`tasks/bigquery.py:315-319`) — which splices
+    raw values into SQL text.  This is its modern replacement:
+    ``spark.sql(query, args={...})`` binds VALUES as typed literal
+    parameters (`:cut`) and table names through the ``IDENTIFIER``
+    clause (`:tbl`), so the engine sees parameters as parse-tree
+    nodes, never as spliced text — templating without injection and
+    without replanning-by-string-identity.
+
+    Plan-wise the bound literal behaves exactly like an inlined one
+    (pushed to the scan, constant-folded); the oracle match plus the
+    shared plan shape proves parameterization is surface-only.
+    """
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= CAST(:cut AS TIMESTAMP)
+        GROUP BY 1
+        """,
+        args={"tbl": "orders", "cut": _PARAM_CUT},
+    )
