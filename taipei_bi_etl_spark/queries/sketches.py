@@ -90,3 +90,55 @@ def sketch_wau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         win.groupBy("window_start")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("users_sketch")).alias("wau_est"))
     )
+
+
+@query("cms_heavy_hitters", oracle=None, tags=("sketch", "scale", "A1"))
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter event counts from materialized daily Count-Min
+    sketches — the frequency twin of the HLL rollup above: the daily
+    table persists one mergeable ``count_min_sketch(user_id)`` blob
+    per day, and ANY later window answers "how often did key K appear"
+    by merging |days| sketches and probing, without re-scanning raw
+    events.
+
+    The probe set here is the exact top-20 users (so the output is
+    deterministic and the tolerance test can compare est vs exact);
+    in production the candidates come from per-partition local top-k.
+    Sketch merge + probe run on the driver via Spark's public
+    CountMinSketch sketch library — |days| × 100 KB blobs, constant
+    work regardless of event volume.
+
+    No oracle: CMS estimates are implementation-defined (DuckDB has no
+    CMS); the driver records rows-only and ``tests/test_sketches.py``
+    gates: est ≥ exact (one-sided error) and est ≤ exact + eps·N.
+    """
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").alias("cms"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    blobs = daily.select("cms").collect()
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for r in blobs:
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytearray(r.cms)
+        )
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(20)
+        .collect()
+    )
+    rows = [
+        (int(r.user_id), int(r.exact_n), int(merged.estimateCount(int(r.user_id))))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, exact_n long, cms_est long"
+    )

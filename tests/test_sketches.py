@@ -22,3 +22,20 @@ def test_sketch_wau_within_hll_error_of_exact(spark):
     assert set(est) == set(exact)
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(3, 0.05 * e), (k, est[k], e)
+
+
+def test_cms_heavy_hitters_one_sided_bounded_error(spark):
+    """CMS guarantees: estimate never BELOW the true count, and over-
+    count bounded by eps·N (eps=1e-4 at sf0.001's ~9k events → slack
+    of a few counts; assert a loose 1% of N)."""
+    from taipei_bi_etl_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["cms_heavy_hitters"].fn(spark, SF_DIR)
+    rows = df.collect()
+    # sf0.001 has only ~15 distinct users; top-20 returns all of them
+    assert 10 <= len(rows) <= 20
+    total = sum(r.exact_n for r in rows)
+    for r in rows:
+        assert r.cms_est >= r.exact_n, r
+        assert r.cms_est <= r.exact_n + max(5, total // 100), r
