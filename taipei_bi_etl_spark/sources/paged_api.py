@@ -78,6 +78,9 @@ class PagedApiDataSource(DataSource):
     def reader(self, schema: StructType) -> "PagedApiReader":
         return PagedApiReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "PagedApiStreamReader":
+        return PagedApiStreamReader(schema, self.options)
+
 
 class PagedApiReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
@@ -104,3 +107,56 @@ class PagedApiReader(DataSourceReader):
                 yield (json.dumps(row, sort_keys=True),)
             else:
                 yield tuple(row.get(n) for n in names)
+
+
+# ---------------------------------------------------------------------------
+# Streaming form — the same paged API as an incremental source.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class PagedApiStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the paged API: the offset is the page
+    cursor ``{"page": N}``; each batch advances by ``pages_per_batch``
+    up to ``max_pages`` (open-ended in production — a cursor/timestamp
+    API would fetch "pages since offset").
+
+    Exactly-once comes from determinism, not storage: the checkpoint
+    persists offsets, and ``readBetweenOffsets`` re-fetches the SAME
+    pages on recovery — valid for append-only/paged feeds (the
+    reference's daily exports), the same assumption its raw-cache
+    idempotency (K9, `utils/cache.py:11-61`) already makes.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._options = options
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _fetch_range(self, lo: int, hi: int) -> list[tuple]:
+        # a LIST, not a generator: the simple-reader machinery pickles
+        # the prefetched batch into its block cache
+        fetcher = resolve_fetcher(self._options["fetcher"])
+        names = self._schema.fieldNames()
+        return [
+            tuple(row.get(n) for n in names)
+            for page in range(lo, hi)
+            for row in fetcher(page)
+        ]
+
+    def read(self, start: dict):
+        lo = int(start["page"])
+        per = int(self._options.get("pages_per_batch", 1))
+        cap = int(self._options.get("max_pages", 2**31))
+        hi = min(lo + per, cap)
+        if hi <= lo:  # feed exhausted (bounded test mode): no new data
+            return iter([]), start
+        # an ITERATOR over materialized (picklable) tuples: the simple-
+        # reader machinery iterates AND pickles the prefetched batch
+        return iter(self._fetch_range(lo, hi)), {"page": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(self._fetch_range(int(start["page"]), int(end["page"])))

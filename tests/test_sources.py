@@ -62,3 +62,41 @@ def test_fetch_is_deterministic(spark):
         )
 
     assert grab() == grab()
+
+
+def test_paged_api_streaming_source_incremental_exactly_once(spark, tmp_path):
+    """The paged API as a STREAMING source: page-cursor offsets advance
+    per micro-batch, the bounded test feed (max_pages) drains to
+    exactly pages×3 rows with no duplicates, and offsets land in the
+    checkpoint (recovery replays deterministically via
+    readBetweenOffsets)."""
+    from taipei_bi_etl_spark.sources.paged_api import PagedApiDataSource
+
+    spark.dataSource.register(PagedApiDataSource)
+    stream = (
+        spark.readStream.format("paged_api")
+        .schema("page string, country string, cost_index double")
+        .option(
+            "fetcher",
+            "taipei_bi_etl_spark.sources.paged_api:synthetic_rates_fetcher",
+        )
+        .option("pages_per_batch", 2)
+        .option("max_pages", 5)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("paged_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM paged_stream").collect()
+    assert len(rows) == 5 * 3
+    assert len({(r.page, r.country) for r in rows}) == len(rows)
+    pages = {int(r.page) for r in rows}
+    assert pages == set(range(5))

@@ -185,3 +185,32 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         for r in spark.sql("SELECT * FROM tws_totals").collect()
     }
     assert rows == {"a": (2, 350), "b": (1, 40)}
+
+
+def test_state_store_reader_exposes_aggregation_state(spark, tmp_path):
+    """Ops surface: the State Data Source reads a checkpoint's state
+    store as a DataFrame — the debugging/repair path for 100 TB
+    streaming jobs (inspect skewed keys, verify state after an
+    incident) without touching the running query."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pd.DataFrame(
+        {"user_id": ["a", "a", "b"], "v": [1, 2, 3]}
+    ).to_parquet(src + "/b0.parquet")
+    ck = str(tmp_path / "ckpt")
+    st = spark.readStream.schema("user_id string, v long").parquet(src)
+    agg = st.groupBy("user_id").agg(F.sum("v").alias("s"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_reader_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.format("statestore").load(ck)
+    got = {r.key.user_id: r.value.sum for r in state.collect()}
+    assert got == {"a": 3, "b": 3}
