@@ -163,3 +163,32 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
                 F.shiftleft(bit, b * n + i).cast("long")
             )
     return key
+
+
+def shuffle_hash_join(
+    left: DataFrame, right: DataFrame, on: list[str] | str, how: str = "inner"
+) -> DataFrame:
+    """Join with the SHUFFLE_HASH strategy hint on the (smaller) right
+    side: both sides shuffle, but the right side builds an in-memory
+    hash map per partition instead of BOTH sides sorting.
+
+    When to reach for it at 100 TB: large⋈medium joins where the
+    medium side exceeds the broadcast threshold but one partition of
+    it fits in executor memory — SHJ skips two O(n log n) sorts and
+    the sort spill files.  When NOT to: skewed or memory-tight
+    partitions (SHJ build side can't spill the map the way sort-merge
+    spills runs) — that asymmetry is why Spark defaults to SMJ and
+    why this is an explicit, per-join decision (`preferSortMergeJoin`
+    stays untouched globally).
+    """
+    return left.join(right.hint("shuffle_hash"), on, how)
+
+
+def merge_join(
+    left: DataFrame, right: DataFrame, on: list[str] | str, how: str = "inner"
+) -> DataFrame:
+    """Join with the MERGE (sort-merge) strategy hint — the explicit
+    spill-safe choice for large⋈large joins with unknown skew; pairs
+    with `write_bucketed` to delete the shuffle entirely when both
+    sides share bucketing."""
+    return left.join(right.hint("merge"), on, how)

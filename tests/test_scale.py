@@ -205,3 +205,20 @@ def test_bench_and_stress_query_names_resolve():
     assert not missing, f"bench HEADLINE names not in REGISTRY: {missing}"
     missing = [n for n in stress.STRESS_QUERIES if n not in REGISTRY]
     assert not missing, f"stress names not in REGISTRY: {missing}"
+
+
+def test_join_strategy_hints_select_physical_operators(spark):
+    """The strategy helpers must actually flip the physical operator:
+    shuffle_hash → ShuffledHashJoin, merge → SortMergeJoin — silent
+    fallback to the default would make the 100 TB tuning knobs no-ops."""
+    from taipei_bi_etl_spark.io import read_table
+    from taipei_bi_etl_spark.scale import merge_join, shuffle_hash_join
+
+    li = read_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    shj = shuffle_hash_join(li, o, "l_orderkey")
+    assert explain_has(shj, "ShuffledHashJoin")["ShuffledHashJoin"]
+    smj = merge_join(li, o, "l_orderkey")
+    assert explain_has(smj, "SortMergeJoin")["SortMergeJoin"]
