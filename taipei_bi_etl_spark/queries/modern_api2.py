@@ -162,3 +162,60 @@ def parameterized_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "cut": _PARAM_CUT},
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow — the zero-copy Arrow batch surface.
+# ---------------------------------------------------------------------------
+
+_ARROW_ORACLE = """
+SELECT e.vec_id,
+       CAST(round(sqrt(list_sum(list_transform(e.embedding,
+                                x -> CAST(x AS DOUBLE) * x))) * 1000000)
+            AS BIGINT) AS l2_micros
+FROM embeddings e
+"""
+
+
+@query("arrow_batch_norms", oracle=_ARROW_ORACLE, tags=("modern", "arrow"))
+def arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms computed in ``mapInArrow`` — the zero-copy
+    sibling of the `multimodal.py` mapInPandas stages: batches arrive
+    as raw ``pyarrow.RecordBatch`` (no pandas materialization, no
+    object boxing), numpy reduces them vectorized, and one batch goes
+    back out.  This is the right surface for numeric kernels over
+    array columns where even the pandas conversion tax matters
+    (embedding pipelines at 100 TB: ~2× less peak memory per batch
+    than mapInPandas, same partition-parallel execution).
+
+    Float policy: the norm is rounded to integer MICROS inside the
+    kernel; numpy's pairwise summation over a 64-float vector differs
+    from a sequential sum by < 1e-10 relative — far inside the 1e-6
+    rounding quantum, so the hash is stable cross-engine (the oracle
+    computes the same quantity in SQL).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from taipei_bi_etl_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            # list<float32> of FIXED dim → (n, d) numpy in one flatten;
+            # ragged inputs would need the offsets array instead
+            flat = np.asarray(embs.flatten(), dtype=np.float64)
+            n = len(embs)
+            d = len(flat) // n if n else 0
+            m = flat.reshape(n, d) if n else flat.reshape(0, 0)
+            l2 = np.sqrt((m * m).sum(axis=1))
+            out = np.round(l2 * 1_000_000).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(out, type=pa.int64())],
+                names=["vec_id", "l2_micros"],
+            )
+
+    return emb.mapInArrow(norms, "vec_id long, l2_micros long")
