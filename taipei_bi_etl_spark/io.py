@@ -23,7 +23,7 @@ engine-side, nothing here ever collects data to the driver.
 from __future__ import annotations
 
 import os
-from collections.abc import Iterable, Sequence
+from collections.abc import Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -412,3 +412,45 @@ def assign_dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(add_ids, schema)
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    checks: Callable[[DataFrame], None] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Write-audit-publish: materialize ``df`` into a staging directory
+    next to ``path``, re-read and run ``checks`` against what was
+    ACTUALLY written (not the lazy plan), and only then atomically
+    promote staging to ``path`` (rename; the previous version is kept
+    at ``path + ".prev"`` until the next publish).
+
+    This is the sink-side idempotency contract the reference
+    approximates with delete-then-append (K7) carried to its safe
+    conclusion: a failed audit leaves the live path byte-identical —
+    readers never observe a half-written or invalid table.  ``checks``
+    raising aborts the publish and removes staging.
+
+    On an object store the rename becomes a metastore pointer swap or
+    a format-level commit (Delta/Iceberg); the staging-audit-promote
+    sequence is identical.
+    """
+    import shutil
+
+    staging = path + ".staging"
+    prev = path + ".prev"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.write.mode("overwrite").format(fmt).save(staging)
+    try:
+        if checks is not None:
+            checks(df.sparkSession.read.format(fmt).load(staging))
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if os.path.exists(prev):
+        shutil.rmtree(prev)
+    if os.path.exists(path):
+        os.rename(path, prev)
+    os.rename(staging, path)

@@ -246,3 +246,34 @@ def test_assign_dense_ids_unique_dense_no_shuffle(spark):
     assigner_part = plan.split("InMemoryRelation")[0]
     assert "Exchange" not in assigner_part, plan[:1500]
     assert "MapInPandas" in assigner_part, plan[:1500]
+
+
+def test_write_audit_publish_promotes_only_on_passing_checks(spark, tmp_path):
+    """A failed audit must leave the live table byte-identical; a
+    passing audit atomically promotes and keeps the previous version."""
+    import pytest as _pytest
+
+    from taipei_bi_etl_spark.io import write_audit_publish
+
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    write_audit_publish(v1, path, checks=lambda d: None)
+    assert spark.read.parquet(path).count() == 2
+
+    # audit failure: live table untouched, staging cleaned
+    v2 = spark.createDataFrame([(3, "c")], "k int, v string")
+
+    def failing(d):
+        raise AssertionError("row count too low")
+
+    with _pytest.raises(AssertionError):
+        write_audit_publish(v2, path, checks=failing)
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [1, 2]
+    assert not os.path.exists(path + ".staging")
+
+    # passing audit: promoted, previous kept
+    write_audit_publish(v2, path, checks=lambda d: None)
+    assert [r.k for r in spark.read.parquet(path).collect()] == [3]
+    assert sorted(
+        r.k for r in spark.read.parquet(path + ".prev").collect()
+    ) == [1, 2]
