@@ -192,3 +192,36 @@ def merge_join(
     with `write_bucketed` to delete the shuffle entirely when both
     sides share bucketing."""
     return left.join(right.hint("merge"), on, how)
+
+
+def skew_report(df: DataFrame, key_cols: list[str] | str, top_k: int = 10) -> dict:
+    """Quantify join/agg key skew BEFORE committing to a plan: returns
+    the top-k heaviest keys, total rows, distinct keys, and the
+    max/mean frequency ratio — the number that decides between a plain
+    shuffle join (ratio ≈ 1), AQE skew splitting (moderate), and
+    explicit salting via `salted_join` (ratio ≫ partitions).
+
+    One aggregation pass; the report itself is top-k + 1-row scalars,
+    so the cost is a map-side-combined count regardless of table size.
+    Run it on a sample (`df.sample(0.01)`) at 100 TB — frequency
+    RATIOS are stable under uniform sampling.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    freq = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    stats = freq.agg(
+        F.sum("n").alias("rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.max("n").alias("max_freq"),
+    ).collect()[0]
+    top = [
+        {**{k: r[k] for k in keys}, "n": r["n"]}
+        for r in freq.orderBy(F.desc("n"), *keys).limit(top_k).collect()
+    ]
+    mean = stats.rows / max(1, stats.distinct_keys)
+    return {
+        "rows": stats.rows,
+        "distinct_keys": stats.distinct_keys,
+        "max_freq": stats.max_freq,
+        "skew_ratio": round(stats.max_freq / mean, 2),
+        "top": top,
+    }

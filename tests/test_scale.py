@@ -222,3 +222,17 @@ def test_join_strategy_hints_select_physical_operators(spark):
     assert explain_has(shj, "ShuffledHashJoin")["ShuffledHashJoin"]
     smj = merge_join(li, o, "l_orderkey")
     assert explain_has(smj, "SortMergeJoin")["SortMergeJoin"]
+
+
+def test_skew_report_flags_hot_key(spark):
+    """skew_report must surface a planted hot key with a ratio well
+    above 1 and exact top-k counts."""
+    from taipei_bi_etl_spark.scale import skew_report
+
+    base = spark.range(1000).selectExpr("id % 100 AS k", "id AS v")
+    hot = spark.range(900).selectExpr("CAST(7 AS BIGINT) AS k", "id AS v")
+    rep = skew_report(base.unionByName(hot), "k")
+    assert rep["rows"] == 1900
+    assert rep["distinct_keys"] == 100
+    assert rep["top"][0] == {"k": 7, "n": 910}
+    assert rep["skew_ratio"] > 10
