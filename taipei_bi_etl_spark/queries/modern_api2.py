@@ -14,6 +14,7 @@ generalized to arbitrary correlated subqueries.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import register_views
 from taipei_bi_etl_spark.queries import query
@@ -219,3 +220,62 @@ def arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(norms, "vec_id long, l2_micros long")
+
+
+# ---------------------------------------------------------------------------
+# LISTAGG WITHIN GROUP — ordered string aggregation.
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+WITH ranked AS (
+    SELECT c_mktsegment, c_name,
+           ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                        c_custkey) AS rn
+    FROM customer
+)
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY rn) AS top_names
+FROM ranked WHERE rn <= 5
+GROUP BY 1
+"""
+
+
+@query(
+    "segment_top_spender_listagg",
+    oracle=_LISTAGG_ORACLE,
+    tags=("modern", "sql", "A2"),
+)
+def segment_top_spender_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each market segment's five highest-balance customers as ONE
+    ordered, comma-joined string — ``LISTAGG ... WITHIN GROUP`` (Spark
+    4's ordered-string aggregate; DuckDB spells it ``string_agg ...
+    ORDER BY``), the presentation-layer reshape the reference does
+    downstream in its BI tool.
+
+    Determinism discipline for hashed string aggregation: the order
+    key must be a TOTAL order (integer-cents balance, then custkey) —
+    an ORDER BY with ties would hash differently per engine/run.  The
+    rank-then-agg shape keeps the aggregated strings bounded (≤5
+    names) no matter the group size; listagg over unbounded groups is
+    the string version of collect_list and carries the same OOM
+    caveat at scale.
+    """
+    from taipei_bi_etl_spark.io import read_table
+
+    c = read_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("c_mktsegment").orderBy(
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").desc(),
+            F.col("c_custkey").asc(),
+        )
+    )
+    ranked = c.withColumn("rn", rn).filter(F.col("rn") <= 5)
+    return ranked.groupBy("c_mktsegment").agg(
+        F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY rn)").alias(
+            "top_names"
+        )
+    )
