@@ -279,3 +279,70 @@ def segment_top_spender_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_names"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# try_* functions — ANSI-mode-safe arithmetic over dirty data.
+# ---------------------------------------------------------------------------
+
+_TRY_ORACLE = """
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN li.qty > 0
+                     THEN cents // li.qty ELSE NULL END) AS BIGINT)
+         AS sum_unit_cents
+FROM orders o
+JOIN (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY 1
+) li ON li.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+@query("ansi_safe_unit_price", oracle=_TRY_ORACLE, tags=("modern", "ansi"))
+def ansi_safe_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order counts and summed integer unit prices, with the
+    division guarded by ``try_divide`` — the ANSI-mode discipline:
+    Spark 4 runs ANSI SQL by default, where ``x / 0`` and overflow
+    RAISE instead of returning NULL/wrapping (a silent-corruption
+    class the reference's pandas layer could never catch).  ``try_*``
+    functions opt individual expressions back into NULL-on-error,
+    turning "one bad row kills the 100 TB job at hour 9" into a
+    NULL the aggregate skips — without disabling ANSI checks for the
+    correct rows.
+
+    The quotient is floored to integer cents (BIGINT `div`) per the
+    float policy; the oracle spells the same guard as CASE WHEN.
+    """
+    from taipei_bi_etl_spark.io import read_table
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "cents"
+            ),
+            F.sum(F.round("l_quantity", 0).cast("long")).alias("qty"),
+        )
+    )
+    o = read_table(spark, sf_dir, "orders")
+    unit = F.expr("try_divide(cents, qty)")
+    floored = F.when(
+        F.col("qty") > 0, F.expr("cents DIV qty")
+    ).otherwise(F.lit(None).cast("long"))
+    # try_divide proves the NULL-on-error path; the hashed value uses
+    # the exact integer floor so no float crosses the oracle compare
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .withColumn("_guard", unit)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(floored).alias("sum_unit_cents"),
+        )
+    )

@@ -277,3 +277,27 @@ def test_write_audit_publish_promotes_only_on_passing_checks(spark, tmp_path):
     assert sorted(
         r.k for r in spark.read.parquet(path + ".prev").collect()
     ) == [1, 2]
+
+
+def test_save_as_table_catalog_roundtrip(spark, tmp_path):
+    """K4/K5's destination-table semantics through the CATALOG path
+    (not just file paths): saveAsTable with append + overwrite-partition
+    write dispositions, queried back via spark.sql by name."""
+    from taipei_bi_etl_spark.io import read_table
+    from tests.conftest import SF_DIR
+
+    spark.sql("DROP TABLE IF EXISTS t_roundtrip")
+    n = read_table(spark, SF_DIR, "nation")
+    n.write.mode("overwrite").saveAsTable("t_roundtrip")
+    assert (
+        spark.sql("SELECT COUNT(*) AS c FROM t_roundtrip").collect()[0].c
+        == n.count()
+    )
+    # WRITE_APPEND disposition
+    n.limit(5).write.mode("append").saveAsTable("t_roundtrip")
+    assert (
+        spark.sql("SELECT COUNT(*) AS c FROM t_roundtrip").collect()[0].c
+        == n.count() + 5
+    )
+    assert "t_roundtrip" in [t.name for t in spark.catalog.listTables()]
+    spark.sql("DROP TABLE t_roundtrip")
