@@ -184,3 +184,40 @@ def bitmap_wau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("window_start").agg(
         F.sum("cnt").cast("long").alias("wau")
     )
+
+
+_TOPK_SKETCH_ORACLE = """
+SELECT e.event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events e GROUP BY 1
+"""
+
+
+@query(
+    "approx_top_k_events",
+    oracle=_TOPK_SKETCH_ORACLE,
+    tags=("sketch", "A1"),
+)
+def approx_top_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type frequencies via the ``approx_top_k`` sketch aggregate
+    — the enumeration-capable heavy-hitter sketch (CMS above answers
+    point probes; this one RETURNS the heavy items), mergeable across
+    partitions like every sketch in this family.
+
+    Oracle-checkable by construction: the tracked-item budget exceeds
+    the event-type cardinality, and within budget the sketch counts
+    are EXACT (it only approximates once evicted items recycle their
+    counters) — so ``k = |event types|`` makes the result identical
+    to the exact GROUP BY, which is precisely the regime boundary the
+    test pins.  At 100 TB cardinality ≫ budget and the same call
+    returns ε-approximate heavy hitters in one pass, no shuffle of
+    the long tail.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.agg(F.expr("approx_top_k(event_type, 16)").alias("tk"))
+        .select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("item"),
+            F.col("x.count").cast("long").alias("cnt"),
+        )
+    )
