@@ -214,3 +214,35 @@ def test_state_store_reader_exposes_aggregation_state(spark, tmp_path):
     state = spark.read.format("statestore").load(ck)
     got = {r.key.user_id: r.value.sum for r in state.collect()}
     assert got == {"a": 3, "b": 3}
+
+
+def test_max_files_per_trigger_paces_backfill(spark, tmp_path):
+    """Ingestion pacing: maxFilesPerTrigger=1 must split a 3-file
+    backlog into 3 micro-batches — the backpressure lever that keeps a
+    100 TB backfill from loading the whole history into one batch's
+    state/shuffle."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i in range(3):
+        pd.DataFrame({"k": [i], "v": [i * 10]}).to_parquet(
+            src + f"/f{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    batches = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: batches.append((bid, df.count()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) == 3, batches
+    assert all(n == 1 for _, n in batches), batches
