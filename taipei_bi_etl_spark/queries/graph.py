@@ -121,7 +121,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 (
                     F.lit(TELEPORT_MICROS)
-                    + F.expr(f"sum(contrib) * 17 DIV 20")
+                    + F.expr("sum(contrib) * 17 DIV 20")
                 ).alias("score")
             )
             .select(F.col("dst").alias("node"), F.col("score").cast("long"))
