@@ -412,3 +412,45 @@ def test_lateral_topk_decorrelates_to_window(spark):
     plan = _plan(REGISTRY["lateral_topk_per_order"].fn(spark, SF_DIR))
     assert "Window" in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_min_cost_supplier_scans_lineitem_once(spark):
+    """Q2 shape: the supply catalog is built ONCE and the correlated
+    MIN is a window over it — the aggregate-self-join form would scan
+    lineitem twice."""
+    plan = _plan(REGISTRY["min_cost_supplier"].fn(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, plan[:3000]
+    assert "Window" in plan, plan[:2000]
+
+
+def test_nation_pair_volume_broadcasts_both_legs(spark):
+    """Q7 shape: supplier and customer legs (pre-filtered to the two
+    nations) must broadcast; the only sort-merge-eligible join is the
+    orderkey fact join."""
+    plan = _plan(REGISTRY["nation_pair_volume"].fn(spark, SF_DIR))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan[:3000]
+
+
+def test_arrow_batch_norms_is_scan_plus_arrow_eval(spark):
+    """The mapInArrow kernel must sit directly on the pruned scan — no
+    shuffle, and ReadSchema limited to (vec_id, embedding)."""
+    plan = _plan(REGISTRY["arrow_batch_norms"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan[:2000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "label" not in m.group(1), plan[:2000]
+
+
+def test_pagerank_iteration_count_bounds_plan(spark):
+    """The unrolled PageRank plan must contain exactly N_ITER
+    aggregation rounds over the persisted edge frame — runaway lazy
+    unrolling (re-deriving edges per iteration) would show as repeated
+    lineitem scans."""
+    from taipei_bi_etl_spark.queries.graph import N_ITER  # noqa: F401
+
+    df = REGISTRY["part_copurchase_pagerank"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # every iteration must read the persisted edge frame (InMemoryTable-
+    # Scan), not re-derive it; the cached relation prints its ORIGINAL
+    # build plan once, so lineitem appears in the cache definition but
+    # each iteration node is a cache scan
+    assert plan.count("InMemoryTableScan") >= N_ITER, plan[:3000]
