@@ -90,4 +90,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     relational8,
     modern_api2,
     graph,
+    relational9,
 )

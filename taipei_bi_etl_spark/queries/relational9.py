@@ -1,0 +1,187 @@
+"""Ninth batch — function-surface completeness packs: the analytic
+window functions beyond LEAD/RANK (first/last/nth value, lag with
+default), the regexp family beyond rlike (extract-all, count, substr,
+replace), and the higher-order array functions as one oracle-checked
+query each.
+
+The reference touches each family at one point (W2 LEAD, P8 rlike,
+A6 array scalar-subquery); these packs pin the REST of each family so
+a user migrating arbitrary BigQuery SQL finds the functions present
+and cross-engine-consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Analytic window value functions.
+# ---------------------------------------------------------------------------
+
+_WINVAL_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS v_micros,
+           ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+       FIRST_VALUE(v_micros) OVER w AS first_v,
+       LAST_VALUE(v_micros) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_v,
+       NTH_VALUE(v_micros, 2) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_v,
+       LAG(v_micros, 1, -1) OVER w AS prev_v,
+       v_micros - LAG(v_micros, 1, 0) OVER w AS delta_v
+FROM seq
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("window_value_pack", oracle=_WINVAL_ORACLE, tags=("window", "W2"))
+def window_value_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic value functions the reference never needed but a
+    migrating user will: FIRST_VALUE / LAST_VALUE / NTH_VALUE (with
+    the full-partition frame — the default frame stops at CURRENT ROW,
+    the classic LAST_VALUE gotcha, spelled explicitly here) and LAG
+    with a default, all over one total-ordered per-user window.
+
+    Scale: all five functions share ONE window spec family (same
+    partition key, same order), so the plan is a single user_id
+    exchange + one sort feeding every Window operator — pinning that
+    functions-sharing-a-window don't multiply shuffles.  Values are
+    integer micros end-to-end.
+    """
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = F.floor(F.col("value") * 1_000_000).cast("long")
+    seq = e.select(
+        "user_id", "event_id", v.alias("v_micros"), "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return seq.select(
+        "user_id",
+        "event_id",
+        F.first("v_micros").over(w).alias("first_v"),
+        F.last("v_micros").over(wfull).alias("last_v"),
+        F.nth_value("v_micros", 2).over(wfull).alias("second_v"),
+        F.lag("v_micros", 1, -1).over(w).alias("prev_v"),
+        (F.col("v_micros") - F.lag("v_micros", 1, 0).over(w)).alias("delta_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regexp function family.
+# ---------------------------------------------------------------------------
+
+_REGEX_ORACLE = """
+SELECT d.doc_id,
+       CAST(len(regexp_extract_all(d.text, '[a-z]+a[a-z]*')) AS BIGINT)
+         AS n_a_words,
+       regexp_extract(d.text, '([a-z]{5,})', 1) AS first_long,
+       CAST(CASE WHEN regexp_matches(d.text, 'spark|hash') THEN 1 ELSE 0 END
+            AS BIGINT) AS mentions_engine,
+       length(regexp_replace(d.text, '[aeiou]', '', 'g')) AS len_novowel
+FROM documents d
+"""
+
+
+@query("regex_function_pack", oracle=_REGEX_ORACLE, tags=("text", "P8"))
+def regex_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regexp family beyond the reference's single `str.match` (P8,
+    `tasks/rps.py:154`): extract-all count, first-match extract with a
+    capture group, boolean match, and global replace — one pass, all
+    codegen'd JVM regex (no Python).
+
+    Dialect note pinned by the oracle: Spark `regexp_replace` is
+    global by default where DuckDB needs the 'g' flag, and
+    `regexp_extract` returns '' (not NULL) on no-match in BOTH
+    engines with group 1 — the cross-engine surface a migration
+    actually has to verify, which is exactly what the hash check does.
+    Scale: scan-only, zero shuffles, ~profiles the regex throughput
+    ceiling on a 100 TB text corpus.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        # Spark's regexp_extract_all defaults to group 1 — the pattern
+        # must carry a capture group (DuckDB returns the full match
+        # either way; group 1 spans the whole pattern so counts agree)
+        F.size(F.expr(r"regexp_extract_all(text, '([a-z]+a[a-z]*)')"))
+        .cast("long")
+        .alias("n_a_words"),
+        F.regexp_extract("text", r"([a-z]{5,})", 1).alias("first_long"),
+        F.when(F.col("text").rlike("spark|hash"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("mentions_engine"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_novowel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions.
+# ---------------------------------------------------------------------------
+
+_HOF_ORACLE = """
+WITH t AS (
+    SELECT d.doc_id, string_split(d.text, ' ') AS words
+    FROM documents d
+)
+SELECT doc_id,
+       CAST(len(list_filter(words, w -> length(w) > 4)) AS BIGINT)
+         AS n_long,
+       CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT)
+         AS total_chars,
+       CAST(CASE WHEN length(words[1]) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS head_nonempty,
+       array_to_string(list_transform(words[1:3], w -> upper(w)), '-')
+         AS head3_upper
+FROM t
+"""
+
+
+@query("hof_array_pack", oracle=_HOF_ORACLE, tags=("arrays", "A6"))
+def hof_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the tokenized text — filter,
+    transform+aggregate, element access, slice+transform+join — the
+    family the engine uses internally everywhere (D2/D3 cleanups are
+    `F.transform`, A6 kv-extract is `F.filter` + `element_at`) pinned
+    once as a user-facing pack.
+
+    All lambdas run inside Catalyst (codegen'd, JVM) — the point of
+    higher-order functions is exactly that per-element logic does NOT
+    leave the executor loop for Python.  Scan-only, zero shuffle; the
+    words array lives only inside the projection (never shuffled or
+    materialized), so memory cost is one row's tokens at a time.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: F.length(w) > 4))
+        .cast("long")
+        .alias("n_long"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.when(F.length(F.element_at(words, 1)) >= 1, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("head_nonempty"),
+        F.array_join(
+            F.transform(F.slice(words, 1, 3), lambda w: F.upper(w)), "-"
+        ).alias("head3_upper"),
+    )
