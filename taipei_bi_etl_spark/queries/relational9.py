@@ -185,3 +185,65 @@ def hof_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.slice(words, 1, 3), lambda w: F.upper(w)), "-"
         ).alias("head3_upper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native MapType functions.
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+WITH per_line AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COALESCE(MAX(CASE WHEN l_linenumber = 1 THEN qty END), -1)
+            AS BIGINT) AS qty_line1,
+       CAST(SUM(CASE WHEN l_linenumber <= 3 THEN qty ELSE 0 END) AS BIGINT)
+         AS qty_first3
+FROM per_line GROUP BY 1
+"""
+
+
+@query("map_function_pack", oracle=_MAP_ORACLE, tags=("maps", "A6"))
+def map_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``MapType`` end-to-end: build a per-order linenumber→qty
+    map with ``map_from_entries(collect_list(struct))``, then read it
+    back through ``map_keys`` / ``element_at`` / ``map_filter`` /
+    ``map_values`` + ``aggregate``.
+
+    The reference never had native maps — BigQuery emulates them as
+    ``ARRAY<STRUCT<key,value>>`` (SURVEY §1.2, `udf_js/cleanup_*.sql`)
+    and this engine's kv helpers mirror that — so this pack is the
+    migration target: the same data as a first-class map, with lookups
+    that are hash probes instead of array scans.
+
+    Determinism discipline: keys are made unique BEFORE the map build
+    (qty pre-aggregated per (order, line) — `map_from_entries` raises
+    on duplicate keys under the default dedup policy), and every
+    output is key-addressed or an order-independent integer sum, so
+    the map's internal entry order (which follows the nondeterministic
+    collect_list order) never leaks into the hash.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    per_line = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("qty"))
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("l_linenumber"), F.col("qty")))
+    )
+    per_order = per_line.groupBy("l_orderkey").agg(m.alias("m"))
+    first3 = F.map_filter(F.col("m"), lambda k, v: k <= 3)
+    return per_order.select(
+        "l_orderkey",
+        F.size(F.map_keys("m")).cast("long").alias("n_lines"),
+        F.coalesce(F.element_at(F.col("m"), F.lit(1)), F.lit(-1))
+        .cast("long")
+        .alias("qty_line1"),
+        F.aggregate(
+            F.map_values(first3), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("qty_first3"),
+    )
