@@ -247,3 +247,51 @@ def map_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(first3), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("qty_first3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar field functions.
+# ---------------------------------------------------------------------------
+
+_CAL_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(EXTRACT(QUARTER FROM o.o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(EXTRACT(WEEK FROM o.o_orderdate)) AS BIGINT) AS sum_isoweek,
+       CAST(SUM(EXTRACT(ISODOW FROM o.o_orderdate)) AS BIGINT) AS sum_isodow,
+       CAST(SUM(EXTRACT(DOY FROM o.o_orderdate)) AS BIGINT) AS sum_doy,
+       CAST(MAX(EXTRACT(DAY FROM last_day(CAST(o.o_orderdate AS DATE))))
+            AS BIGINT) AS max_month_len
+FROM orders o
+GROUP BY 1, 2
+"""
+
+
+@query("calendar_function_pack", oracle=_CAL_ORACLE, tags=("datetime", "F1"))
+def calendar_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar field extraction beyond F1–F8's date arithmetic:
+    quarter, ISO week-of-year, ISO weekday, day-of-year, and month
+    length via ``last_day`` — aggregated so every function's value
+    over ~27 year-quarters rides the hash.
+
+    Dialect parity pinned here: Spark ``weekofyear`` IS the ISO week
+    (DuckDB ``EXTRACT(WEEK)``), and Spark's ISO weekday is ``weekday()
+    + 1`` (0-Monday) against DuckDB's ``ISODOW`` (1-Monday) — the
+    off-by-one a migration hits first.  ``dayofweek``'s 1-Sunday
+    convention is deliberately NOT used cross-engine.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        o.groupBy(
+            F.year(d).cast("long").alias("o_year"),
+            F.quarter(d).cast("long").alias("o_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.weekofyear(d)).cast("long").alias("sum_isoweek"),
+            F.sum(F.weekday(d) + 1).cast("long").alias("sum_isodow"),
+            F.sum(F.dayofyear(d)).cast("long").alias("sum_doy"),
+            F.max(F.dayofmonth(F.last_day(d))).cast("long").alias("max_month_len"),
+        )
+    )
