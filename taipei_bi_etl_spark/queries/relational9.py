@@ -295,3 +295,79 @@ def calendar_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.dayofmonth(F.last_day(d))).cast("long").alias("max_month_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM).
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+WITH a AS (
+    SELECT NULLIF(c_nationkey % 5, 4) AS grp, c_custkey FROM customer
+), b AS (
+    SELECT NULLIF(s_nationkey % 5, 4) AS grp, s_suppkey FROM supplier
+)
+SELECT CAST(COALESCE(a.grp, -1) AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+GROUP BY 1
+"""
+
+
+@query("null_safe_join_rollup", oracle=_NULLSAFE_ORACLE, tags=("join", "P7"))
+def null_safe_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join on a NULLABLE key with null-safe equality (`<=>` — SQL's
+    IS NOT DISTINCT FROM): the NULL group matches the NULL group,
+    where ordinary `=` would silently drop every NULL row from an
+    inner join — the null-handling delta (P7/P10 family,
+    `sql/mango_user_channels.sql:117-132`) that the reference papered
+    over with eight IFNULL() coats.
+
+    Plan note: `<=>` is still an EQUI join key for Spark (hashable —
+    null hashes like a value), so this stays a broadcast/hash join,
+    not a nested loop; the output key is COALESCE'd to -1 because the
+    multiset comparator needs a total order.  At scale, remember the
+    null group is often the HOT group — `skew_report` it first.
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        F.nullif((F.col("c_nationkey") % 5), F.lit(4)).alias("grp_a"),
+        "c_custkey",
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.nullif((F.col("s_nationkey") % 5), F.lit(4)).alias("grp_b"),
+        "s_suppkey",
+    )
+    return (
+        c.join(s, F.col("grp_a").eqNullSafe(F.col("grp_b")))
+        .groupBy(F.coalesce("grp_a", F.lit(-1)).cast("long").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL — modern authoring shorthand.
+# ---------------------------------------------------------------------------
+
+_GBA_ORACLE = """
+SELECT o.o_orderstatus, o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o
+GROUP BY ALL
+"""
+
+
+@query("group_by_all_rollup", oracle=_GBA_ORACLE, tags=("modern", "sql", "A1"))
+def group_by_all_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — every non-aggregate select item becomes a
+    grouping key, inferred by the analyzer.  Both engines support the
+    same shorthand, so the oracle runs the IDENTICAL text; the plan is
+    indistinguishable from the explicit GROUP BY 1, 2 (same partial+
+    final HashAggregate), making this pure authoring surface like the
+    pipe-syntax twin.
+    """
+    from taipei_bi_etl_spark.io import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_GBA_ORACLE)
