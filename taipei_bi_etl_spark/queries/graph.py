@@ -184,3 +184,97 @@ def part_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(_BFS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — degree-oriented wedge join.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM parts a JOIN parts b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+@query(
+    "copurchase_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("graph", "join"),
+)
+def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the co-purchase graph — the canonical graph metric
+    whose NAIVE three-way self-join (the oracle's form) explodes on
+    skewed degree distributions: a hub of degree d contributes O(d²)
+    join rows.
+
+    The engine side uses DEGREE ORIENTATION: every undirected edge
+    points from its (degree, id)-smaller endpoint to the larger, and
+    triangles are counted as oriented wedges (a→b, a→c) closed by an
+    oriented edge b→c.  Each triangle is counted exactly once (it has
+    a unique minimum vertex in the total order), and the wedge count
+    is Σ_a C(outdeg(a), 2) where orientation caps outdeg at O(√m) —
+    the hub's quadratic blowup moves to low-degree sources.  This is
+    the standard MapReduce-era trick (Suri & Vassilvitskii's
+    partition-aware variant descends from it) expressed as three
+    DataFrame joins; same count, scale-safe wedge volume.
+
+    The lexicographic (degree, id) compare is done inline — no global
+    rank window, so nothing serializes on |V|.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.alias("a")
+    b = parts.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).persist()
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedge_ordered = (F.col("o1.ddst") < F.col("o2.ddst")) | (
+        (F.col("o1.ddst") == F.col("o2.ddst"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(
+        o2, (F.col("o1.src") == F.col("o2.src")) & wedge_ordered
+    ).select(F.col("o1.dst").alias("b"), F.col("o2.dst").alias("c"))
+    closer = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    # inner (not semi): every wedge is a distinct (a;b,c), so one match
+    # per closing edge = one triangle
+    return wedges.join(closer, ["b", "c"], "inner").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
