@@ -278,3 +278,69 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedges.join(closer, ["b", "c"], "inner").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — iterative peeling to a fixpoint.
+# ---------------------------------------------------------------------------
+
+KCORE_K = 40
+
+
+@query("copurchase_kcore", oracle=None, tags=("graph", "iterative"))
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {k}-core of the co-purchase graph: the maximal subgraph in
+    which every part has ≥ k co-purchase partners — iterative peeling
+    (drop nodes with degree < k, recompute degrees, repeat) until a
+    fixpoint.  Cores are how a curation pipeline finds the dense
+    "backbone" of an item/document graph (and prunes long-tail noise
+    before expensive per-node work).
+
+    No SQL oracle: the fixpoint's iteration count is data-dependent,
+    which a recursive CTE cannot express with per-step re-aggregation
+    — this is exactly the class the driver records rows-only and
+    `tests/test_clustering.py` gates by INVARANTS instead: (a) every
+    surviving node has ≥ k surviving neighbors (core property), (b)
+    maximality — no peeled node has ≥ k surviving neighbors.
+
+    Scale: per iteration one degree aggregation + one semi-join, both
+    keyed on node; the driver sees ONE scalar per iteration (the
+    changed-count that drives convergence), never node data.  Peeling
+    converges in ≤ |V| rounds but in practice tens; each round's
+    frames shrink monotonically.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.alias("a")
+    b = parts.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    live = edges
+    while True:
+        deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("u").persist()
+        nxt = (
+            live.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .persist()
+        )
+        n_before = live.select("u").distinct().count()
+        n_after = nxt.select("u").distinct().count()
+        live = nxt
+        if n_after == n_before or n_after == 0:
+            break
+    return (
+        live.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("u").alias("p_partkey"), "core_degree")
+    )

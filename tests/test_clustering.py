@@ -114,3 +114,49 @@ def test_leakage_safe_split_never_separates_near_dups(spark):
     for p in pairs:
         assert splits[p.doc_a][0] == splits[p.doc_b][0]
         assert splits[p.doc_a][1] == splits[p.doc_b][1]
+
+
+def test_kcore_property_and_maximality(spark):
+    """k-core invariants: every member keeps >= k neighbors inside the
+    core (property), and no non-member could join it (maximality wrt
+    one more peel round)."""
+    from taipei_bi_etl_spark.queries import REGISTRY
+    from taipei_bi_etl_spark.queries.graph import KCORE_K
+    from tests.conftest import SF_DIR
+
+    core = REGISTRY["copurchase_kcore"].fn(spark, SF_DIR)
+    rows = core.collect()
+    if not rows:  # tiny SF may peel everything — that's a valid core
+        return
+    assert all(r.core_degree >= KCORE_K for r in rows), sorted(
+        r.core_degree for r in rows
+    )[:5]
+    # maximality: recompute degrees of peeled nodes against the core;
+    # none may reach k
+    from taipei_bi_etl_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = parts.alias("a"), parts.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    members = core.select(F.col("p_partkey").alias("v"))
+    into_core = edges.join(members, "v", "left_semi")
+    outside = into_core.join(
+        core.select(F.col("p_partkey").alias("u")), "u", "left_anti"
+    )
+    worst = (
+        outside.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert worst is None or worst < KCORE_K, worst
