@@ -371,3 +371,99 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy diversity sampling (coreset selection).
+# ---------------------------------------------------------------------------
+
+KCENTER_STEPS = 4
+
+_KCENTER_ORACLE = f"""
+WITH RECURSIVE
+pts AS (
+    SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+),
+dists AS (
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           list_sum(list_transform(list_zip(a.v, b.v),
+               t -> (t[1] - t[2]) * (t[1] - t[2]))) AS dist
+    FROM pts a, pts b
+),
+sel(step, chosen) AS (
+    SELECT 0, [CAST(0 AS BIGINT)]
+    UNION ALL
+    SELECT s.step + 1,
+           list_append(s.chosen, (
+               SELECT p.vec_id FROM pts p
+               WHERE NOT list_contains(s.chosen, p.vec_id)
+               ORDER BY (SELECT MIN(d.dist) FROM dists d
+                         WHERE d.i = p.vec_id
+                           AND list_contains(s.chosen, d.j)) DESC,
+                        p.vec_id ASC
+               LIMIT 1))
+    FROM sel s WHERE s.step < {KCENTER_STEPS}
+)
+SELECT UNNEST(chosen) AS vec_id FROM sel WHERE step = {KCENTER_STEPS}
+"""
+
+
+@query(
+    "kcenter_diverse_sample",
+    oracle=_KCENTER_ORACLE,
+    tags=("clustering", "iterative", "curation"),
+)
+def kcenter_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) selection over the embedding
+    table — the coreset/diversity sampler a curation pipeline uses to
+    pick maximally-spread exemplars (dataset distillation, eval-set
+    seeding, dedup anchors).  Start from vec_id 0, then k times pick
+    the point FARTHEST from the chosen set (max of min-distances).
+
+    Exactness: embeddings are integerized to micros and distances are
+    Σ(Δ²) in BIGINT — fully exact, so the greedy argmax (with vec_id
+    tie-break) is bit-identical cross-engine, which is what lets a
+    float-geometry algorithm be hash-checked against the recursive-CTE
+    oracle (the oracle materializes all pairwise distances — O(n²) is
+    fine for DuckDB at sf0.01 and EXACTLY what the Spark side avoids).
+
+    Scale: the classic streaming form — maintain ONE min-distance
+    column over the corpus; each round is (a) TakeOrdered(1) for the
+    argmax (per-partition heaps, 1 row to the driver), (b) a map-only
+    `least(mind, dist(x, new_center))` update with the 64-int center
+    inlined as a literal (broadcast by the plan).  k rounds = k scans,
+    no pairwise materialization, no shuffle at all.
+    """
+    from taipei_bi_etl_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    to_micros = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long")
+    )
+    pts = emb.select("vec_id", to_micros.alias("v")).persist()
+
+    def dist_to(center_vec: list[int]) -> F.Column:
+        lit = F.array(*[F.lit(int(c)) for c in center_vec])
+        return F.aggregate(
+            F.zip_with("v", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    first = pts.filter(F.col("vec_id") == 0).collect()[0]
+    chosen = [0]
+    state = pts.withColumn("mind", dist_to(list(first.v)))
+    for _ in range(KCENTER_STEPS):
+        nxt = (
+            state.filter(~F.col("vec_id").isin(chosen))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(int(nxt.vec_id))
+        state = state.withColumn(
+            "mind", F.least(F.col("mind"), dist_to(list(nxt.v)))
+        )
+    return spark.createDataFrame([(c,) for c in chosen], "vec_id long")
