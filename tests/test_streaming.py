@@ -246,3 +246,61 @@ def test_max_files_per_trigger_paces_backfill(spark, tmp_path):
         q.stop()
     assert len(batches) == 3, batches
     assert all(n == 1 for _, n in batches), batches
+
+
+def test_watermark_drops_late_rows_observably(spark, tmp_path):
+    """Late-data semantics made observable: a row older than the
+    watermark must be DROPPED by the stateful aggregation, and the drop
+    must be visible in the query's progress metrics
+    (numRowsDroppedByWatermark) — the ops counter a production pipeline
+    alerts on (silent late-drop is how daily totals quietly thin)."""
+    import json as _json
+    import time as _time
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    base = pd.Timestamp("2024-01-02 10:00:00")
+
+    def _write(path, ts, v):
+        # micros, not pandas' default nanos (nanos read as LONG under
+        # the session's nanosAsLong conf)
+        pd.DataFrame({"ts": [ts], "v": [v]}).to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    _write(src + "/f0.parquet", base, 1)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.sum("v").alias("s"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_probe")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: watermark advances to 09:50
+        # a row 2 HOURS late — far below the watermark
+        _write(src + "/f1.parquet", base - pd.Timedelta(hours=2), 100)
+        q.processAllAvailable()
+        dropped = 0
+        for p in q.recentProgress:
+            for op in (p.get("stateOperators") or []):
+                dropped += op.get("numRowsDroppedByWatermark", 0)
+    finally:
+        q.stop()
+    assert dropped >= 1, [
+        _json.dumps(p.get("stateOperators")) for p in q.recentProgress
+    ]
+    # and the late row's value must NOT appear in any emitted window
+    sums = [r.s for r in spark.sql("SELECT s FROM late_drop_probe").collect()]
+    assert 100 not in sums, sums
