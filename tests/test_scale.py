@@ -236,3 +236,23 @@ def test_skew_report_flags_hot_key(spark):
     assert rep["distinct_keys"] == 100
     assert rep["top"][0] == {"k": 7, "n": 910}
     assert rep["skew_ratio"] > 10
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE must be live, not just configured: a small aggregate under
+    the default 200-partition shuffle setting should execute with
+    coalesced partitions (AQEShuffleRead) — the runtime re-plan that
+    keeps tiny stages from scheduling 200 near-empty tasks at scale."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        df = (
+            read_table(spark, SF_DIR, "orders")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in final, final[:1500]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
