@@ -346,3 +346,57 @@ def ansi_safe_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(floored).alias("sum_unit_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting — compound statements (Spark 4).
+# ---------------------------------------------------------------------------
+
+_SCRIPT_ORACLE = """
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+  AND o.o_totalprice > 1000.0
+GROUP BY 1
+"""
+
+
+@query("sql_scripting_rollup", oracle=_SCRIPT_ORACLE, tags=("modern", "sql"))
+def sql_scripting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same rollup authored as a Spark 4 SQL SCRIPT (BEGIN…END with
+    DECLARE'd variables and a computed threshold) — the in-engine form
+    of the reference's Python driver loop (`tasks/bigquery.py:416-461`
+    computes dates/params in Python, then splices them into SQL text).
+    Variables resolve in the engine's own scope, so the "driver logic"
+    ships WITH the query — one artifact, no host-language templating.
+
+    The script's last statement is the result; Catalyst plans it
+    exactly like the inlined-constant form (the oracle), with the
+    variable references constant-folded.
+    """
+    from taipei_bi_etl_spark.io import register_views
+
+    old = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        register_views(spark, sf_dir, ["orders"])
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE cutoff TIMESTAMP DEFAULT TIMESTAMP '2000-01-01';
+              DECLARE min_price DOUBLE DEFAULT 1000.0;
+              SELECT o_orderstatus,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS total_cents
+              FROM orders
+              WHERE o_orderdate >= cutoff AND o_totalprice > min_price
+              GROUP BY 1;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", old)
