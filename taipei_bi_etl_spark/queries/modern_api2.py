@@ -400,3 +400,64 @@ def sql_scripting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.scripting.enabled", old)
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs — CREATE FUNCTION parity with the reference's UDF layer.
+# ---------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = """
+SELECT CASE WHEN c.c_nationkey % 5 = 0 THEN 'IN'
+            WHEN c.c_nationkey % 5 = 1 THEN 'ID'
+            WHEN c.c_nationkey % 5 = 2 THEN 'THS'
+            ELSE 'Others' END AS market,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer c
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1
+"""
+
+
+@query("sql_udf_rollup", oracle=_SQL_UDF_ORACLE, tags=("modern", "sql", "D6"))
+def sql_udf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole UDF lifecycle — ``CREATE OR REPLACE
+    FUNCTION`` SQL UDFs registered per session, then referenced by
+    templated queries (`tasks/bigquery.py:112-135`, `udf/map_markets.
+    sql`) — reproduced on Spark 4's native SQL UDFs: a scalar function
+    (`cents`, the float policy as a UDF), a CASE mapping function
+    (`map_market`, D6's shape), and a TABLE function (`seg_customers`,
+    a parameterized view) composed in one rollup.
+
+    SQL UDFs inline into the plan at analysis time (no Python, no JS
+    sandbox — unlike the reference's udf_js layer, codegen sees
+    through them), so the oracle's inlined form plans identically.
+    """
+    from taipei_bi_etl_spark.io import register_views
+
+    register_views(spark, sf_dir, ["customer"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)"
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION map_market(nk BIGINT)
+           RETURNS STRING RETURN CASE WHEN nk % 5 = 0 THEN 'IN'
+                                      WHEN nk % 5 = 1 THEN 'ID'
+                                      WHEN nk % 5 = 2 THEN 'THS'
+                                      ELSE 'Others' END"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION seg_customers(seg STRING)
+           RETURNS TABLE(c_nationkey BIGINT, bal_cents BIGINT)
+           RETURN SELECT c_nationkey, cents(c_acctbal)
+                  FROM customer WHERE c_mktsegment = seg"""
+    )
+    return spark.sql(
+        """SELECT map_market(c_nationkey) AS market,
+                  COUNT(*) AS n_customers,
+                  CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+           FROM seg_customers('BUILDING')
+           GROUP BY 1"""
+    )
