@@ -336,9 +336,9 @@ WITH toks AS (
          CAST(COUNT(*) AS BIGINT) AS n_chunks,
          CAST(SUM(CASE WHEN fr.f > {LINE_FREQ_CAP} THEN 1 ELSE 0 END) AS BIGINT)
            AS n_removed,
-         array_to_string(
+         COALESCE(array_to_string(
            COALESCE(list(fl.chunk ORDER BY fl.pos) FILTER (WHERE fr.f <= {LINE_FREQ_CAP}), []),
-           ' ') AS kept_text
+           ' '), '') AS kept_text
   FROM flat fl JOIN freq fr USING (chunk)
   GROUP BY fl.doc_id
 )

@@ -195,8 +195,8 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (order-independent) and divide once instead.
 _FRAMES_ORACLE = """
 SELECT user_id,
-       ROUND(CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
-             / 1000000.0 / COUNT(*), 6) AS avg_value,
+       CAST(CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
+            // COUNT(*) AS BIGINT) AS avg_micros,
        CAST(COUNT(*) AS BIGINT) AS n_frames
 FROM (
   SELECT user_id, value AS v FROM events WHERE event_type = 'view'
@@ -220,14 +220,20 @@ def mean_across_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("view", "click", "purchase")
     ]
     u = frames[0].unionByName(frames[1]).unionByName(frames[2])
-    return u.groupBy("user_id").agg(
-        F.round(
-            F.sum(F.floor(F.col("v") * 1_000_000).cast("long"))
-            / F.lit(1_000_000.0)
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_value"),
-        F.count(F.lit(1)).alias("n_frames"),
+    # exact integer mean (micros, floor division): a ROUND()ed double
+    # average flipped its last digit between engines at sf0.1 — the
+    # float policy applies to derived means too, not just sums
+    return (
+        u.groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("v") * 1_000_000).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .select(
+            "user_id",
+            F.expr("s DIV n_frames").alias("avg_micros"),
+            "n_frames",
+        )
     )
 
 

@@ -236,10 +236,9 @@ WITH seq AS (
     FROM events
 )
 SELECT event_type,
-       CAST(SUM(v_micros * dur_ms) AS BIGINT) AS weighted_sum,
-       CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
-       ROUND(CAST(SUM(v_micros * dur_ms) AS DOUBLE) / SUM(dur_ms), 6)
-         AS twa_micros
+       CAST(SUM(CAST(v_micros AS DECIMAL(38,0)) * dur_ms)
+            AS DECIMAL(38,0)) AS weighted_sum,
+       CAST(SUM(dur_ms) AS BIGINT) AS total_ms
 FROM seq WHERE dur_ms IS NOT NULL AND dur_ms > 0
 GROUP BY event_type
 """
@@ -268,14 +267,16 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1000000).cast("long").alias("v_micros"),
         dur_ms.alias("dur_ms"),
     ).filter(F.col("dur_ms").isNotNull() & (F.col("dur_ms") > 0))
+    # DECIMAL(38,0), not BIGINT: micros-x-ms products summed over the
+    # fact OVERFLOW int64 around sf0.1 (ANSI mode rightly raised) — a
+    # weighted sum's width grows with data volume, so the accumulator
+    # type must out-scale the data.  The quotient (the actual TWA)
+    # belongs to the consumer per the A10 ratio-of-sums discipline.
     return seq.groupBy("event_type").agg(
-        F.sum(F.col("v_micros") * F.col("dur_ms")).alias("weighted_sum"),
+        F.sum(
+            F.col("v_micros").cast("decimal(38,0)") * F.col("dur_ms")
+        ).cast("decimal(38,0)").alias("weighted_sum"),
         F.sum("dur_ms").alias("total_ms"),
-        F.round(
-            F.sum(F.col("v_micros") * F.col("dur_ms")).cast("double")
-            / F.sum("dur_ms"),
-            6,
-        ).alias("twa_micros"),
     )
 
 
