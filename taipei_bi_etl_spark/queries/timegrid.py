@@ -294,8 +294,8 @@ WITH pts AS (
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(hod) AS BIGINT) AS sx,
-           CAST(SUM(v) AS BIGINT) AS sy,
-           CAST(SUM(hod * v) AS BIGINT) AS sxy,
+           CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(CAST(hod AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS sxy,
            CAST(SUM(hod * hod) AS BIGINT) AS sxx
     FROM pts GROUP BY event_type
 )
@@ -328,15 +328,24 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(FN.unix_ms("ts") / F.lit(3600000)) % 24).alias("hod"),
         F.floor(F.col("value") * 1000000).cast("long").alias("v"),
     )
+    # volume-growing sums (Σy, Σxy) accumulate in DECIMAL(38,0): the
+    # int64 ceiling arrives near 1e9 rows per group (the same latent
+    # class the sf0.1 sweep caught in time_weighted_avg); per-row
+    # factors bounded by constants (Σx, Σx² with x<24) stay BIGINT
     m = pts.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("hod").alias("sx"),
-        F.sum("v").alias("sy"),
-        F.sum(F.col("hod") * F.col("v")).alias("sxy"),
+        F.sum(F.col("v").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("hod").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
         F.sum(F.col("hod") * F.col("hod")).alias("sxx"),
     )
     slope = F.round(
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxy")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+        ).cast("double")
         / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
         6,
     )
