@@ -454,3 +454,18 @@ def test_pagerank_iteration_count_bounds_plan(spark):
     # build plan once, so lineitem appears in the cache definition but
     # each iteration node is a cache scan
     assert plan.count("InMemoryTableScan") >= N_ITER, plan[:3000]
+
+
+def test_no_row_python_udf_in_headline_plans(spark):
+    """Policy gate: no BatchEvalPython (row-at-a-time Python UDF) in
+    any headline query plan — Python may appear only as Arrow-batched
+    evaluation (ArrowEvalPython / MapInPandas / MapInArrow), which is
+    10-100x faster and the repo-wide rule (SURVEY §4 vectorization)."""
+    import bench
+
+    for name in bench.HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        plan = _plan(spec.fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, (name, plan[:1500])
