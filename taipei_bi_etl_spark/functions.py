@@ -176,3 +176,46 @@ def rename_snake(df: "DataFrame") -> "DataFrame":
     """Rename every column of ``df`` to snake_case (F22) — metadata-only,
     no job is triggered."""
     return df.toDF(*[to_snake_case(c) for c in df.columns])
+
+
+def anonymize_columns(df, spec: dict):
+    """Deterministic fixture anonymizer — the Spark form of the
+    reference's test-data scrubber (`utils/anonymizer.py:12-32`, which
+    randomizes ip / uid / float / int fields in golden fixtures before
+    they are committed).  The reference uses `random` (irreproducible);
+    here every replacement derives from xxhash64 of the original value,
+    so anonymization is REPRODUCIBLE (same input → same fixture) and
+    join keys remain consistent across tables scrubbed independently.
+
+    spec maps column → kind:
+      - "ip":    hash → "10.x.y.z" private-range address
+      - "uid":   hash → 16-hex-char token
+      - "int":   hash → value in [0, 10000)
+      - "float": hash → value in [0, 100) with 2 decimals
+
+    Runs entirely in Catalyst (hash + formatting expressions) — a 100 TB
+    fixture scrub is a map-only scan.
+    """
+    from pyspark.sql import functions as F
+
+    out = df
+    for col, kind in spec.items():
+        h = F.abs(F.xxhash64(F.col(col).cast("string")))
+        if kind == "ip":
+            repl = F.concat_ws(
+                ".",
+                F.lit("10"),
+                (h % 256).cast("string"),
+                (F.floor(h / 256) % 256).cast("string"),
+                (F.floor(h / 65536) % 256).cast("string"),
+            )
+        elif kind == "uid":
+            repl = F.lower(F.conv((h % F.lit(2**60)).cast("string"), 10, 16))
+        elif kind == "int":
+            repl = (h % 10000).cast("long")
+        elif kind == "float":
+            repl = F.round((h % 10000) / 100.0, 2)
+        else:
+            raise ValueError(f"unknown anonymize kind: {kind}")
+        out = out.withColumn(col, repl)
+    return out

@@ -80,3 +80,24 @@ def test_kv_and_null_helpers(spark):
     assert row.e2n is None
     assert row.filled == "dflt"
     assert row.loe == ""
+
+
+def test_anonymize_columns_deterministic_and_consistent(spark):
+    """V-family fixture scrubber: reproducible (same input → same
+    output), format-correct, and key-consistent (equal inputs map to
+    equal outputs so cross-table joins still line up)."""
+    from taipei_bi_etl_spark.functions import anonymize_columns
+
+    df = spark.createDataFrame(
+        [("1.2.3.4", "user-77", 123, 9.5), ("1.2.3.4", "user-88", 456, 1.25)],
+        "ip string, uid string, amount int, payout double",
+    )
+    spec = {"ip": "ip", "uid": "uid", "amount": "int", "payout": "float"}
+    a = anonymize_columns(df, spec).collect()
+    b = anonymize_columns(df, spec).collect()
+    assert a == b  # reproducible
+    assert a[0].ip == a[1].ip  # same input -> same output (consistency)
+    assert a[0].ip.startswith("10.") and a[0].ip.count(".") == 3
+    assert a[0].ip != "1.2.3.4" and a[0].uid != "user-77"
+    assert 0 <= a[0].amount < 10000
+    assert 0.0 <= a[0].payout < 100.0
