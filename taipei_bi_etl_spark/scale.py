@@ -225,3 +225,31 @@ def skew_report(df: DataFrame, key_cols: list[str] | str, top_k: int = 10) -> di
         "skew_ratio": round(stats.max_freq / mean, 2),
         "top": top,
     }
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (optimized-plan statistics:
+    file sizes for scans, filter/projection selectivity heuristics
+    above them) — the number the planner itself uses for broadcast
+    decisions."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def assert_broadcastable(df: DataFrame, limit_mb: int = 512) -> DataFrame:
+    """Guard an explicit ``F.broadcast(df)``: raise if Catalyst's size
+    estimate exceeds ``limit_mb``.  An explicit broadcast hint OVERRIDES
+    the planner's 10 MB auto-threshold — on a 100 TB run, hinting a
+    dimension that quietly grew to 50 GB OOMs every executor at once.
+    This turns that failure mode into a planning-time error with the
+    estimate in the message.  Returns ``df`` unchanged so it wraps
+    inline: ``F.broadcast(assert_broadcastable(dim))``.
+    """
+    est = estimated_size_bytes(df)
+    if est > limit_mb * 1024 * 1024:
+        raise ValueError(
+            f"refusing to broadcast ~{est / 1e6:.0f} MB (> {limit_mb} MB "
+            f"limit); repartition/bucket this join instead"
+        )
+    return df

@@ -256,3 +256,19 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
         assert "AQEShuffleRead coalesced" in final, final[:1500]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_assert_broadcastable_guards_large_frames(spark):
+    import pytest as _pytest
+
+    from taipei_bi_etl_spark.scale import (
+        assert_broadcastable,
+        estimated_size_bytes,
+    )
+
+    small = read_table(spark, SF_DIR, "nation")
+    assert estimated_size_bytes(small) > 0
+    assert assert_broadcastable(small, limit_mb=64) is small
+    big = read_table(spark, SF_DIR, "lineitem")
+    with _pytest.raises(ValueError, match="refusing to broadcast"):
+        assert_broadcastable(big, limit_mb=0)
