@@ -261,6 +261,7 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     ).persist()
+    oriented.count()  # materialize: three consumers below scan the cache
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedge_ordered = (F.col("o1.ddst") < F.col("o2.ddst")) | (
