@@ -121,3 +121,45 @@ def test_run_manifest_records_observed_counts(spark, warehouse):
     # the manifest sum but never above it
     on_disk = spark.read.parquet(os.path.join(wh, task)).count()
     assert on_disk <= manifest_total
+
+
+def test_incremental_join_view_equals_full_recompute(spark):
+    """IVM equivalence: maintaining the revenue-per-customer view via
+    the delta decomposition Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB must land on
+    EXACTLY the full-recompute result — the gate that makes the
+    incremental path trustworthy enough to never re-scan history."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark import ivm
+    from taipei_bi_etl_spark.io import read_table
+    from tests.conftest import SF_DIR
+
+    orders = read_table(spark, SF_DIR, "orders")
+    lineitem = read_table(spark, SF_DIR, "lineitem")
+    cut = "2000-01-01"
+    o_old = orders.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp"))
+    o_new = orders.filter(F.col("o_orderdate") >= F.lit(cut).cast("timestamp"))
+    # split lines by their ORDER's date so increments stay aligned
+    li = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).drop("o_orderkey")
+    li_old = li.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp")).drop(
+        "o_orderdate"
+    )
+    li_new = li.filter(
+        F.col("o_orderdate") >= F.lit(cut).cast("timestamp")
+    ).drop("o_orderdate")
+
+    full = ivm.revenue_per_customer(orders, lineitem)
+    old_view = ivm.revenue_per_customer(o_old, li_old)
+    delta = ivm.delta_revenue_per_customer(o_old, o_new, li_old, li_new)
+    merged = ivm.merge_view(old_view, delta)
+
+    a = {
+        r.o_custkey: (r.n_orders, r.revenue_cents) for r in full.collect()
+    }
+    b = {
+        r.o_custkey: (r.n_orders, r.revenue_cents) for r in merged.collect()
+    }
+    assert a == b
