@@ -301,3 +301,61 @@ def test_save_as_table_catalog_roundtrip(spark, tmp_path):
     )
     assert "t_roundtrip" in [t.name for t in spark.catalog.listTables()]
     spark.sql("DROP TABLE t_roundtrip")
+
+
+def test_zorder_clustered_layout_bounds_both_columns(spark, tmp_path):
+    """Z-order + range clustering = multi-column file skipping: files
+    clustered on the interleaved key must have SMALL per-file extents
+    on BOTH source columns, where a single-column sort leaves the
+    second column's per-file extent at ~the full range."""
+    import pyarrow.parquet as pq
+
+    from taipei_bi_etl_spark.io import read_table, write_range_clustered
+    from taipei_bi_etl_spark.scale import zorder_key
+    from tests.conftest import SF_DIR
+
+    # two dimensions of COMPARABLE bit width (z-order degenerates when
+    # one dimension has far fewer significant bits — its zero high bits
+    # let the wider dimension monopolize the curve's top levels)
+    li = (
+        read_table(spark, SF_DIR, "lineitem")
+        .select(
+            F.col("l_partkey").alias("x"),
+            F.pmod(F.col("l_orderkey"), F.lit(200)).alias("y"),
+            "l_quantity",
+        )
+    )
+
+    def extents(path, col):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = meta.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append(max(maxs) - min(mins))
+        return out
+
+    zpath = str(tmp_path / "z")
+    z = li.withColumn("zk", zorder_key(["x", "y"], bits=8))
+    write_range_clustered(z, zpath, ["zk"], n_files=16)
+
+    lpath = str(tmp_path / "linear")
+    write_range_clustered(li, lpath, ["x"], n_files=16)
+
+    g_x = li.agg(F.max("x") - F.min("x")).collect()[0][0]
+    g_y = li.agg(F.max("y") - F.min("y")).collect()[0][0]
+
+    z_x = sum(extents(zpath, "x")) / 16 / g_x
+    z_y = sum(extents(zpath, "y")) / 16 / g_y
+    lin_y = sum(extents(lpath, "y")) / 16 / g_y
+
+    # z-order: both dimensions localized; linear: 2nd dim unbounded
+    assert z_x < 0.7, z_x
+    assert z_y < 0.7, z_y
+    assert lin_y > 0.9, lin_y
