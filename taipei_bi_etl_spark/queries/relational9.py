@@ -371,3 +371,86 @@ def group_by_all_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_GBA_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift — exact-integer total-variation distance.
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), tot AS (
+    SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM daily GROUP BY 1
+), pairs AS (
+    SELECT a.day AS day, a.event_type,
+           a.c AS c1, ta.n AS n1, COALESCE(b.c, 0) AS c2, tb.n AS n2
+    FROM daily a
+    JOIN tot ta ON ta.day = a.day
+    JOIN tot tb ON tb.day = a.day + INTERVAL 1 DAY
+    LEFT JOIN daily b
+      ON b.day = a.day + INTERVAL 1 DAY AND b.event_type = a.event_type
+)
+SELECT day,
+       CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS tv_scaled,
+       CAST(MAX(n1) AS BIGINT) AS n_today,
+       CAST(MAX(n2) AS BIGINT) AS n_next
+FROM pairs GROUP BY day
+"""
+
+
+@query("distribution_drift_tv", oracle=_DRIFT_ORACLE, tags=("checks", "stats"))
+def distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day drift of the event-type distribution as a
+    total-variation distance — the data-quality monitor that catches a
+    producer silently changing mix (the failure V1–V6's row-count and
+    null checks can't see: same volume, different shape).
+
+    Exactness trick: TV = ½ Σ|p_i − q_i| needs probability divisions,
+    but cross-multiplying by both days' totals gives
+    ``Σ|c1_i·N2 − c2_i·N1|`` — an exact BIGINT (TV = that / (2·N1·N2),
+    the consumer's division).  One caveat pinned by the oracle: event
+    types PRESENT tomorrow but absent today contribute via the
+    |0·N2 − c2·N1| terms only if enumerated — this implementation (and
+    oracle) measures drift over today's support, the usual monitoring
+    choice since vanishing categories already trip it.
+
+    Scale: one (day, type) aggregation — the drift frame is
+    |days|·|types| rows; the day-over-day join runs on that aggregate,
+    never on raw events.
+    """
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = daily.groupBy("day").agg(F.sum("c").alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    ta = tot.alias("ta")
+    tb = tot.alias("tb")
+    pairs = (
+        a.join(ta, F.col("a.day") == F.col("ta.day"))
+        .join(tb, F.date_add(F.col("a.day"), 1) == F.col("tb.day"))
+        .join(
+            b,
+            (F.date_add(F.col("a.day"), 1) == F.col("b.day"))
+            & (F.col("a.event_type") == F.col("b.event_type")),
+            "left",
+        )
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.c").alias("c1"),
+            F.col("ta.n").alias("n1"),
+            F.coalesce(F.col("b.c"), F.lit(0)).alias("c2"),
+            F.col("tb.n").alias("n2"),
+        )
+    )
+    return pairs.groupBy("day").agg(
+        F.sum(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+        .cast("long")
+        .alias("tv_scaled"),
+        F.max("n1").cast("long").alias("n_today"),
+        F.max("n2").cast("long").alias("n_next"),
+    )
