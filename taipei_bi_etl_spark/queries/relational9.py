@@ -454,3 +454,55 @@ def distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n1").cast("long").alias("n_today"),
         F.max("n2").cast("long").alias("n_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional / selective aggregate pack.
+# ---------------------------------------------------------------------------
+
+_CONDAGG_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(count_if(o.o_totalprice > 50000) AS BIGINT) AS n_large,
+       CAST(CASE WHEN bool_and(o.o_totalprice > 0) THEN 1 ELSE 0 END
+            AS BIGINT) AS all_positive,
+       CAST(CASE WHEN bool_or(o.o_orderstatus = 'F') THEN 1 ELSE 0 END
+            AS BIGINT) AS any_filled,
+       CAST(max_by(o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT)
+                   * 10000000 + o.o_orderkey) AS BIGINT) AS top_orderkey,
+       CAST(min_by(o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT)
+                   * 10000000 + o.o_orderkey) AS BIGINT) AS bottom_orderkey
+FROM orders o
+GROUP BY 1
+"""
+
+
+@query("conditional_agg_pack", oracle=_CONDAGG_ORACLE, tags=("relational", "A5"))
+def conditional_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective-aggregate family in one pass: ``count_if``,
+    ``bool_and`` / ``bool_or`` (every/any), and ``max_by`` / ``min_by``
+    — generalizing the reference's CASE-inside-COUNT retention pivots
+    (A5, `sql/mango_cohort_retained_users.sql:6-26`) to the dedicated
+    aggregates Spark and DuckDB now share.
+
+    Determinism discipline for arg-extrema: ``max_by`` ties are
+    engine-arbitrary, so the ordering key is (cents, orderkey) packed
+    into one BIGINT — a TOTAL order, making the selected row unique
+    (same convention as every top-k in this repo).  booleans are cast
+    to 0/1 BIGINT for the hash.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    ordkey = cents * 10_000_000 + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 50000).alias("n_large"),
+        F.when(F.bool_and(F.col("o_totalprice") > 0), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("all_positive"),
+        F.when(F.bool_or(F.col("o_orderstatus") == "F"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("any_filled"),
+        F.max_by("o_orderkey", ordkey).cast("long").alias("top_orderkey"),
+        F.min_by("o_orderkey", ordkey).cast("long").alias("bottom_orderkey"),
+    )

@@ -391,3 +391,20 @@ def test_jsonl_csv_partitioned_sink_roundtrip(spark, tmp_path):
     assert sorted(
         (str(r.utc_date), r.country, r.volume) for r in back_c.collect()
     ) == sorted(map(tuple, df.collect()))
+
+
+def test_tablesample_repeatable_is_deterministic(spark):
+    """TABLESAMPLE ... REPEATABLE(seed): the same seed over the same
+    file layout must select the identical row set across runs — the
+    contract that makes sampled dev-runs debuggable.  (Cross-engine
+    comparison is impossible — RNGs differ — so this pins determinism,
+    not values; content-addressed sampling in `corpus_hash_split` is
+    the layout-independent alternative.)"""
+    from taipei_bi_etl_spark.io import register_views
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR, ["orders"])
+    q = "SELECT o_orderkey FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
+    a = sorted(r.o_orderkey for r in spark.sql(q).collect())
+    b = sorted(r.o_orderkey for r in spark.sql(q).collect())
+    assert a == b and len(a) > 0
