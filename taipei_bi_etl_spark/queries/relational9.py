@@ -506,3 +506,81 @@ def conditional_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", ordkey).cast("long").alias("top_orderkey"),
         F.min_by("o_orderkey", ordkey).cast("long").alias("bottom_orderkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# String function pack.
+# ---------------------------------------------------------------------------
+
+_STRFN_ORACLE = """
+SELECT c.c_custkey,
+       lpad(CAST(c.c_custkey AS VARCHAR), 12, '0') AS padded_id,
+       reverse(c.c_name) AS rev_name,
+       translate(c.c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+       repeat('*', CAST(c.c_custkey % 4 AS INT)) AS stars,
+       concat_ws('|', c.c_mktsegment, CAST(c.c_nationkey AS VARCHAR))
+         AS seg_nation
+FROM customer c
+"""
+
+
+@query("string_function_pack", oracle=_STRFN_ORACLE, tags=("text", "F11"))
+def string_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable string-function family beyond F11–F13's
+    lower/concat/null-default: lpad (fixed-width key formatting — the
+    reference's `Customer#%09d` style names), reverse, translate
+    (character-map recode), repeat, and concat_ws — all codegen'd,
+    scan-only, and spelled identically in both engines (the pack
+    deliberately EXCLUDES the non-portable ones: Spark
+    ``substring_index`` vs DuckDB ``split_part`` disagree on
+    semantics, ``soundex`` implementations differ — migrations route
+    those through `hof_array_pack`'s split+element_at instead).
+    """
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_id"),
+        F.reverse("c_name").alias("rev_name"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias(
+            "seg_lower_vowels"
+        ),
+        F.repeat(F.lit("*"), (F.col("c_custkey") % 4).cast("int")).alias(
+            "stars"
+        ),
+        F.concat_ws(
+            "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregate pack.
+# ---------------------------------------------------------------------------
+
+_BITAGG_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(bit_and(l.l_suppkey) AS BIGINT) AS and_supp,
+       CAST(bit_or(l.l_suppkey) AS BIGINT) AS or_supp,
+       CAST(bit_xor(l.l_suppkey) AS BIGINT) AS xor_supp,
+       CAST(SUM(bit_count(l.l_suppkey)) AS BIGINT) AS popcount_sum
+FROM lineitem l
+GROUP BY 1
+"""
+
+
+@query("bitwise_agg_pack", oracle=_BITAGG_ORACLE, tags=("relational", "A1"))
+def bitwise_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and / bit_or / bit_xor) plus per-row
+    popcount — the primitives under this repo's sketch family (SimHash
+    packs signs with shifts, the bitmap-WAU path is bit_or at its
+    core) surfaced as user-facing aggregates.  All are associative and
+    order-independent, so they map-side combine and hash-check
+    cross-engine with no float policy needed at all.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_suppkey").alias("and_supp"),
+        F.bit_or("l_suppkey").alias("or_supp"),
+        F.bit_xor("l_suppkey").alias("xor_supp"),
+        F.sum(F.bit_count("l_suppkey")).cast("long").alias("popcount_sum"),
+    )
