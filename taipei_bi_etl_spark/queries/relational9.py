@@ -584,3 +584,64 @@ def bitwise_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("l_suppkey").alias("xor_supp"),
         F.sum(F.bit_count("l_suppkey")).cast("long").alias("popcount_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition checksum audit — order-independent content fingerprints.
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_ORACLE = """
+WITH rows_ AS (
+    SELECT CAST(ts AS DATE) AS day,
+           ('0x' || substr(md5(concat_ws('|',
+               CAST(event_id AS VARCHAR),
+               CAST(user_id AS VARCHAR),
+               event_type,
+               CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR))),
+               1, 15))::BIGINT AS fp
+    FROM events
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(fp) AS BIGINT) AS content_xor
+FROM rows_ GROUP BY 1
+"""
+
+
+@query(
+    "partition_checksum_audit",
+    oracle=_CHECKSUM_ORACLE,
+    tags=("checks", "ops"),
+)
+def partition_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day content fingerprints: row count + XOR of per-row md5
+    fingerprints — the reconciliation primitive for verifying two
+    copies of a 100 TB table (warehouse vs lake, pre- vs post-
+    migration) WITHOUT moving or sorting data: XOR is commutative/
+    associative, so the fingerprint is identical under any
+    partitioning, any engine, any row order; a single flipped row
+    flips the checksum.
+
+    The oracle match is itself the cross-system use case: the SAME
+    fingerprint computed by two engines over the same rows.  Canonical
+    row serialization pins the cross-engine trap: floats and
+    timestamps render differently per engine, so the fingerprint
+    covers integerized value micros and keys, never raw float/ts
+    strings.  Scale: scan + map-side-combined xor per day — the audit
+    of a petabyte is one aggregation.
+    """
+    e = read_table(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 1_000_000).cast("long").cast("string"),
+    )
+    fp = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return e.select(F.to_date("ts").alias("day"), fp.alias("fp")).groupBy(
+        "day"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("fp").alias("content_xor"),
+    )
