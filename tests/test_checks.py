@@ -79,3 +79,37 @@ def test_observed_metrics_ride_the_action(spark):
     assert got["nulls_user_id"] == 0
     assert abs(got["distinct_event_id"] - n) / n < 0.05  # HLL ±rsd
     assert got["min_ts"] <= got["max_ts"]
+
+
+def test_compare_tables_checksum_detects_any_change(spark):
+    """The XOR-fingerprint reconciliation must accept identical copies
+    under different layouts and reject a single changed/extra row."""
+    from taipei_bi_etl_spark.checks import compare_tables_checksum
+    from taipei_bi_etl_spark.io import read_table
+    from tests.conftest import SF_DIR
+
+    o = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    relaid = o.repartition(13)
+    assert compare_tables_checksum(
+        spark, o, relaid, ["o_orderkey", "o_custkey", "o_orderstatus"]
+    )["match"]
+    # one mutated row flips the fingerprint
+    from pyspark.sql import functions as F
+
+    mutated = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 7, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    assert not compare_tables_checksum(
+        spark, o, mutated, ["o_orderkey", "o_custkey", "o_orderstatus"]
+    )["match"]
+    # one extra row flips the count and the fingerprint
+    extra = o.unionByName(o.limit(1))
+    r = compare_tables_checksum(
+        spark, o, extra, ["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+    assert not r["match"] and r["rows_b"] == r["rows_a"] + 1

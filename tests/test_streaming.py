@@ -304,3 +304,43 @@ def test_watermark_drops_late_rows_observably(spark, tmp_path):
     # and the late row's value must NOT appear in any emitted window
     sums = [r.s for r in spark.sql("SELECT s FROM late_drop_probe").collect()]
     assert 100 not in sums, sums
+
+
+def test_streaming_observe_metrics_ride_progress(spark, tmp_path):
+    """Observed metrics on a STREAM: validation counters (rows, nulls,
+    value sums) attach to the streaming plan and surface per micro-batch
+    in progress.observedMetrics — zero-cost in-flight data quality, the
+    streaming twin of the batch observe-manifest in plans/dag.py."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pd.DataFrame({"k": [1, 2, None], "v": [10, 20, 30]}).to_parquet(
+        src + "/b0.parquet"
+    )
+    stream = spark.readStream.schema("k double, v long").parquet(src)
+    observed = stream.observe(
+        "dq",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("null_keys"),
+        F.sum("v").alias("v_sum"),
+    )
+    q = (
+        observed.writeStream.format("memory")
+        .queryName("observe_probe")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        metrics = {}
+        for p in q.recentProgress:
+            om = p.get("observedMetrics") or {}
+            if "dq" in om:
+                m = om["dq"]
+                metrics = {
+                    "rows": m["rows"],
+                    "null_keys": m["null_keys"],
+                    "v_sum": m["v_sum"],
+                }
+    finally:
+        q.stop()
+    assert metrics == {"rows": 3, "null_keys": 1, "v_sum": 60}, metrics
