@@ -135,36 +135,63 @@ def compare_tables_checksum(
     spark, df_a, df_b, key_cols, value_exprs=None
 ) -> dict:
     """Reconcile two copies of a table WITHOUT sorting or co-locating
-    them: per-table (row count, XOR of md5 row fingerprints) — equal
-    fingerprints ⇒ equal multisets of canonical rows, computed with one
-    scan per side regardless of partitioning/engine/layout (the
+    them: per-table (row count, XOR of md5 row fingerprints, SUM of the
+    same fingerprints mod 2^64), computed with one scan per side
+    regardless of partitioning/engine/layout (the
     `partition_checksum_audit` primitive as a reusable check; at 100 TB
     this replaces the untenable full anti-join diff for the common
     "did the copy land intact" question — fall back to the join diff
     only AFTER a mismatch, to find the rows).
 
-    key/value columns are canonically serialized (strings + integerized
-    numerics by the caller via ``value_exprs``; never raw floats or
-    timestamps — engine rendering differs).
+    Canonical serialization is injective per row: every column is
+    md5-hashed individually with NULL mapped to a reserved token, so
+    NULL vs '' vs a value containing the separator all produce distinct
+    fingerprints (ADVICE r01: the naive ``concat_ws`` form silently
+    dropped NULL columns, collapsing (1, NULL, 'x') and (1, 'x', NULL)
+    to one fingerprint).
+
+    Collision notes: XOR alone is blind to even-multiplicity swaps
+    (replace a pair {r,r} with {s,s} and the fold cancels) — the
+    additive sum-mod-2^64 fingerprint is computed alongside precisely
+    to catch that class; a multiset forgery now has to fool count, XOR
+    and SUM simultaneously.  key/value columns should still be
+    integerized by the caller via ``value_exprs`` — float/timestamp
+    *rendering* differs across engines before hashing even begins.
     """
     from pyspark.sql import functions as F
 
     cols = list(key_cols) + list(value_exprs or [])
 
     def fingerprint(df):
-        canon = F.concat_ws(
-            "|", *[F.col(c).cast("string") if isinstance(c, str) else c for c in cols]
-        )
+        # Injective per-row serialization: hash each column separately
+        # (fixed 32-hex output, so no value can straddle a separator),
+        # with a NULL sentinel distinct from any md5 digest.
+        parts = [
+            F.coalesce(
+                F.md5((F.col(c) if isinstance(c, str) else c).cast("string")),
+                F.lit("NULL"),
+            )
+            for c in cols
+        ]
+        canon = F.concat_ws("|", *parts)
         fp = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
         row = df.agg(
-            F.count(F.lit(1)).alias("n"), F.bit_xor(fp).alias("x")
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(fp).alias("x"),
+            # decimal(38,0) accumulator: exact under ANSI mode (a long
+            # SUM would abort on overflow), reduced mod 2^64 driver-side
+            F.sum(fp.cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
-        return int(row.n), (int(row.x) if row.x is not None else 0)
+        return (
+            int(row.n),
+            (int(row.x) if row.x is not None else 0),
+            (int(row.s) % (1 << 64) if row.s is not None else 0),
+        )
 
-    na, xa = fingerprint(df_a)
-    nb, xb = fingerprint(df_b)
+    na, xa, sa = fingerprint(df_a)
+    nb, xb, sb = fingerprint(df_b)
     return {
         "rows_a": na,
         "rows_b": nb,
-        "match": na == nb and xa == xb,
+        "match": na == nb and xa == xb and sa == sb,
     }

@@ -200,7 +200,10 @@ def anonymize_columns(df, spec: dict):
 
     out = df
     for col, kind in spec.items():
-        h = F.abs(F.xxhash64(F.col(col).cast("string")))
+        # pmod, not abs(...)%: abs(Long.MIN_VALUE) aborts the job under
+        # ANSI mode — a one-in-2^64 landmine per value, but the failure
+        # is a full scrub abort (ADVICE r01)
+        h = F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(2**60))
         if kind == "ip":
             repl = F.concat_ws(
                 ".",
@@ -210,7 +213,11 @@ def anonymize_columns(df, spec: dict):
                 (F.floor(h / 65536) % 256).cast("string"),
             )
         elif kind == "uid":
-            repl = F.lower(F.conv((h % F.lit(2**60)).cast("string"), 10, 16))
+            # conv() output is unpadded (≤15 hex digits for a 60-bit
+            # value) — lpad to the documented fixed 16-char width
+            repl = F.lpad(
+                F.lower(F.conv(h.cast("string"), 10, 16)), 16, "0"
+            )
         elif kind == "int":
             repl = (h % 10000).cast("long")
         elif kind == "float":

@@ -432,9 +432,16 @@ def write_audit_publish(
     readers never observe a half-written or invalid table.  ``checks``
     raising aborts the publish and removes staging.
 
-    On an object store the rename becomes a metastore pointer swap or
-    a format-level commit (Delta/Iceberg); the staging-audit-promote
-    sequence is identical.
+    Promotion caveat (ADVICE r01): POSIX offers no two-directory atomic
+    swap, so promotion is rename(path→prev); rename(staging→path) with
+    a crash window between them in which ``path`` is momentarily
+    absent.  This implementation shrinks the window to the two renames
+    (no data copying inside it) and, if the second rename fails,
+    restores ``prev`` back to ``path`` so the previous version is live
+    again.  True atomicity needs a pointer indirection — a symlink
+    swap, a metastore pointer, or a format-level commit
+    (Delta/Iceberg); on an object store use those — the
+    staging-audit-promote sequence is identical.
     """
     import shutil
 
@@ -451,6 +458,12 @@ def write_audit_publish(
         raise
     if os.path.exists(prev):
         shutil.rmtree(prev)
-    if os.path.exists(path):
+    had_live = os.path.exists(path)
+    if had_live:
         os.rename(path, prev)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        if had_live and not os.path.exists(path):
+            os.rename(prev, path)  # roll the old version back live
+        raise

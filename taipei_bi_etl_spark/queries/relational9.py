@@ -467,10 +467,10 @@ SELECT o.o_orderpriority,
             AS BIGINT) AS all_positive,
        CAST(CASE WHEN bool_or(o.o_orderstatus = 'F') THEN 1 ELSE 0 END
             AS BIGINT) AS any_filled,
-       CAST(max_by(o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT)
-                   * 10000000 + o.o_orderkey) AS BIGINT) AS top_orderkey,
-       CAST(min_by(o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT)
-                   * 10000000 + o.o_orderkey) AS BIGINT) AS bottom_orderkey
+       CAST(max_by(o.o_orderkey, CAST(round(o.o_totalprice * 100) AS HUGEINT)
+                   * 1000000000000000 + o.o_orderkey) AS BIGINT) AS top_orderkey,
+       CAST(min_by(o.o_orderkey, CAST(round(o.o_totalprice * 100) AS HUGEINT)
+                   * 1000000000000000 + o.o_orderkey) AS BIGINT) AS bottom_orderkey
 FROM orders o
 GROUP BY 1
 """
@@ -486,13 +486,23 @@ def conditional_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism discipline for arg-extrema: ``max_by`` ties are
     engine-arbitrary, so the ordering key is (cents, orderkey) packed
-    into one BIGINT — a TOTAL order, making the selected row unique
-    (same convention as every top-k in this repo).  booleans are cast
-    to 0/1 BIGINT for the hash.
+    into one DECIMAL(38,0) / HUGEINT — a TOTAL order, making the
+    selected row unique (same convention as every top-k in this repo).
+    The 10^15 multiplier leaves headroom for scaled fact builds
+    (stress.py shifts orderkeys by replica * 10^11; ADVICE r01 flagged
+    the previous 10^7 packing as collision-prone there); cents up to
+    ~6e7 × 10^15 ≈ 6e22 sits comfortably inside decimal(38,0).
+    booleans are cast to 0/1 BIGINT for the hash.
     """
     o = read_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    ordkey = cents * 10_000_000 + F.col("o_orderkey")
+    cents = (
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    ordkey = cents * F.lit(1_000_000_000_000_000).cast(
+        "decimal(38,0)"
+    ) + F.col("o_orderkey")
     return o.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_totalprice") > 50000).alias("n_large"),
         F.when(F.bool_and(F.col("o_totalprice") > 0), 1)
@@ -594,16 +604,19 @@ _CHECKSUM_ORACLE = """
 WITH rows_ AS (
     SELECT CAST(ts AS DATE) AS day,
            ('0x' || substr(md5(concat_ws('|',
-               CAST(event_id AS VARCHAR),
-               CAST(user_id AS VARCHAR),
-               event_type,
-               CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR))),
+               coalesce(md5(CAST(event_id AS VARCHAR)), 'NULL'),
+               coalesce(md5(CAST(user_id AS VARCHAR)), 'NULL'),
+               coalesce(md5(event_type), 'NULL'),
+               coalesce(md5(CAST(CAST(floor(value * 1000000) AS BIGINT)
+                                 AS VARCHAR)), 'NULL'))),
                1, 15))::BIGINT AS fp
     FROM events
 )
 SELECT day,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(bit_xor(fp) AS BIGINT) AS content_xor
+       CAST(bit_xor(fp) AS BIGINT) AS content_xor,
+       CAST(CAST(SUM(fp) AS HUGEINT) % 4611686018427387904 AS BIGINT)
+         AS content_sum
 FROM rows_ GROUP BY 1
 """
 
@@ -624,19 +637,29 @@ def partition_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle match is itself the cross-system use case: the SAME
     fingerprint computed by two engines over the same rows.  Canonical
-    row serialization pins the cross-engine trap: floats and
+    row serialization pins the cross-engine traps: floats and
     timestamps render differently per engine, so the fingerprint
     covers integerized value micros and keys, never raw float/ts
-    strings.  Scale: scan + map-side-combined xor per day — the audit
-    of a petabyte is one aggregation.
+    strings; each column is md5-hashed INDIVIDUALLY with a NULL
+    sentinel before the row hash, so NULL vs '' vs a '|'-bearing value
+    stay distinct (ADVICE r01).  Alongside the XOR fold an additive
+    SUM-mod-2^62 fingerprint closes XOR's even-multiplicity blind spot
+    (swapping {r,r} for {s,s} cancels in XOR but not in the sum).
+    Scale: scan + map-side-combined aggregates per day — the audit of
+    a petabyte is one aggregation.
     """
     e = read_table(spark, sf_dir, "events")
     canon = F.concat_ws(
         "|",
-        F.col("event_id").cast("string"),
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        F.floor(F.col("value") * 1_000_000).cast("long").cast("string"),
+        F.coalesce(F.md5(F.col("event_id").cast("string")), F.lit("NULL")),
+        F.coalesce(F.md5(F.col("user_id").cast("string")), F.lit("NULL")),
+        F.coalesce(F.md5(F.col("event_type")), F.lit("NULL")),
+        F.coalesce(
+            F.md5(
+                F.floor(F.col("value") * 1_000_000).cast("long").cast("string")
+            ),
+            F.lit("NULL"),
+        ),
     )
     fp = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     return e.select(F.to_date("ts").alias("day"), fp.alias("fp")).groupBy(
@@ -644,4 +667,10 @@ def partition_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor("fp").alias("content_xor"),
+        F.pmod(
+            F.sum(F.col("fp").cast("decimal(38,0)")),
+            F.lit(4611686018427387904).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("content_sum"),
     )

@@ -213,6 +213,16 @@ def skew_report(df: DataFrame, key_cols: list[str] | str, top_k: int = 10) -> di
         F.count(F.lit(1)).alias("distinct_keys"),
         F.max("n").alias("max_freq"),
     ).collect()[0]
+    if not stats.rows:
+        # empty input: sum/max aggregates come back None — report
+        # cleanly instead of TypeError-ing on None arithmetic
+        return {
+            "rows": 0,
+            "distinct_keys": 0,
+            "max_freq": 0,
+            "skew_ratio": 0.0,
+            "top": [],
+        }
     top = [
         {**{k: r[k] for k in keys}, "n": r["n"]}
         for r in freq.orderBy(F.desc("n"), *keys).limit(top_k).collect()

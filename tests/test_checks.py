@@ -113,3 +113,50 @@ def test_compare_tables_checksum_detects_any_change(spark):
         spark, o, extra, ["o_orderkey", "o_custkey", "o_orderstatus"]
     )
     assert not r["match"] and r["rows_b"] == r["rows_a"] + 1
+
+
+def test_compare_tables_checksum_null_and_separator_safety(spark):
+    """ADVICE r01 regression: NULL placement and separator characters
+    must not collapse distinct rows to one fingerprint, and an
+    even-multiplicity row swap must not cancel in the fold."""
+    from taipei_bi_etl_spark.checks import compare_tables_checksum
+
+    cols = ["k", "a", "b"]
+    schema = "k int, a string, b string"
+    # (1, NULL, 'x') vs (1, 'x', NULL) — concat_ws would drop the NULL
+    # and serialize both as '1|x'
+    da = spark.createDataFrame([(1, None, "x")], schema)
+    db = spark.createDataFrame([(1, "x", None)], schema)
+    assert not compare_tables_checksum(spark, da, db, cols)["match"]
+    # NULL vs empty string
+    dc = spark.createDataFrame([(1, "", "x")], schema)
+    assert not compare_tables_checksum(spark, da, dc, cols)["match"]
+    # value containing the separator: ('a|b', 'c') vs ('a', 'b|c')
+    dd = spark.createDataFrame([(1, "a|b", "c")], schema)
+    de = spark.createDataFrame([(1, "a", "b|c")], schema)
+    assert not compare_tables_checksum(spark, dd, de, cols)["match"]
+    # even-multiplicity swap: {r, r} vs {s, s} — XOR alone cancels;
+    # the additive fingerprint must catch it
+    df_rr = spark.createDataFrame([(1, "r", "r"), (1, "r", "r")], schema)
+    df_ss = spark.createDataFrame([(1, "s", "s"), (1, "s", "s")], schema)
+    assert not compare_tables_checksum(spark, df_rr, df_ss, cols)["match"]
+    # identical multisets still match
+    assert compare_tables_checksum(
+        spark, df_rr, df_rr.repartition(3), cols
+    )["match"]
+
+
+def test_skew_report_empty_input(spark):
+    """ADVICE r01 regression: empty input returns a zeroed report, not
+    a TypeError from None arithmetic."""
+    from taipei_bi_etl_spark.scale import skew_report
+
+    df = spark.createDataFrame([], "k int, v string")
+    r = skew_report(df, "k")
+    assert r == {
+        "rows": 0,
+        "distinct_keys": 0,
+        "max_freq": 0,
+        "skew_ratio": 0.0,
+        "top": [],
+    }

@@ -101,3 +101,7 @@ def test_anonymize_columns_deterministic_and_consistent(spark):
     assert a[0].ip != "1.2.3.4" and a[0].uid != "user-77"
     assert 0 <= a[0].amount < 10000
     assert 0.0 <= a[0].payout < 100.0
+    # ADVICE r01: uid is a FIXED 16-hex-char token (conv() alone emits
+    # an unpadded ≤15-digit string)
+    assert all(len(r.uid) == 16 for r in a)
+    assert all(set(r.uid) <= set("0123456789abcdef") for r in a)
