@@ -91,4 +91,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     modern_api2,
     graph,
     relational9,
+    retention,
 )
