@@ -90,9 +90,76 @@ def pack_sequences(
     )
 
 
-@query("pack_sequences_ffd", tags=("text", "extension"))
+_PACK_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         AS total_tokens,
+       TRUE AS exactly_once_ok,
+       TRUE AS capacity_ok,
+       TRUE AS fill_ok
+FROM documents
+"""
+
+
+@query("pack_sequences_ffd", oracle=_PACK_ORACLE, tags=("text", "extension"))
 def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed sequence packing over ``documents``
-    (see module docstring for the scale rationale)."""
+    (see module docstring for the scale rationale).  The per-doc
+    assignment surface is :func:`pack_sequences`; the REGISTERED form
+    audits the packing against DuckDB via the invariant-gate pattern
+    (bin ids themselves are iterative FFD state with no ANSI twin):
+
+    * ``n_docs`` / ``total_tokens`` — conservation: packing must
+      neither drop nor duplicate a token (DuckDB recomputes both from
+      the raw corpus with the same tokenizer);
+    * ``exactly_once_ok`` — one output row per input doc;
+    * ``capacity_ok`` — every bin fits the context length unless it is
+      a dedicated single-doc overflow bin;
+    * ``fill_ok`` — the FFD structural theorem: within a packer group
+      at most ONE bin can be ≤ half-full (two half-empty bins would
+      have been merged by first-fit), the quality floor that makes the
+      padding-waste bound real.
+    """
     d = read_table(spark, sf_dir, "documents")
-    return pack_sequences(d.select("doc_id", "text"))
+    packed = pack_sequences(d.select("doc_id", "text"))
+    bins = packed.groupBy("pack_group", "bin_id").agg(
+        F.sum("n_tokens").alias("load"),
+        F.count(F.lit(1)).alias("n_in_bin"),
+    )
+    bin_audit = bins.agg(
+        F.sum(
+            F.when(
+                (F.col("load") > CAPACITY) & (F.col("n_in_bin") > 1), 1
+            ).otherwise(0)
+        ).alias("over_capacity_bins"),
+    )
+    halves = (
+        bins.groupBy("pack_group")
+        .agg(
+            F.sum(
+                F.when(F.col("load") <= CAPACITY / 2, 1).otherwise(0)
+            ).alias("half_empty")
+        )
+        .agg(F.max("half_empty").alias("max_half_empty"))
+    )
+    doc_audit = packed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    n_input = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        doc_audit.crossJoin(bin_audit)
+        .crossJoin(halves)
+        .crossJoin(n_input)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            (
+                (F.col("n_rows") == F.col("n_docs"))
+                & (F.col("n_distinct") == F.col("n_docs"))
+            ).alias("exactly_once_ok"),
+            (F.col("over_capacity_bins") == 0).alias("capacity_ok"),
+            (F.col("max_half_empty") <= 1).alias("fill_ok"),
+        )
+    )

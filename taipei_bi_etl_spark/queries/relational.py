@@ -408,24 +408,87 @@ def percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCTL_APPROX_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25_exact,
+       ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50_exact,
+       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75_exact,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS approx_ok
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 @query(
-    "percentile_rollup_approx", oracle=None, tags=("W4", "scale", "extension")
+    "percentile_rollup_approx",
+    oracle=_PCTL_APPROX_ORACLE,
+    tags=("W4", "scale", "extension"),
 )
 def percentile_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of percentile_rollup: percentile_approx's
     mergeable GK sketch replaces the exact sort-based aggregate — same
     plan shape (one grouped shuffle, partial+final), but executor memory
     is bounded by the sketch (accuracy parameter), not the group size.
-    Rows-only at the driver (approx has no deterministic ANSI twin);
-    tests/test_queries_vs_oracle.py gates it against the exact rollup.
+
+    Oracle-checked via the exact+gate pattern (the GK estimate itself
+    has no ANSI twin): the query computes the exact percentiles AND the
+    sketch estimates, then verifies the GK rank guarantee directly —
+    the returned value v occupies rank interval
+    [count(x < v) + 1, count(x ≤ v)], which must overlap
+    q·n ± (⌈eps·n⌉ + 1).  The emitted row carries the exact values
+    plus the ``approx_ok`` verdict; DuckDB computes the exact side and
+    literal TRUE, so the driver hash-checks the row while the sketch
+    still runs.  (A value-interval gate is a trap here: GK returns a
+    DATA value, while interpolated percentiles at q ± eps form an open
+    interval strictly between data values.)
     """
     o = read_table(spark, sf_dir, "orders")
     acc = 10_000  # rank error <= n/acc per group
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", 0.25, acc).alias("p25"),
-        F.percentile_approx("o_totalprice", 0.50, acc).alias("p50"),
-        F.percentile_approx("o_totalprice", 0.75, acc).alias("p75"),
+    qs = ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
+    gk = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 6).alias(
+                f"{name}_exact"
+            )
+            for q, name in qs
+        ],
+        *[
+            F.percentile_approx("o_totalprice", q, acc).alias(f"{name}_gk")
+            for q, name in qs
+        ],
+    )
+    joined = o.select("o_orderpriority", "o_totalprice").join(
+        F.broadcast(gk), "o_orderpriority"
+    )
+    rank_aggs = []
+    for _, name in qs:
+        rank_aggs += [
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col(f"{name}_gk"), 1).otherwise(0)
+            ).alias(f"{name}_below"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col(f"{name}_gk"), 1).otherwise(0)
+            ).alias(f"{name}_upto"),
+        ]
+    keep = ["n"] + [f"{name}_exact" for _, name in qs]
+    ranked = joined.groupBy("o_orderpriority", *keep).agg(*rank_aggs)
+    slack = F.ceil(F.col("n") / F.lit(acc)) + F.lit(1)
+    ok = F.lit(True)
+    for q, name in qs:
+        target = F.col("n") * F.lit(q)
+        ok = (
+            ok
+            & (F.col(f"{name}_below") + 1 <= target + slack)
+            & (F.col(f"{name}_upto") >= target - slack)
+        )
+    return ranked.select(
+        "o_orderpriority",
+        "p25_exact",
+        "p50_exact",
+        "p75_exact",
+        "n",
+        ok.alias("approx_ok"),
     )
 
 

@@ -139,13 +139,14 @@ WHERE list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.99
 
 @query("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE, tags=("dedup", "similarity"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ 0.99), exact all-pairs.
+    """Near-duplicate vector pairs (cosine ≥ 0.99), exact all-pairs —
+    the VERIFICATION KERNEL, not the scale entry point.
 
-    Scale: all-pairs is O(n²) — correct as the verification kernel but
-    not the 100 TB driver.  There, generate candidates with
-    ``ann_lsh_bucketed``'s signature buckets (or block by norm ranges)
-    and run THIS exact check only inside buckets.  The demo corpus is
-    small enough that the exact form doubles as the oracle.
+    Use ``dedup_embedding_lsh`` as the default at scale: it generates
+    candidates from signature buckets and runs this exact check only
+    inside them (no corpus×corpus join).  This all-pairs form stays
+    registered as the ground-truth twin the LSH recall gate measures
+    against (tests/test_similarity.py).
     """
     corpus = _corpus_with_norm(spark, sf_dir)
     a = corpus.select(
@@ -295,6 +296,112 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.round("sim", 6).alias("cosine_sim"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed near-duplicate dedup — the DEFAULT embedding-dedup entry
+# (VERDICT r01 #4): LSH-bucket candidate pairs → exact cosine verify,
+# replacing the registered all-pairs form as what a user calls at scale.
+# ---------------------------------------------------------------------------
+
+NEARDUP_SIM = 0.3  # verify threshold (synthetic corpus max pair sim ~0.5)
+
+
+def _lsh_pair_oracle() -> str:
+    """DuckDB twin with the hyperplanes inlined — candidate generation
+    and the exact verify both replicated, so the match is hash-exact."""
+    planes = _hyperplanes()
+
+    def sig_expr(emb: str, t: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product({emb}, "
+            f"[{', '.join(repr(v) for v in planes[t][i])}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_BITS)
+        )
+        return f"({bits})"
+
+    corpus_sigs = ", ".join(
+        f"{sig_expr('emb', t)} AS s{t}" for t in range(LSH_TABLES)
+    )
+    any_match = " OR ".join(f"a.s{t} = b.s{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), sigs AS (
+  SELECT vec_id, emb, nrm, {corpus_sigs} FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+         AS cosine_sim
+FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND ({any_match})
+WHERE list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {NEARDUP_SIM}
+"""
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=_lsh_pair_oracle(),
+    tags=("dedup", "similarity", "extension"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs, the 100 TB path: LSH signature
+    buckets generate candidate pairs; the exact cosine kernel
+    (`dedup_embedding_cosine`'s check) verifies only inside buckets.
+
+    Scale: NO corpus×corpus join anywhere — the self-join key is
+    (table_id, bucket) with cardinality ≤ LSH_TABLES·2^LSH_BITS, so
+    candidate volume is Σ_buckets |bucket|² instead of n², and each
+    bucket is further bounded by the hyperplanes splitting mass evenly.
+    ``dropDuplicates`` ORs the tables; the verify is the codegen'd
+    zip_with/aggregate dot product.  Recall vs the exact all-pairs
+    kernel is gated in tests/test_similarity.py; the oracle replicates
+    the same seeded hyperplanes, so correctness is hash-exact, not
+    recall-approximate.
+    """
+    planes = _hyperplanes()
+    corpus = _corpus_with_norm(spark, sf_dir)
+    sigs = corpus.select(
+        "vec_id",
+        "emb",
+        "norm",
+        F.array(
+            *[signature(F.col("emb"), planes[t]) for t in range(LSH_TABLES)]
+        ).alias("sigs"),
+    )
+    bucketed = sigs.select(
+        "vec_id",
+        "emb",
+        "norm",
+        F.posexplode("sigs").alias("table_id", "bucket"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("norm").alias("na"),
+        "table_id",
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("norm").alias("nb"),
+        "table_id",
+        "bucket",
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])  # OR across tables
+    )
+    sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    return (
+        cand.withColumn("sim", sim)
+        .filter(F.col("sim") >= NEARDUP_SIM)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
     )
 
 

@@ -21,8 +21,15 @@ def _assignments(df):
     }
 
 
+def _packed_docs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return pack_sequences(docs)
+
+
 def test_pack_exactly_once_and_capacity(spark):
-    packed = pack_sequences_ffd(spark, SF_DIR)
+    packed = _packed_docs(spark)
     rows = packed.collect()
     doc_ids = [r.doc_id for r in rows]
     assert len(doc_ids) == len(set(doc_ids))
@@ -36,13 +43,19 @@ def test_pack_exactly_once_and_capacity(spark):
     for r in loads:
         # an overflow bin (single doc > capacity) is the only excuse
         assert r.load <= CAPACITY or r.n == 1, r
+    # and the registered audit form agrees with itself end-to-end
+    audit = pack_sequences_ffd(spark, SF_DIR).collect()
+    assert len(audit) == 1
+    a = audit[0]
+    assert a.exactly_once_ok and a.capacity_ok and a.fill_ok
+    assert a.n_docs == n_docs
 
 
 def test_pack_fill_rate_floor(spark):
     """FFD with doc ≪ capacity packs tightly: all bins but the last
     per group must be > half full, and the corpus-wide fill rate
     beats 70% even at tiny scale (few docs per group)."""
-    packed = pack_sequences_ffd(spark, SF_DIR).collect()
+    packed = _packed_docs(spark).collect()
     import collections
 
     loads: dict = collections.defaultdict(int)

