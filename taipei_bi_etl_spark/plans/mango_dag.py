@@ -1,26 +1,51 @@
-"""The reference's daily telemetry DAG (§3.3) as a Pipeline instance:
+"""The reference's daily telemetry DAG (§3.3) as Pipeline instances.
 
-  pings → events_unnested(view) → feature_mapping(view)
-        → feature_usage_daily(table, partition-overwrite, backfill 2d)
-        → feature_cohort_date(table, incremental self-referencing
-          anti-join — sql/mango_feature_cohort_date.sql:20-35)
-        → cohort_retained_users(table — sql/mango_cohort_retained_users.sql)
+Two builds:
+
+* :func:`build_mango_pipeline` — the r01 condensed 6-task teaching DAG
+  (kept: its tests pin the TaskSpec machinery in isolation).
+* :func:`build_full_mango_pipeline` — NODE-FOR-NODE parity with the
+  reference's daily driver (`/root/reference/tasks/bigquery.py:416-461`,
+  18 `daily_run` tasks + the channel_roi config): core →
+  core_normalized → events → events_unnested → feature_mapping →
+  channel_mapping → user_channels → feature_cohort_date →
+  rfe_daily_partial → rfe_daily_session → rfe_28d →
+  user_feature_occurrence → cohort_user_occurrence →
+  cohort_retained_users → active_user_count → feature_roi →
+  channel_roi → revenue_google, each with the reference's write mode,
+  partition field, init query and cleanup policy
+  (`configs/bigquery.py:8-322`).
 
 Covers the reference patterns K4/K7 (partitioned table + idempotent
-rewrite), K8 (backfill window), view chaining, and the incremental
-self-reference with init bootstrap (§2.9 "incremental state").
+rewrite), K8 (backfill window), view chaining, the incremental
+self-reference with init bootstrap (§2.9 "incremental state"), and the
+two CUSTOM cleanups as declarative policy — delete-by-client-subquery
+(`sql/cleanup_mango_user_channels.sql`) and the 112-day rolling wipe
+(`sql/cleanup_mango_cohort_retained_users.sql`).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from taipei_bi_etl_spark.plans.dag import Pipeline, TaskContext, TaskSpec
+from taipei_bi_etl_spark.plans.dag import (
+    DeleteByKeys,
+    Pipeline,
+    RollingWipe,
+    TaskContext,
+    TaskSpec,
+)
 from taipei_bi_etl_spark.plans.telemetry_pipeline import (
+    channel_mapping_table,
+    google_rps_table,
     map_features,
+    map_features_full,
+    synthesize_core_pings,
+    synthesize_full_pings,
     synthesize_pings,
     unnest_events,
+    unnest_events_full,
 )
 
 
@@ -139,6 +164,897 @@ def build_mango_pipeline(sf_dir: str, warehouse: str) -> Pipeline:
                 retained,
                 deps=["feature_mapping", "feature_cohort_date"],
                 backfill_days=(1, 2, 3, 4, 5, 6, 7),
+            ),
+        ],
+        warehouse,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full 18-task reference DAG.
+# ---------------------------------------------------------------------------
+
+EXCLUDED_FEATURES = ("Others", "feature: others")
+RETENTION_WINDOW = 112
+SESSION_CAP_MS = 30 * 60 * 1000
+
+_DAY_POINTS = (1, 3, 7, 14, 28, 56, 84)
+_WEEK_POINTS = (1, 2, 3, 4, 8, 12)
+_MONTH_POINTS = (1, 2, 3)
+
+_RFE_METRICS = (
+    "active_days", "recency", "stickiness", "frequency_days",
+    "value_event_count", "session_time", "url_counts",
+    "app_link_install", "app_link_open", "show_keyboard",
+)
+
+_SESSION_LIKES = (
+    "feature: visit\\_%\\_content\\_tab",
+    "feature: tab\\_swipe",
+    "%\\_content\\_tab\\_category: %",
+    "%\\_content\\_tab\\_subcategory\\_id: %",
+    "%\\_feed: %",
+    "%\\_content\\_tab\\_component\\_id: %",
+)
+
+
+def _session_like_filter():
+    cond = F.lit(False)
+    for pat in _SESSION_LIKES:
+        cond = cond | F.col("feature_name").like(pat.replace("\\", ""))
+    return cond
+
+
+def build_full_mango_pipeline(sf_dir: str, warehouse: str) -> Pipeline:
+    """Node-for-node parity with the reference daily driver — see the
+    module docstring for the task list and the per-task docstrings for
+    the cited reference SQL."""
+
+    # -- sources -----------------------------------------------------------
+
+    def core(ctx: TaskContext) -> DataFrame:
+        """mango_core (sql/mango_core.sql): Zerda core-ping scan for
+        the execution date; table, partition submission_date, generic
+        cleanup = dynamic overwrite."""
+        return (
+            synthesize_core_pings(ctx.spark, sf_dir)
+            .filter(F.col("app_name") == "Zerda")
+            .withColumnRenamed("submission_date", "day")
+        )
+
+    def core_normalized(ctx: TaskContext) -> DataFrame:
+        """mango_core_normalized view (sql/mango_core_normalized.sql):
+        '??' country → NULL; profile_date kept only inside
+        [2017-10-01, submission_date]."""
+        c = ctx.src("mango_core")
+        prof_date = F.date_add(
+            F.lit("1970-01-01").cast("date"), F.col("profile_date").cast("int")
+        )
+        lo = F.lit("2017-10-01").cast("date")
+        return c.select(
+            "*",
+            F.when(F.col("geo_country") == "??", F.lit(None))
+            .otherwise(F.col("geo_country"))
+            .alias("normalized_country"),
+            F.when(
+                (prof_date >= lo) & (prof_date <= F.col("day")),
+                F.col("profile_date"),
+            ).alias("normalized_profile_date"),
+        )
+
+    def events(ctx: TaskContext) -> DataFrame:
+        """mango_events (sql/mango_events.sql): the focus-event ping
+        scan; table, partition submission_date."""
+        return synthesize_full_pings(ctx.spark, sf_dir).withColumn(
+            "day", F.col("submission_date")
+        )
+
+    def events_unnested(ctx: TaskContext) -> DataFrame:
+        """mango_events_unnested view (sql/mango_events_unnested.sql:
+        UNNEST + D1 parse + D2/D3 cleanup)."""
+        return unnest_events_full(ctx.src("mango_events"))
+
+    def feature_mapping_v(ctx: TaskContext) -> DataFrame:
+        """mango_events_feature_mapping view
+        (sql/mango_events_feature_mapping.sql): full column surface."""
+        return map_features_full(ctx.src("mango_events_unnested"))
+
+    def channel_mapping(ctx: TaskContext) -> DataFrame:
+        """mango_channel_mapping (gcs jsonl snapshot, latest_only) —
+        the adjust tracker dim."""
+        return channel_mapping_table(ctx.spark)
+
+    # -- attribution -------------------------------------------------------
+
+    def _tracker_settings(ctx: TaskContext, lo_date=None) -> DataFrame:
+        pings = ctx.src("mango_events")
+        cond = F.col("day") == F.lit(ctx.date)
+        if lo_date is not None:
+            cond = (F.col("day") >= F.lit(lo_date)) & (
+                F.col("day") <= F.lit(ctx.date)
+            )
+        kv = lambda key: F.max(
+            F.element_at(
+                F.map_from_entries(
+                    F.filter(F.col("settings"), lambda s: s["key"] == key)
+                ),
+                key,
+            )
+        )
+        return (
+            pings.filter(cond)
+            .groupBy("client_id")
+            .agg(
+                kv("pref_key_s_tracker_token").alias("tracker_token"),
+                kv("install_referrer").alias("install_referrer"),
+                F.max("day").alias("execution_date"),
+            )
+        )
+
+    def _user_channels_from(settings: DataFrame, channels: DataFrame) -> DataFrame:
+        """The 5-arm alt-key union join + IFNULL defaults + RANK()=1
+        dedup of sql/mango_user_channels.sql:23-137 (J1/U2 + W1)."""
+        chan_cols = [
+            "network_name", "network_token", "campaign_name",
+            "campaign_token", "adgroup_name", "adgroup_token",
+            "creative_name", "creative_token",
+        ]
+        arms = []
+        for alt in ("network_token", "campaign_token", "adgroup_token", "creative_token"):
+            arms.append(
+                settings.join(
+                    F.broadcast(channels),
+                    settings["tracker_token"] == channels[alt],
+                ).select(
+                    "client_id", "tracker_token", "install_referrer",
+                    *chan_cols, "execution_date",
+                )
+            )
+        null_arm = settings.filter(F.col("tracker_token").isNull()).select(
+            "client_id", "tracker_token", "install_referrer",
+            *[F.lit(None).cast("string").alias(c) for c in chan_cols],
+            "execution_date",
+        )
+        unioned = arms[0]
+        for a in arms[1:]:
+            unioned = unioned.unionByName(a)
+        unioned = unioned.unionByName(null_arm)
+        defaults = unioned.select(
+            "client_id", "tracker_token", "install_referrer",
+            *[
+                F.coalesce(
+                    F.col(c), F.lit("unknown" if c.endswith("_name") else "0")
+                ).alias(c)
+                for c in chan_cols
+            ],
+            "execution_date",
+        )
+        w = W.partitionBy("client_id").orderBy(F.col("creative_token").asc())
+        return (
+            defaults.withColumn("r", F.rank().over(w))
+            .filter(F.col("r") == 1)
+            .drop("r")
+            .withColumn("day", F.col("execution_date"))
+        )
+
+    def user_channels(ctx: TaskContext) -> DataFrame:
+        """mango_user_channels daily (sql/mango_user_channels.sql):
+        today's tracker settings joined 5 ways against the dim.
+        Cleanup = delete-by-client subquery
+        (sql/cleanup_mango_user_channels.sql) as DeleteByKeys policy."""
+        return _user_channels_from(
+            _tracker_settings(ctx), ctx.src("mango_channel_mapping")
+        )
+
+    def user_channels_init(ctx: TaskContext) -> DataFrame:
+        """init_mango_user_channels.sql: full history before the first
+        daily run (settings aggregated since epoch)."""
+        return _user_channels_from(
+            _tracker_settings(ctx, lo_date="1970-01-01"),
+            ctx.src("mango_channel_mapping"),
+        )
+
+    # -- cohorts -----------------------------------------------------------
+
+    def _fm_clean(ctx: TaskContext) -> DataFrame:
+        return ctx.src("mango_events_feature_mapping").filter(
+            ~F.col("feature_name").isin(*EXCLUDED_FEATURES)
+        )
+
+    def feature_cohort_date(ctx: TaskContext) -> DataFrame:
+        """mango_feature_cohort_date (sql/mango_feature_cohort_date.sql):
+        today's NEW (client, feature, os, country) cohort rows —
+        anti-join against the task's own destination."""
+        todays = (
+            _fm_clean(ctx)
+            .filter(
+                (F.col("submission_date") == F.lit(ctx.date))
+                & F.col("country").isNotNull()
+                & F.col("os").isNotNull()
+            )
+            .groupBy(
+                F.lit("feature").alias("measure_type"),
+                F.col("feature_type").alias("cohort_level"),
+                F.col("feature_name").alias("cohort_name"),
+                "os",
+                "country",
+                "client_id",
+            )
+            .agg(F.min("submission_date").alias("cohort_date"))
+            .withColumn("execution_date", F.lit(ctx.date).cast("date"))
+            .withColumn("day", F.col("cohort_date"))
+        )
+        existing = ctx.read_dest()
+        if existing is None:
+            return todays
+        keys = [
+            "measure_type", "cohort_level", "cohort_name",
+            "os", "country", "client_id",
+        ]
+        return todays.join(existing.select(*keys), keys, "left_anti")
+
+    def feature_cohort_init(ctx: TaskContext) -> DataFrame:
+        """init_mango_feature_cohort_date.sql: full history bootstrap."""
+        return (
+            _fm_clean(ctx)
+            .filter(
+                (F.col("submission_date") < F.lit(ctx.date))
+                & F.col("country").isNotNull()
+                & F.col("os").isNotNull()
+            )
+            .groupBy(
+                F.lit("feature").alias("measure_type"),
+                F.col("feature_type").alias("cohort_level"),
+                F.col("feature_name").alias("cohort_name"),
+                "os",
+                "country",
+                "client_id",
+            )
+            .agg(F.min("submission_date").alias("cohort_date"))
+            .withColumn("execution_date", F.lit(ctx.date).cast("date"))
+            .withColumn("day", F.col("cohort_date"))
+        )
+
+    # -- RFE ---------------------------------------------------------------
+
+    def rfe_daily_partial(ctx: TaskContext) -> DataFrame:
+        """mango_user_rfe_daily_partial view
+        (sql/mango_user_rfe_daily_partial.sql): per-client-day-feature
+        event counts enriched with the App-level cohort date."""
+        cohort = (
+            ctx.src("mango_feature_cohort_date")
+            .filter(
+                (F.col("measure_type") == "feature")
+                & (F.col("cohort_level") == "App")
+            )
+            .select(
+                "client_id", "country",
+                F.col("cohort_date").alias("profile_date"),
+            )
+            .distinct()
+        )
+        partial = (
+            _fm_clean(ctx)
+            .groupBy(
+                "client_id", "os", "country", "submission_date",
+                "feature_type", "feature_name",
+            )
+            .agg(
+                F.countDistinct(
+                    F.concat(
+                        F.col("submission_date").cast("string"),
+                        F.col("event_timestamp").cast("string"),
+                    )
+                ).alias("value_event_count")
+            )
+        )
+        return (
+            partial.join(cohort, ["client_id", "country"], "left")
+            .withColumn(
+                "age", F.datediff("submission_date", "profile_date")
+            )
+            .select(
+                "client_id", "os", "country", "profile_date", "age",
+                "submission_date", "feature_type", "feature_name",
+                "value_event_count",
+            )
+        )
+
+    def rfe_daily_session(ctx: TaskContext) -> DataFrame:
+        """mango_user_rfe_daily_session
+        (sql/mango_user_rfe_daily_session.sql): the 3-branch session
+        union — feature extras rollup, vertical LEAD-sessionization
+        with the 30-minute cap, browser search counts, App rollup."""
+        fm = _fm_clean(ctx).filter(F.col("submission_date") == F.lit(ctx.date))
+        # feature_session_event: exact-row dedup (A7 GROUP BY all)
+        dedup_cols = [
+            "client_id", "country", "submission_date",
+            "submission_timestamp", "event_timestamp", "event_vertical",
+            "feature_type", "feature_name", "session_time", "url_counts",
+            "app_link_install", "app_link_open", "show_keyboard",
+        ]
+        fse = fm.groupBy(*dedup_cols).agg(F.count(F.lit(1)).alias("_n"))
+        feature_session = (
+            fse.filter(
+                (F.col("feature_type") == "Feature") & _session_like_filter()
+            )
+            .groupBy(
+                "client_id", "country", "submission_date",
+                "event_vertical", "feature_type", "feature_name",
+            )
+            .agg(
+                F.sum("session_time").alias("session_time"),
+                F.sum("url_counts").alias("url_counts"),
+                F.sum("app_link_install").alias("app_link_install"),
+                F.sum("app_link_open").alias("app_link_open"),
+                F.sum("show_keyboard").alias("show_keyboard"),
+            )
+        )
+        # vertical sessionize: LEAD over start/end process events (W2/W3)
+        vse = fm.filter(
+            F.col("event_method").isin("start", "end")
+            & (F.col("event_object") == "process")
+            & (F.col("feature_type") == "Vertical")
+        ).select(
+            "client_id", "country", "submission_date", "event_vertical",
+            "feature_type", "feature_name", "event_method",
+            F.col("event_timestamp").alias("start_ms"),
+        )
+        wv = W.partitionBy(
+            "client_id", "event_vertical", "country"
+        ).orderBy("start_ms")
+        vst = (
+            vse.withColumn("end_ms", F.lead("start_ms").over(wv))
+            .filter(F.col("event_method") == "start")
+            .groupBy(
+                "client_id", "country", "submission_date",
+                "event_vertical", "feature_type", "feature_name",
+            )
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("end_ms") - F.col("start_ms") > SESSION_CAP_MS,
+                        0,
+                    ).otherwise(F.col("end_ms") - F.col("start_ms"))
+                ).alias("session_time")
+            )
+        )
+        # browser_search from core pings (J7 searches explode + P9 cap)
+        core_day = ctx.src("mango_core").filter(F.col("day") == F.lit(ctx.date))
+        bs = (
+            core_day.select(
+                "client_id",
+                F.col("geo_country").alias("country"),
+                F.col("day").alias("submission_date"),
+                F.explode("searches").alias("entrypoint", "volume"),
+            )
+            .filter(F.col("volume") < 10000)
+            .groupBy("client_id", "country", "submission_date")
+            .agg(F.sum("volume").alias("search_counts"))
+            .withColumn("event_vertical", F.lit("all"))
+        )
+        vso = feature_session.groupBy(
+            "client_id", "country", "submission_date", "event_vertical"
+        ).agg(
+            F.sum("url_counts").alias("o_url_counts"),
+            F.sum("app_link_install").alias("o_app_link_install"),
+            F.sum("app_link_open").alias("o_app_link_open"),
+            F.sum("show_keyboard").alias("o_show_keyboard"),
+        )
+        join_keys = ["client_id", "country", "submission_date", "event_vertical"]
+        vertical_session = (
+            vst.join(vso, join_keys, "left")
+            .join(bs, join_keys, "left")
+            .select(
+                "client_id", "country", "submission_date",
+                "event_vertical", "feature_type", "feature_name",
+                "session_time",
+                F.when(
+                    (F.col("feature_type") == "Vertical")
+                    & (F.col("event_vertical") == "all"),
+                    F.col("search_counts"),
+                )
+                .otherwise(F.col("o_url_counts"))
+                .alias("url_counts"),
+                F.col("o_app_link_install").alias("app_link_install"),
+                F.col("o_app_link_open").alias("app_link_open"),
+                F.col("o_show_keyboard").alias("show_keyboard"),
+            )
+        )
+        app_session = (
+            vertical_session.groupBy("client_id", "country", "submission_date")
+            .agg(
+                F.sum("session_time").alias("session_time"),
+                F.sum("url_counts").alias("url_counts"),
+                F.sum("app_link_install").alias("app_link_install"),
+                F.sum("app_link_open").alias("app_link_open"),
+                F.sum("show_keyboard").alias("show_keyboard"),
+            )
+            .select(
+                "client_id", "country", "submission_date",
+                F.lit("all").alias("event_vertical"),
+                F.lit("App").alias("feature_type"),
+                F.lit("App").alias("feature_name"),
+                "session_time", "url_counts", "app_link_install",
+                "app_link_open", "show_keyboard",
+            )
+        )
+        out = feature_session.unionByName(vertical_session).unionByName(
+            app_session
+        )
+        return out.withColumn("day", F.col("submission_date"))
+
+    def rfe_28d(ctx: TaskContext) -> DataFrame:
+        """mango_user_rfe_28d (sql/mango_user_rfe_28d.sql): the
+        28-day final rollup — active_days ∥ partial rollup ∥ session
+        rollup, assembled with the J4 left-join chain, channel name
+        from user_channels, age-gated recency/stickiness, per-use-day
+        ratios.  Cleanup = delete execution_date partition (generic)."""
+        as_of = F.lit(ctx.date).cast("date")
+        lo = F.date_sub(as_of, 27)
+        pings = ctx.src("mango_events").filter(
+            (F.col("day") >= lo) & (F.col("day") <= as_of)
+        )
+        active_days = pings.groupBy("client_id").agg(
+            F.countDistinct("day").alias("active_days")
+        )
+        partial = (
+            ctx.src("mango_user_rfe_daily_partial")
+            .filter(
+                (F.col("submission_date") > F.date_sub(as_of, 28))
+                & (F.col("submission_date") <= as_of)
+            )
+            .groupBy(
+                "client_id", "os", "country", "profile_date",
+                "feature_type", "feature_name",
+            )
+            .agg(
+                F.datediff(as_of, F.max("submission_date")).alias("recency"),
+                F.countDistinct("submission_date").alias("frequency_days"),
+                F.sum("value_event_count").alias("value_event_count"),
+            )
+            .withColumn("age", F.datediff(as_of, F.col("profile_date")))
+        )
+        session = (
+            ctx.src("mango_user_rfe_daily_session")
+            .filter(
+                (F.col("submission_date") > F.date_sub(as_of, 28))
+                & (F.col("submission_date") <= as_of)
+            )
+            .groupBy(
+                "client_id", "country", "event_vertical",
+                "feature_type", "feature_name",
+            )
+            .agg(
+                F.sum("session_time").alias("s_session_time"),
+                F.sum("url_counts").alias("s_url_counts"),
+                F.sum("app_link_install").alias("s_app_link_install"),
+                F.sum("app_link_open").alias("s_app_link_open"),
+                F.sum("show_keyboard").alias("s_show_keyboard"),
+            )
+        )
+        uc = ctx.src("mango_user_channels").select("client_id", "network_name")
+        age7 = F.col("age") >= 7
+        fd = F.col("frequency_days")
+        return (
+            partial.join(active_days, "client_id", "left")
+            .join(
+                session,
+                ["client_id", "feature_type", "feature_name", "country"],
+                "left",
+            )
+            .join(uc, "client_id", "left")
+            .select(
+                "client_id",
+                "network_name",
+                "os",
+                "country",
+                "profile_date",
+                "age",
+                "active_days",
+                "feature_type",
+                "feature_name",
+                F.when(age7, F.col("recency")).alias("recency"),
+                F.when(
+                    age7, F.try_divide(fd, F.col("active_days"))
+                ).alias("stickiness"),
+                "frequency_days",
+                F.try_divide(F.col("value_event_count"), fd).alias(
+                    "value_event_count"
+                ),
+                F.try_divide(F.col("s_session_time"), fd).alias("session_time"),
+                F.try_divide(F.col("s_url_counts"), fd).alias("url_counts"),
+                F.try_divide(F.col("s_app_link_install"), fd).alias(
+                    "app_link_install"
+                ),
+                F.try_divide(F.col("s_app_link_open"), fd).alias(
+                    "app_link_open"
+                ),
+                F.try_divide(F.col("s_show_keyboard"), fd).alias(
+                    "show_keyboard"
+                ),
+                F.lit(ctx.date).cast("date").alias("execution_date"),
+            )
+            .withColumn("day", F.col("execution_date"))
+        )
+
+    # -- occurrence / retention -------------------------------------------
+
+    def user_feature_occurrence(ctx: TaskContext) -> DataFrame:
+        """mango_user_feature_occurrence view
+        (sql/mango_user_feature_occurrence.sql): fm ⟕ cohort on the
+        full composite key → distinct occurrence grid with
+        day/week/month indices."""
+        fm = _fm_clean(ctx).filter(F.col("country").isNotNull())
+        cohort = ctx.src("mango_feature_cohort_date").select(
+            "client_id", "country", "os",
+            F.col("cohort_level").alias("feature_type"),
+            F.col("cohort_name").alias("feature_name"),
+            "cohort_date",
+        )
+        occ = (
+            fm.join(
+                cohort,
+                ["client_id", "country", "os", "feature_type", "feature_name"],
+                "left",
+            )
+            .filter(F.col("cohort_date").isNotNull())
+            .select(
+                F.lit("feature").alias("measure_type"),
+                F.col("feature_type").alias("cohort_level"),
+                F.col("feature_name").alias("cohort_name"),
+                "os", "country", "client_id", "cohort_date",
+                F.col("submission_date").alias("occur_date"),
+            )
+            .distinct()
+            .withColumn("occur_day", F.datediff("occur_date", "cohort_date"))
+        )
+        return occ.withColumn(
+            "occur_week", F.floor(F.col("occur_day") / 7).cast("int")
+        ).withColumn(
+            "occur_month", F.floor(F.col("occur_day") / 28).cast("int")
+        )
+
+    def cohort_user_occurrence(ctx: TaskContext) -> DataFrame:
+        """mango_cohort_user_occurrence view
+        (sql/mango_cohort_user_occurrence.sql): channel-measure arm
+        (App-level occurrences joined to user_channels, cohort_level
+        'Network') ∪ feature-measure arm."""
+        ufo = ctx.src("mango_user_feature_occurrence")
+        uc = ctx.src("mango_user_channels").select(
+            "client_id", "network_name"
+        )
+        chan = (
+            ufo.filter(F.col("cohort_level") == "App")
+            .join(uc, "client_id", "left")
+            .select(
+                "os", "country",
+                F.lit("channel").alias("measure_type"),
+                F.lit("Network").alias("cohort_level"),
+                F.col("network_name").alias("cohort_name"),
+                "client_id", "cohort_date", "occur_date",
+                "occur_day", "occur_week", "occur_month",
+            )
+        )
+        feat = ufo.select(
+            "os", "country", "measure_type", "cohort_level", "cohort_name",
+            "client_id", "cohort_date", "occur_date",
+            "occur_day", "occur_week", "occur_month",
+        )
+        return chan.unionByName(feat)
+
+    def _retained_pivot(occ: DataFrame, date: str, lo_filter: bool) -> DataFrame:
+        as_of = F.lit(date).cast("date")
+        cond = (
+            (F.col("cohort_date") <= as_of)
+            & (F.col("occur_date") <= as_of)
+            & F.col("occur_day").between(0, RETENTION_WINDOW)
+        )
+        if lo_filter:
+            lo = F.date_sub(as_of, RETENTION_WINDOW)
+            cond = cond & (F.col("cohort_date") >= lo) & (
+                F.col("occur_date") >= lo
+            )
+        win = occ.filter(cond)
+
+        def cnt(col, i, alias):
+            return F.countDistinct(
+                F.when(F.col(col) == i, F.col("client_id"))
+            ).alias(alias)
+
+        aggs = [cnt("occur_day", 0, "daily_cohort_size")]
+        aggs += [
+            cnt("occur_day", n, f"d{n}_retained_users") for n in _DAY_POINTS
+        ]
+        aggs += [cnt("occur_week", 0, "weekly_cohort_size")]
+        aggs += [
+            cnt("occur_week", n, f"w{n}_retained_users") for n in _WEEK_POINTS
+        ]
+        aggs += [cnt("occur_month", 0, "monthly_cohort_size")]
+        aggs += [
+            cnt("occur_month", n, f"m{n}_retained_users")
+            for n in _MONTH_POINTS
+        ]
+        return (
+            win.groupBy(
+                "os", "country", "measure_type", "cohort_level",
+                "cohort_name", "cohort_date",
+            )
+            .agg(*aggs)
+            .withColumn("execution_date", F.lit(date).cast("date"))
+            .withColumn("day", F.col("cohort_date"))
+        )
+
+    def cohort_retained_users(ctx: TaskContext) -> DataFrame:
+        """mango_cohort_retained_users
+        (sql/mango_cohort_retained_users.sql): the 22-aggregate pivot
+        over the rolling 112-day window; cleanup = rolling wipe."""
+        return _retained_pivot(
+            ctx.src("mango_cohort_user_occurrence"), ctx.date, lo_filter=True
+        )
+
+    def cohort_retained_init(ctx: TaskContext) -> DataFrame:
+        """init_mango_cohort_retained_users.sql: full-history pivot."""
+        return _retained_pivot(
+            ctx.src("mango_cohort_user_occurrence"), ctx.date, lo_filter=False
+        )
+
+    def active_user_count(ctx: TaskContext) -> DataFrame:
+        """mango_active_user_count (sql/mango_active_user_count.sql):
+        per-cohort DAU (today) enriched with rolling WAU / MAU and the
+        new_* variants (occur_day = 0)."""
+        as_of = F.lit(ctx.date).cast("date")
+        occ = (
+            ctx.src("mango_cohort_user_occurrence")
+            .filter(
+                (F.col("occur_date") >= F.date_sub(as_of, 27))
+                & (F.col("occur_date") <= as_of)
+            )
+            .select(
+                "os", "country", "measure_type", "cohort_level",
+                "cohort_name", "client_id",
+                F.when(F.col("occur_day") == 0, F.col("client_id")).alias(
+                    "new_client_id"
+                ),
+                "occur_date",
+            )
+        )
+        keys = ["os", "country", "measure_type", "cohort_level", "cohort_name"]
+        dau = (
+            occ.filter(F.col("occur_date") == as_of)
+            .groupBy(*keys, "occur_date")
+            .agg(
+                F.countDistinct("new_client_id").alias("new_dau"),
+                F.countDistinct("client_id").alias("dau"),
+            )
+        )
+        wau = (
+            occ.filter(F.col("occur_date") >= F.date_sub(as_of, 6))
+            .groupBy(*keys)
+            .agg(
+                F.countDistinct("new_client_id").alias("new_wau"),
+                F.countDistinct("client_id").alias("wau"),
+            )
+        )
+        mau = occ.groupBy(*keys).agg(
+            F.countDistinct("new_client_id").alias("new_mau"),
+            F.countDistinct("client_id").alias("mau"),
+        )
+        return (
+            dau.join(wau, keys, "left")
+            .join(mau, keys, "left")
+            .withColumn("day", F.col("occur_date"))
+        )
+
+    # -- ROI ---------------------------------------------------------------
+
+    def _roi(ctx: TaskContext, measure: str) -> DataFrame:
+        """mango_feature_roi.sql / mango_channel_roi.sql: RFE
+        percentile pack (the W4 group-by rewrite of the reference's
+        PERCENTILE_CONT-over-window + SELECT DISTINCT) ⟕ retention
+        ratios ⟕ active-user averages."""
+        as_of = F.lit(ctx.date).cast("date")
+        rfe = ctx.src("mango_user_rfe_28d").filter(
+            F.col("execution_date") == as_of
+        )
+        if measure == "feature":
+            level = F.col("feature_type").alias("cohort_level")
+            name = F.col("feature_name").alias("cohort_name")
+        else:
+            level = F.lit("Network").alias("cohort_level")
+            name = F.col("network_name").alias("cohort_name")
+        pct_aggs = []
+        for m in _RFE_METRICS:
+            for p, tag in ((0.25, "25p"), (0.5, "50p"), (0.75, "75p")):
+                pct_aggs.append(
+                    F.expr(f"percentile({m}, {p})").alias(f"{m}_{tag}")
+                )
+        rfe_pct = rfe.select(
+            "os", "country", level, name, *_RFE_METRICS
+        ).groupBy("os", "country", "cohort_level", "cohort_name").agg(*pct_aggs)
+        rr_src = ctx.src("mango_cohort_retained_users").filter(
+            (F.col("measure_type") == measure)
+            & (F.col("cohort_date") > F.date_sub(as_of, 28))
+            & (F.col("cohort_date") <= as_of)
+        )
+        rr_cols = (
+            [(f"d{n}_retained_users", f"d{n}_retention", "daily_cohort_size")
+             for n in _DAY_POINTS]
+            + [(f"w{n}_retained_users", f"w{n}_retention", "weekly_cohort_size")
+               for n in (1, 2, 4, 8, 12)]
+            + [(f"m{n}_retained_users", f"m{n}_retention", "monthly_cohort_size")
+               for n in _MONTH_POINTS]
+        )
+        rr = rr_src.groupBy("os", "country", "cohort_level", "cohort_name").agg(
+            *[
+                F.try_divide(F.sum(num), F.sum(den)).alias(out)
+                for num, out, den in rr_cols
+            ]
+        )
+        au = (
+            ctx.src("mango_active_user_count")
+            .filter(
+                (F.col("measure_type") == measure)
+                & (F.col("occur_date") > F.date_sub(as_of, 28))
+                & (F.col("occur_date") <= as_of)
+            )
+            .groupBy("os", "country", "cohort_level", "cohort_name")
+            .agg(
+                F.avg("new_dau").alias("new_aDAU"),
+                F.avg("dau").alias("aDAU"),
+                F.avg("new_wau").alias("new_aWAU"),
+                F.avg("wau").alias("aWAU"),
+                F.avg("new_mau").alias("new_aMAU"),
+                F.avg("mau").alias("aMAU"),
+            )
+        )
+        keys = ["os", "country", "cohort_level", "cohort_name"]
+        return (
+            rfe_pct.join(rr, keys, "left")
+            .join(au, keys, "left")
+            .withColumn("execution_date", F.lit(ctx.date).cast("date"))
+            .withColumn("day", F.col("execution_date"))
+        )
+
+    def feature_roi(ctx: TaskContext) -> DataFrame:
+        return _roi(ctx, "feature")
+
+    def channel_roi(ctx: TaskContext) -> DataFrame:
+        return _roi(ctx, "channel")
+
+    # -- revenue -----------------------------------------------------------
+
+    def revenue_google(ctx: TaskContext) -> DataFrame:
+        """mango_revenue_google (sql/mango_revenue_google.sql): google
+        search volume (J7 explode + P9 outlier cap + LIKE filter) ×
+        the J9 broadcast rate join → estimated revenue rows in the
+        shared revenue schema."""
+        core_n = ctx.src("mango_core_normalized").filter(
+            (F.col("app_name") == "Zerda")
+            & (F.col("os") == "Android")
+            & (F.col("day") == F.lit(ctx.date))
+        )
+        vol = (
+            core_n.select(
+                F.col("day").alias("date"),
+                F.col("geo_country").alias("country"),
+                F.explode("searches").alias("entrypoint", "v"),
+            )
+            .filter((F.col("v") < 10000) & F.col("entrypoint").like("%google%"))
+            .groupBy("date", "country", "entrypoint")
+            .agg(F.sum("v").alias("volume"))
+        )
+        rps = ctx.src("google_rps")
+        return (
+            vol.join(F.broadcast(rps), "country", "left")
+            .select(
+                F.lit("estimated").alias("conversion_status"),
+                F.lit("Android").alias("os"),
+                "country",
+                F.col("date").alias("utc_date"),
+                F.lit("+00:00").alias("tz"),
+                F.lit("google").alias("source"),
+                F.col("volume").cast("double").alias("sales_amount"),
+                (F.col("volume") * F.col("rps")).alias("payout"),
+                F.lit("USD").alias("currency"),
+                F.col("entrypoint").alias("fx_defined1"),
+            )
+            .withColumn("day", F.col("utc_date"))
+        )
+
+    def google_rps(ctx: TaskContext) -> DataFrame:
+        return google_rps_table(ctx.spark)
+
+    def events_clients_today(ctx: TaskContext) -> DataFrame:
+        return (
+            ctx.src("mango_events")
+            .filter(F.col("day") == F.lit(ctx.date))
+            .select("client_id")
+        )
+
+    return Pipeline(
+        [
+            TaskSpec("mango_core", core, partition_col="day"),
+            TaskSpec(
+                "mango_core_normalized", core_normalized,
+                deps=["mango_core"], kind="view",
+            ),
+            TaskSpec("mango_events", events, partition_col="day"),
+            TaskSpec(
+                "mango_events_unnested", events_unnested,
+                deps=["mango_events"], kind="view",
+            ),
+            TaskSpec(
+                "mango_events_feature_mapping", feature_mapping_v,
+                deps=["mango_events_unnested"], kind="view",
+            ),
+            TaskSpec("mango_channel_mapping", channel_mapping, kind="view"),
+            TaskSpec(
+                "mango_user_channels", user_channels,
+                deps=["mango_events", "mango_channel_mapping"],
+                init_fn=user_channels_init,
+                cleanup=DeleteByKeys("client_id", events_clients_today),
+            ),
+            TaskSpec(
+                "mango_feature_cohort_date", feature_cohort_date,
+                deps=["mango_events_feature_mapping"],
+                init_fn=feature_cohort_init,
+            ),
+            TaskSpec(
+                "mango_user_rfe_daily_partial", rfe_daily_partial,
+                deps=["mango_feature_cohort_date", "mango_events_feature_mapping"],
+                kind="view",
+            ),
+            TaskSpec(
+                "mango_user_rfe_daily_session", rfe_daily_session,
+                deps=["mango_events_feature_mapping", "mango_core"],
+            ),
+            TaskSpec(
+                "mango_user_rfe_28d", rfe_28d,
+                deps=[
+                    "mango_events", "mango_user_rfe_daily_partial",
+                    "mango_user_rfe_daily_session", "mango_user_channels",
+                ],
+            ),
+            TaskSpec(
+                "mango_user_feature_occurrence", user_feature_occurrence,
+                deps=["mango_events_feature_mapping", "mango_feature_cohort_date"],
+                kind="view",
+            ),
+            TaskSpec(
+                "mango_cohort_user_occurrence", cohort_user_occurrence,
+                deps=["mango_user_feature_occurrence", "mango_user_channels"],
+                kind="view",
+            ),
+            TaskSpec(
+                "mango_cohort_retained_users", cohort_retained_users,
+                deps=["mango_cohort_user_occurrence"],
+                init_fn=cohort_retained_init,
+                window_days=RETENTION_WINDOW,
+                cleanup=RollingWipe(RETENTION_WINDOW),
+            ),
+            TaskSpec(
+                "mango_active_user_count", active_user_count,
+                deps=["mango_cohort_user_occurrence"],
+            ),
+            TaskSpec(
+                "mango_feature_roi", feature_roi,
+                deps=[
+                    "mango_user_rfe_28d", "mango_cohort_retained_users",
+                    "mango_active_user_count",
+                ],
+            ),
+            TaskSpec(
+                "mango_channel_roi", channel_roi,
+                deps=[
+                    "mango_user_rfe_28d", "mango_cohort_retained_users",
+                    "mango_active_user_count",
+                ],
+            ),
+            TaskSpec("google_rps", google_rps, kind="view"),
+            TaskSpec(
+                "mango_revenue_google", revenue_google,
+                deps=["mango_core_normalized", "google_rps"],
             ),
         ],
         warehouse,

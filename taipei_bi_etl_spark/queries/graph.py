@@ -287,8 +287,40 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KCORE_K = 40
 
+_KCORE_ORACLE = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+peel AS (
+  SELECT 0 AS iter, u, v,
+         CAST(0 AS BIGINT) + (SELECT COUNT(*) FROM edges) AS cnt
+  FROM edges
+  UNION ALL
+  SELECT iter + 1, u, v, COUNT(*) OVER () AS cnt FROM (
+    SELECT iter, u, v, cnt,
+           COUNT(*) OVER (PARTITION BY u) AS du,
+           COUNT(*) OVER (PARTITION BY v) AS dv
+    FROM peel
+  ) WHERE du >= {KCORE_K} AND dv >= {KCORE_K}
+  QUALIFY COUNT(*) OVER () < cnt
+),
+last AS (
+  SELECT u, v,
+         COUNT(*) OVER (PARTITION BY u) AS du,
+         COUNT(*) OVER (PARTITION BY v) AS dv
+  FROM peel WHERE iter = (SELECT MAX(iter) FROM peel)
+)
+SELECT u AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM last WHERE du >= {KCORE_K} AND dv >= {KCORE_K}
+GROUP BY u
+"""
 
-@query("copurchase_kcore", oracle=None, tags=("graph", "iterative"))
+
+@query("copurchase_kcore", oracle=_KCORE_ORACLE, tags=("graph", "iterative"))
 def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The {k}-core of the co-purchase graph: the maximal subgraph in
     which every part has ≥ k co-purchase partners — iterative peeling
@@ -297,12 +329,15 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "backbone" of an item/document graph (and prunes long-tail noise
     before expensive per-node work).
 
-    No SQL oracle: the fixpoint's iteration count is data-dependent,
-    which a recursive CTE cannot express with per-step re-aggregation
-    — this is exactly the class the driver records rows-only and
-    `tests/test_clustering.py` gates by INVARANTS instead: (a) every
-    surviving node has ≥ k surviving neighbors (core property), (b)
-    maximality — no peeled node has ≥ k surviving neighbors.
+    Oracle: the k-core is UNIQUE (independent of peeling order), so
+    the data-dependent fixpoint does have an ANSI twin — a recursive
+    CTE that re-derives the surviving edge set each step and stops at
+    convergence via a change-detecting QUALIFY (emit the next
+    iteration only while COUNT(*) OVER () shrinks; without it the
+    recursion would spin on the converged set forever or need an
+    arbitrary iteration cap).  `tests/test_clustering.py` keeps the
+    structural gates: (a) every surviving node has ≥ k surviving
+    neighbors, (b) maximality — no peeled node does.
 
     Scale: per iteration one degree aggregation + one semi-join, both
     keyed on node; the driver sees ONE scalar per iteration (the

@@ -97,14 +97,24 @@ def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(tok).groupBy("word").agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("bpe_train_merges", oracle=None, tags=("text", "extension", "iterative"))
+from taipei_bi_etl_spark.queries.bpe_pins import encode_oracle, merges_oracle
+
+
+@query(
+    "bpe_train_merges",
+    oracle=merges_oracle(),
+    tags=("text", "extension", "iterative"),
+)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train N_MERGES BPE merges on the corpus: start from characters,
     repeatedly count adjacent symbol pairs (weighted by word frequency)
     and merge the globally most frequent pair (ties: count desc, then
     lexicographic (left, right) — deterministic).  Plain inner-word BPE,
-    no end-of-word marker.  Rows-only (iterative); pinned against a
-    pure-Python reference BPE in tests/test_tokenizer.py.
+    no end-of-word marker.  Oracle: pinned per-corpus tables (see
+    bpe_pins.py — training is iterative, but its output is
+    deterministic, so the fixed driver corpora pin exactly); ALSO
+    pinned against a pure-Python reference BPE in
+    tests/test_tokenizer.py, which re-derives the values live.
 
     Scale: each round is one explode+groupBy over the DISTINCT-WORD
     frame (vocabulary-sized, not corpus-sized) with map-side partial
@@ -156,15 +166,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("bpe_encode_apply", oracle=None, tags=("text", "extension", "iterative"))
+@query(
+    "bpe_encode_apply",
+    oracle=encode_oracle(),
+    tags=("text", "extension", "iterative"),
+)
 def bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the corpus with the merges `bpe_train_merges` learns:
     each distinct word starts as characters and replays the merge table
     in rank order (greedy left-to-right, the training rewrite), giving
     words → piece counts; per-source totals weight by word frequency.
 
-    Rows-only (the merge table is data-trained, so no static SQL twin);
-    pinned against a pure-Python encoder in tests/test_tokenizer.py.
+    Oracle: pinned per-corpus tables (bpe_pins.py); ALSO pinned
+    against a pure-Python encoder in tests/test_tokenizer.py.
 
     Scale: the encode fold runs on the DISTINCT-WORD frame (vocabulary-
     sized), entirely in Catalyst (N chained folds, no Python, no UDF);
