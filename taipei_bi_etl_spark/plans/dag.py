@@ -51,11 +51,16 @@ class TaskContext:
 
     def read_dest(self) -> DataFrame | None:
         """This task's own existing destination (the incremental
-        self-reference pattern), or None before first materialization."""
+        self-reference pattern), or None before first materialization.
+        An empty destination directory (an init bootstrap that found no
+        history writes zero partitions) counts as absent."""
         path = self.pipeline._table_path(self.task.name)
         if not os.path.exists(path):
             return None
-        return self.spark.read.parquet(path)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
 
 
 class CleanupPolicy:

@@ -177,11 +177,16 @@ def synthesize_full_pings(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql/mango_events_feature_mapping.sql:17-21)."""
     ev = read_table(spark, sf_dir, "events")
 
-    def pick(vocab, salt: int) -> F.Column:
+    # DECORRELATED picks: each field indexes a different "digit" of
+    # event_id (divisor stride), so (method, object, value, …) span the
+    # full product space — same-modulus picks would lock the pairs 1:1
+    # and the (start|end, process) rows the vertical sessionizer keys
+    # on would never occur.  Still closed-form for the DuckDB twins.
+    def pick(vocab, salt: int, stride: int = 1) -> F.Column:
         arr = F.array(*[F.lit(x) for x in vocab])
+        idx = F.floor(F.col("event_id") / stride) + salt
         return F.element_at(
-            arr,
-            (F.pmod(F.col("event_id") + salt, F.lit(len(vocab))) + 1).cast("int"),
+            arr, (F.pmod(idx, F.lit(len(vocab))) + 1).cast("int")
         )
 
     # conditional extra fragments, all deterministic in event_id
@@ -208,11 +213,11 @@ def synthesize_full_pings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(""))
     payload = F.concat(
         F.lit('[['), FN.unix_ms(F.col("ts")).cast("string"),
-        F.lit(',"action","'), pick(_METHODS_FULL, 1),
-        F.lit('","'), pick(_OBJECTS_FULL, 3),
-        F.lit('","'), pick(_VALUES, 5),
-        F.lit('",{"vertical":"'), pick(_VERTICALS, 7),
-        F.lit('","source":"'), pick(_SOURCES, 11),
+        F.lit(',"action","'), pick(_METHODS_FULL, 1, 1),
+        F.lit('","'), pick(_OBJECTS_FULL, 3, 8),
+        F.lit('","'), pick(_VALUES, 5, 64),
+        F.lit('",{"vertical":"'), pick(_VERTICALS, 7, 5),
+        F.lit('","source":"'), pick(_SOURCES, 11, 7),
         F.lit('"'),
         session_extra,
         app_link_extra,
