@@ -205,6 +205,531 @@ def _session_like_filter():
     return cond
 
 
+def tracker_settings(pings: DataFrame, date: str, lo_date=None) -> DataFrame:
+    """Per-client attribution settings for an execution date
+    (sql/mango_user_channels.sql:3-14): MAX over the settings-array
+    kv extracts, with the init variant covering [lo_date, date]."""
+    cond = F.col("day") == F.lit(date)
+    if lo_date is not None:
+        cond = (F.col("day") >= F.lit(lo_date)) & (F.col("day") <= F.lit(date))
+
+    def kv(key: str):
+        return F.max(
+            F.element_at(
+                F.map_from_entries(
+                    F.filter(F.col("settings"), lambda s: s["key"] == key)
+                ),
+                key,
+            )
+        )
+
+    return (
+        pings.filter(cond)
+        .groupBy("client_id")
+        .agg(
+            kv("pref_key_s_tracker_token").alias("tracker_token"),
+            kv("install_referrer").alias("install_referrer"),
+            F.max("day").alias("execution_date"),
+        )
+    )
+
+
+def user_channels_from(settings: DataFrame, channels: DataFrame) -> DataFrame:
+    """The 5-arm alt-key union join + IFNULL defaults + RANK()=1
+    dedup of sql/mango_user_channels.sql:23-137 (J1/U2 + W1)."""
+    chan_cols = [
+        "network_name", "network_token", "campaign_name",
+        "campaign_token", "adgroup_name", "adgroup_token",
+        "creative_name", "creative_token",
+    ]
+    arms = []
+    for alt in ("network_token", "campaign_token", "adgroup_token", "creative_token"):
+        arms.append(
+            settings.join(
+                F.broadcast(channels),
+                settings["tracker_token"] == channels[alt],
+            ).select(
+                "client_id", "tracker_token", "install_referrer",
+                *chan_cols, "execution_date",
+            )
+        )
+    null_arm = settings.filter(F.col("tracker_token").isNull()).select(
+        "client_id", "tracker_token", "install_referrer",
+        *[F.lit(None).cast("string").alias(c) for c in chan_cols],
+        "execution_date",
+    )
+    unioned = arms[0]
+    for a in arms[1:]:
+        unioned = unioned.unionByName(a)
+    unioned = unioned.unionByName(null_arm)
+    defaults = unioned.select(
+        "client_id", "tracker_token", "install_referrer",
+        *[
+            F.coalesce(
+                F.col(c), F.lit("unknown" if c.endswith("_name") else "0")
+            ).alias(c)
+            for c in chan_cols
+        ],
+        "execution_date",
+    )
+    w = W.partitionBy("client_id").orderBy(F.col("creative_token").asc())
+    return (
+        defaults.withColumn("r", F.rank().over(w))
+        .filter(F.col("r") == 1)
+        .drop("r")
+        .withColumn("day", F.col("execution_date"))
+    )
+
+
+def occurrence_from(fm: DataFrame) -> DataFrame:
+    """mango_user_feature_occurrence shape from a feature-mapping
+    frame with FULL-HISTORY cohorts (the converged state of the
+    incremental mango_feature_cohort_date table): distinct occurrence
+    grid with day/week/month indices
+    (sql/mango_user_feature_occurrence.sql)."""
+    days = (
+        fm.filter(
+            ~F.col("feature_name").isin(*EXCLUDED_FEATURES)
+            & F.col("country").isNotNull()
+        )
+        .select(
+            "client_id", "os", "country", "feature_type", "feature_name",
+            "submission_date",
+        )
+        .distinct()
+    )
+    cohort = days.groupBy(
+        "client_id", "os", "country", "feature_type", "feature_name"
+    ).agg(F.min("submission_date").alias("cohort_date"))
+    occ = (
+        days.join(
+            cohort,
+            ["client_id", "os", "country", "feature_type", "feature_name"],
+        )
+        .select(
+            F.lit("feature").alias("measure_type"),
+            F.col("feature_type").alias("cohort_level"),
+            F.col("feature_name").alias("cohort_name"),
+            "os", "country", "client_id", "cohort_date",
+            F.col("submission_date").alias("occur_date"),
+        )
+        .withColumn("occur_day", F.datediff("occur_date", "cohort_date"))
+    )
+    return occ.withColumn(
+        "occur_week", F.floor(F.col("occur_day") / 7).cast("int")
+    ).withColumn("occur_month", F.floor(F.col("occur_day") / 28).cast("int"))
+
+
+def cohort_user_occurrence_from(ufo: DataFrame, uc: DataFrame) -> DataFrame:
+    """sql/mango_cohort_user_occurrence.sql: channel-measure arm
+    (App-level occurrences ⟕ user_channels → cohort_level 'Network')
+    ∪ feature-measure arm."""
+    cols = [
+        "os", "country", "measure_type", "cohort_level", "cohort_name",
+        "client_id", "cohort_date", "occur_date",
+        "occur_day", "occur_week", "occur_month",
+    ]
+    chan = (
+        ufo.filter(F.col("cohort_level") == "App")
+        .join(uc.select("client_id", "network_name"), "client_id", "left")
+        .select(
+            "os", "country",
+            F.lit("channel").alias("measure_type"),
+            F.lit("Network").alias("cohort_level"),
+            F.col("network_name").alias("cohort_name"),
+            "client_id", "cohort_date", "occur_date",
+            "occur_day", "occur_week", "occur_month",
+        )
+    )
+    return chan.unionByName(ufo.select(*cols))
+
+
+def retained_pivot_from(occ: DataFrame, date: str, lo_filter: bool) -> DataFrame:
+    """The 22-aggregate retention pivot of
+    sql/mango_cohort_retained_users.sql:1-36 over an occurrence frame,
+    windowed to the rolling 112 days when ``lo_filter``."""
+    as_of = F.lit(date).cast("date")
+    cond = (
+        (F.col("cohort_date") <= as_of)
+        & (F.col("occur_date") <= as_of)
+        & F.col("occur_day").between(0, RETENTION_WINDOW)
+    )
+    if lo_filter:
+        lo = F.date_sub(as_of, RETENTION_WINDOW)
+        cond = cond & (F.col("cohort_date") >= lo) & (F.col("occur_date") >= lo)
+    win = occ.filter(cond)
+
+    def cnt(col, i, alias):
+        return F.countDistinct(
+            F.when(F.col(col) == i, F.col("client_id"))
+        ).alias(alias)
+
+    aggs = [cnt("occur_day", 0, "daily_cohort_size")]
+    aggs += [cnt("occur_day", n, f"d{n}_retained_users") for n in _DAY_POINTS]
+    aggs += [cnt("occur_week", 0, "weekly_cohort_size")]
+    aggs += [cnt("occur_week", n, f"w{n}_retained_users") for n in _WEEK_POINTS]
+    aggs += [cnt("occur_month", 0, "monthly_cohort_size")]
+    aggs += [
+        cnt("occur_month", n, f"m{n}_retained_users") for n in _MONTH_POINTS
+    ]
+    return (
+        win.groupBy(
+            "os", "country", "measure_type", "cohort_level",
+            "cohort_name", "cohort_date",
+        )
+        .agg(*aggs)
+        .withColumn("execution_date", F.lit(date).cast("date"))
+        .withColumn("day", F.col("cohort_date"))
+    )
+
+
+def active_user_count_from(occ: DataFrame, date: str) -> DataFrame:
+    """sql/mango_active_user_count.sql: per-cohort DAU for the
+    execution date ⟕ rolling WAU/MAU with new_* (occur_day=0)."""
+    as_of = F.lit(date).cast("date")
+    occ = occ.filter(
+        (F.col("occur_date") >= F.date_sub(as_of, 27))
+        & (F.col("occur_date") <= as_of)
+    ).select(
+        "os", "country", "measure_type", "cohort_level", "cohort_name",
+        "client_id",
+        F.when(F.col("occur_day") == 0, F.col("client_id")).alias(
+            "new_client_id"
+        ),
+        "occur_date",
+    )
+    keys = ["os", "country", "measure_type", "cohort_level", "cohort_name"]
+    dau = (
+        occ.filter(F.col("occur_date") == as_of)
+        .groupBy(*keys, "occur_date")
+        .agg(
+            F.countDistinct("new_client_id").alias("new_dau"),
+            F.countDistinct("client_id").alias("dau"),
+        )
+    )
+    wau = (
+        occ.filter(F.col("occur_date") >= F.date_sub(as_of, 6))
+        .groupBy(*keys)
+        .agg(
+            F.countDistinct("new_client_id").alias("new_wau"),
+            F.countDistinct("client_id").alias("wau"),
+        )
+    )
+    mau = occ.groupBy(*keys).agg(
+        F.countDistinct("new_client_id").alias("new_mau"),
+        F.countDistinct("client_id").alias("mau"),
+    )
+    return (
+        dau.join(wau, keys, "left")
+        .join(mau, keys, "left")
+        .withColumn("day", F.col("occur_date"))
+    )
+
+
+def rfe_daily_session_from(fm_all: DataFrame, core: DataFrame, date: str) -> DataFrame:
+    """mango_user_rfe_daily_session
+    (sql/mango_user_rfe_daily_session.sql): the 3-branch session
+    union — feature extras rollup, vertical LEAD-sessionization
+    with the 30-minute cap, browser search counts, App rollup."""
+    fm = fm_all.filter(
+        ~F.col("feature_name").isin(*EXCLUDED_FEATURES)
+        & (F.col("submission_date") == F.lit(date))
+    )
+    # feature_session_event: exact-row dedup (A7 GROUP BY all)
+    dedup_cols = [
+        "client_id", "country", "submission_date",
+        "submission_timestamp", "event_timestamp", "event_vertical",
+        "feature_type", "feature_name", "session_time", "url_counts",
+        "app_link_install", "app_link_open", "show_keyboard",
+    ]
+    fse = fm.groupBy(*dedup_cols).agg(F.count(F.lit(1)).alias("_n"))
+    feature_session = (
+        fse.filter(
+            (F.col("feature_type") == "Feature") & _session_like_filter()
+        )
+        .groupBy(
+            "client_id", "country", "submission_date",
+            "event_vertical", "feature_type", "feature_name",
+        )
+        .agg(
+            F.sum("session_time").alias("session_time"),
+            F.sum("url_counts").alias("url_counts"),
+            F.sum("app_link_install").alias("app_link_install"),
+            F.sum("app_link_open").alias("app_link_open"),
+            F.sum("show_keyboard").alias("show_keyboard"),
+        )
+    )
+    # vertical sessionize: LEAD over start/end process events (W2/W3)
+    vse = fm.filter(
+        F.col("event_method").isin("start", "end")
+        & (F.col("event_object") == "process")
+        & (F.col("feature_type") == "Vertical")
+    ).select(
+        "client_id", "country", "submission_date", "event_vertical",
+        "feature_type", "feature_name", "event_method",
+        F.col("event_timestamp").alias("start_ms"),
+    )
+    wv = W.partitionBy(
+        "client_id", "event_vertical", "country"
+    ).orderBy("start_ms")
+    vst = (
+        vse.withColumn("end_ms", F.lead("start_ms").over(wv))
+        .filter(F.col("event_method") == "start")
+        .groupBy(
+            "client_id", "country", "submission_date",
+            "event_vertical", "feature_type", "feature_name",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("end_ms") - F.col("start_ms") > SESSION_CAP_MS,
+                    0,
+                ).otherwise(F.col("end_ms") - F.col("start_ms"))
+            ).alias("session_time")
+        )
+    )
+    # browser_search from core pings (J7 searches explode + P9 cap)
+    core_day = core.filter(F.col("day") == F.lit(date))
+    bs = (
+        core_day.select(
+            "client_id",
+            F.col("geo_country").alias("country"),
+            F.col("day").alias("submission_date"),
+            F.explode("searches").alias("entrypoint", "volume"),
+        )
+        .filter(F.col("volume") < 10000)
+        .groupBy("client_id", "country", "submission_date")
+        .agg(F.sum("volume").alias("search_counts"))
+        .withColumn("event_vertical", F.lit("all"))
+    )
+    vso = feature_session.groupBy(
+        "client_id", "country", "submission_date", "event_vertical"
+    ).agg(
+        F.sum("url_counts").alias("o_url_counts"),
+        F.sum("app_link_install").alias("o_app_link_install"),
+        F.sum("app_link_open").alias("o_app_link_open"),
+        F.sum("show_keyboard").alias("o_show_keyboard"),
+    )
+    join_keys = ["client_id", "country", "submission_date", "event_vertical"]
+    vertical_session = (
+        vst.join(vso, join_keys, "left")
+        .join(bs, join_keys, "left")
+        .select(
+            "client_id", "country", "submission_date",
+            "event_vertical", "feature_type", "feature_name",
+            "session_time",
+            F.when(
+                (F.col("feature_type") == "Vertical")
+                & (F.col("event_vertical") == "all"),
+                F.col("search_counts"),
+            )
+            .otherwise(F.col("o_url_counts"))
+            .alias("url_counts"),
+            F.col("o_app_link_install").alias("app_link_install"),
+            F.col("o_app_link_open").alias("app_link_open"),
+            F.col("o_show_keyboard").alias("show_keyboard"),
+        )
+    )
+    app_session = (
+        vertical_session.groupBy("client_id", "country", "submission_date")
+        .agg(
+            F.sum("session_time").alias("session_time"),
+            F.sum("url_counts").alias("url_counts"),
+            F.sum("app_link_install").alias("app_link_install"),
+            F.sum("app_link_open").alias("app_link_open"),
+            F.sum("show_keyboard").alias("show_keyboard"),
+        )
+        .select(
+            "client_id", "country", "submission_date",
+            F.lit("all").alias("event_vertical"),
+            F.lit("App").alias("feature_type"),
+            F.lit("App").alias("feature_name"),
+            "session_time", "url_counts", "app_link_install",
+            "app_link_open", "show_keyboard",
+        )
+    )
+    out = feature_session.unionByName(vertical_session).unionByName(
+        app_session
+    )
+    return out.withColumn("day", F.col("submission_date"))
+
+
+def rfe_28d_from(
+    pings: DataFrame,
+    partial_daily: DataFrame,
+    session_daily: DataFrame,
+    uc_frame: DataFrame,
+    date: str,
+) -> DataFrame:
+    """mango_user_rfe_28d (sql/mango_user_rfe_28d.sql): the
+    28-day final rollup — active_days ∥ partial rollup ∥ session
+    rollup, assembled with the J4 left-join chain, channel name
+    from user_channels, age-gated recency/stickiness, per-use-day
+    ratios.  Cleanup = delete execution_date partition (generic)."""
+    as_of = F.lit(date).cast("date")
+    lo = F.date_sub(as_of, 27)
+    pings = pings.filter(
+        (F.col("day") >= lo) & (F.col("day") <= as_of)
+    )
+    active_days = pings.groupBy("client_id").agg(
+        F.countDistinct("day").alias("active_days")
+    )
+    partial = (
+        partial_daily
+        .filter(
+            (F.col("submission_date") > F.date_sub(as_of, 28))
+            & (F.col("submission_date") <= as_of)
+        )
+        .groupBy(
+            "client_id", "os", "country", "profile_date",
+            "feature_type", "feature_name",
+        )
+        .agg(
+            F.datediff(as_of, F.max("submission_date")).alias("recency"),
+            F.countDistinct("submission_date").alias("frequency_days"),
+            F.sum("value_event_count").alias("value_event_count"),
+        )
+        .withColumn("age", F.datediff(as_of, F.col("profile_date")))
+    )
+    session = (
+        session_daily
+        .filter(
+            (F.col("submission_date") > F.date_sub(as_of, 28))
+            & (F.col("submission_date") <= as_of)
+        )
+        .groupBy(
+            "client_id", "country", "event_vertical",
+            "feature_type", "feature_name",
+        )
+        .agg(
+            F.sum("session_time").alias("s_session_time"),
+            F.sum("url_counts").alias("s_url_counts"),
+            F.sum("app_link_install").alias("s_app_link_install"),
+            F.sum("app_link_open").alias("s_app_link_open"),
+            F.sum("show_keyboard").alias("s_show_keyboard"),
+        )
+    )
+    uc = uc_frame.select("client_id", "network_name")
+    age7 = F.col("age") >= 7
+    fd = F.col("frequency_days")
+    return (
+        partial.join(active_days, "client_id", "left")
+        .join(
+            session,
+            ["client_id", "feature_type", "feature_name", "country"],
+            "left",
+        )
+        .join(uc, "client_id", "left")
+        .select(
+            "client_id",
+            "network_name",
+            "os",
+            "country",
+            "profile_date",
+            "age",
+            "active_days",
+            "feature_type",
+            "feature_name",
+            F.when(age7, F.col("recency")).alias("recency"),
+            F.when(
+                age7, F.try_divide(fd, F.col("active_days"))
+            ).alias("stickiness"),
+            "frequency_days",
+            F.try_divide(F.col("value_event_count"), fd).alias(
+                "value_event_count"
+            ),
+            F.try_divide(F.col("s_session_time"), fd).alias("session_time"),
+            F.try_divide(F.col("s_url_counts"), fd).alias("url_counts"),
+            F.try_divide(F.col("s_app_link_install"), fd).alias(
+                "app_link_install"
+            ),
+            F.try_divide(F.col("s_app_link_open"), fd).alias(
+                "app_link_open"
+            ),
+            F.try_divide(F.col("s_show_keyboard"), fd).alias(
+                "show_keyboard"
+            ),
+            F.lit(date).cast("date").alias("execution_date"),
+        )
+        .withColumn("day", F.col("execution_date"))
+    )
+
+
+def roi_from(
+    rfe28: DataFrame,
+    retained: DataFrame,
+    au_frame: DataFrame,
+    date: str,
+    measure: str,
+) -> DataFrame:
+    """mango_feature_roi.sql / mango_channel_roi.sql: RFE
+    percentile pack (the W4 group-by rewrite of the reference's
+    PERCENTILE_CONT-over-window + SELECT DISTINCT) ⟕ retention
+    ratios ⟕ active-user averages."""
+    as_of = F.lit(date).cast("date")
+    rfe = rfe28.filter(
+        F.col("execution_date") == as_of
+    )
+    if measure == "feature":
+        level = F.col("feature_type").alias("cohort_level")
+        name = F.col("feature_name").alias("cohort_name")
+    else:
+        level = F.lit("Network").alias("cohort_level")
+        name = F.col("network_name").alias("cohort_name")
+    pct_aggs = []
+    for m in _RFE_METRICS:
+        for p, tag in ((0.25, "25p"), (0.5, "50p"), (0.75, "75p")):
+            pct_aggs.append(
+                F.expr(f"percentile({m}, {p})").alias(f"{m}_{tag}")
+            )
+    rfe_pct = rfe.select(
+        "os", "country", level, name, *_RFE_METRICS
+    ).groupBy("os", "country", "cohort_level", "cohort_name").agg(*pct_aggs)
+    rr_src = retained.filter(
+        (F.col("measure_type") == measure)
+        & (F.col("cohort_date") > F.date_sub(as_of, 28))
+        & (F.col("cohort_date") <= as_of)
+    )
+    rr_cols = (
+        [(f"d{n}_retained_users", f"d{n}_retention", "daily_cohort_size")
+         for n in _DAY_POINTS]
+        + [(f"w{n}_retained_users", f"w{n}_retention", "weekly_cohort_size")
+           for n in (1, 2, 4, 8, 12)]
+        + [(f"m{n}_retained_users", f"m{n}_retention", "monthly_cohort_size")
+           for n in _MONTH_POINTS]
+    )
+    rr = rr_src.groupBy("os", "country", "cohort_level", "cohort_name").agg(
+        *[
+            F.try_divide(F.sum(num), F.sum(den)).alias(out)
+            for num, out, den in rr_cols
+        ]
+    )
+    au = (
+        au_frame
+        .filter(
+            (F.col("measure_type") == measure)
+            & (F.col("occur_date") > F.date_sub(as_of, 28))
+            & (F.col("occur_date") <= as_of)
+        )
+        .groupBy("os", "country", "cohort_level", "cohort_name")
+        .agg(
+            F.avg("new_dau").alias("new_aDAU"),
+            F.avg("dau").alias("aDAU"),
+            F.avg("new_wau").alias("new_aWAU"),
+            F.avg("wau").alias("aWAU"),
+            F.avg("new_mau").alias("new_aMAU"),
+            F.avg("mau").alias("aMAU"),
+        )
+    )
+    keys = ["os", "country", "cohort_level", "cohort_name"]
+    return (
+        rfe_pct.join(rr, keys, "left")
+        .join(au, keys, "left")
+        .withColumn("execution_date", F.lit(date).cast("date"))
+        .withColumn("day", F.col("execution_date"))
+    )
+
+
 def build_full_mango_pipeline(sf_dir: str, warehouse: str) -> Pipeline:
     """Node-for-node parity with the reference daily driver — see the
     module docstring for the task list and the per-task docstrings for
@@ -267,75 +792,12 @@ def build_full_mango_pipeline(sf_dir: str, warehouse: str) -> Pipeline:
     # -- attribution -------------------------------------------------------
 
     def _tracker_settings(ctx: TaskContext, lo_date=None) -> DataFrame:
-        pings = ctx.src("mango_events")
-        cond = F.col("day") == F.lit(ctx.date)
-        if lo_date is not None:
-            cond = (F.col("day") >= F.lit(lo_date)) & (
-                F.col("day") <= F.lit(ctx.date)
-            )
-        kv = lambda key: F.max(
-            F.element_at(
-                F.map_from_entries(
-                    F.filter(F.col("settings"), lambda s: s["key"] == key)
-                ),
-                key,
-            )
-        )
-        return (
-            pings.filter(cond)
-            .groupBy("client_id")
-            .agg(
-                kv("pref_key_s_tracker_token").alias("tracker_token"),
-                kv("install_referrer").alias("install_referrer"),
-                F.max("day").alias("execution_date"),
-            )
+        return tracker_settings(
+            ctx.src("mango_events"), ctx.date, lo_date=lo_date
         )
 
     def _user_channels_from(settings: DataFrame, channels: DataFrame) -> DataFrame:
-        """The 5-arm alt-key union join + IFNULL defaults + RANK()=1
-        dedup of sql/mango_user_channels.sql:23-137 (J1/U2 + W1)."""
-        chan_cols = [
-            "network_name", "network_token", "campaign_name",
-            "campaign_token", "adgroup_name", "adgroup_token",
-            "creative_name", "creative_token",
-        ]
-        arms = []
-        for alt in ("network_token", "campaign_token", "adgroup_token", "creative_token"):
-            arms.append(
-                settings.join(
-                    F.broadcast(channels),
-                    settings["tracker_token"] == channels[alt],
-                ).select(
-                    "client_id", "tracker_token", "install_referrer",
-                    *chan_cols, "execution_date",
-                )
-            )
-        null_arm = settings.filter(F.col("tracker_token").isNull()).select(
-            "client_id", "tracker_token", "install_referrer",
-            *[F.lit(None).cast("string").alias(c) for c in chan_cols],
-            "execution_date",
-        )
-        unioned = arms[0]
-        for a in arms[1:]:
-            unioned = unioned.unionByName(a)
-        unioned = unioned.unionByName(null_arm)
-        defaults = unioned.select(
-            "client_id", "tracker_token", "install_referrer",
-            *[
-                F.coalesce(
-                    F.col(c), F.lit("unknown" if c.endswith("_name") else "0")
-                ).alias(c)
-                for c in chan_cols
-            ],
-            "execution_date",
-        )
-        w = W.partitionBy("client_id").orderBy(F.col("creative_token").asc())
-        return (
-            defaults.withColumn("r", F.rank().over(w))
-            .filter(F.col("r") == 1)
-            .drop("r")
-            .withColumn("day", F.col("execution_date"))
-        )
+        return user_channels_from(settings, channels)
 
     def user_channels(ctx: TaskContext) -> DataFrame:
         """mango_user_channels daily (sql/mango_user_channels.sql):
@@ -462,220 +924,23 @@ def build_full_mango_pipeline(sf_dir: str, warehouse: str) -> Pipeline:
 
     def rfe_daily_session(ctx: TaskContext) -> DataFrame:
         """mango_user_rfe_daily_session
-        (sql/mango_user_rfe_daily_session.sql): the 3-branch session
-        union — feature extras rollup, vertical LEAD-sessionization
-        with the 30-minute cap, browser search counts, App rollup."""
-        fm = _fm_clean(ctx).filter(F.col("submission_date") == F.lit(ctx.date))
-        # feature_session_event: exact-row dedup (A7 GROUP BY all)
-        dedup_cols = [
-            "client_id", "country", "submission_date",
-            "submission_timestamp", "event_timestamp", "event_vertical",
-            "feature_type", "feature_name", "session_time", "url_counts",
-            "app_link_install", "app_link_open", "show_keyboard",
-        ]
-        fse = fm.groupBy(*dedup_cols).agg(F.count(F.lit(1)).alias("_n"))
-        feature_session = (
-            fse.filter(
-                (F.col("feature_type") == "Feature") & _session_like_filter()
-            )
-            .groupBy(
-                "client_id", "country", "submission_date",
-                "event_vertical", "feature_type", "feature_name",
-            )
-            .agg(
-                F.sum("session_time").alias("session_time"),
-                F.sum("url_counts").alias("url_counts"),
-                F.sum("app_link_install").alias("app_link_install"),
-                F.sum("app_link_open").alias("app_link_open"),
-                F.sum("show_keyboard").alias("show_keyboard"),
-            )
+        (sql/mango_user_rfe_daily_session.sql) — see
+        :func:`rfe_daily_session_from`."""
+        return rfe_daily_session_from(
+            ctx.src("mango_events_feature_mapping"),
+            ctx.src("mango_core"),
+            ctx.date,
         )
-        # vertical sessionize: LEAD over start/end process events (W2/W3)
-        vse = fm.filter(
-            F.col("event_method").isin("start", "end")
-            & (F.col("event_object") == "process")
-            & (F.col("feature_type") == "Vertical")
-        ).select(
-            "client_id", "country", "submission_date", "event_vertical",
-            "feature_type", "feature_name", "event_method",
-            F.col("event_timestamp").alias("start_ms"),
-        )
-        wv = W.partitionBy(
-            "client_id", "event_vertical", "country"
-        ).orderBy("start_ms")
-        vst = (
-            vse.withColumn("end_ms", F.lead("start_ms").over(wv))
-            .filter(F.col("event_method") == "start")
-            .groupBy(
-                "client_id", "country", "submission_date",
-                "event_vertical", "feature_type", "feature_name",
-            )
-            .agg(
-                F.sum(
-                    F.when(
-                        F.col("end_ms") - F.col("start_ms") > SESSION_CAP_MS,
-                        0,
-                    ).otherwise(F.col("end_ms") - F.col("start_ms"))
-                ).alias("session_time")
-            )
-        )
-        # browser_search from core pings (J7 searches explode + P9 cap)
-        core_day = ctx.src("mango_core").filter(F.col("day") == F.lit(ctx.date))
-        bs = (
-            core_day.select(
-                "client_id",
-                F.col("geo_country").alias("country"),
-                F.col("day").alias("submission_date"),
-                F.explode("searches").alias("entrypoint", "volume"),
-            )
-            .filter(F.col("volume") < 10000)
-            .groupBy("client_id", "country", "submission_date")
-            .agg(F.sum("volume").alias("search_counts"))
-            .withColumn("event_vertical", F.lit("all"))
-        )
-        vso = feature_session.groupBy(
-            "client_id", "country", "submission_date", "event_vertical"
-        ).agg(
-            F.sum("url_counts").alias("o_url_counts"),
-            F.sum("app_link_install").alias("o_app_link_install"),
-            F.sum("app_link_open").alias("o_app_link_open"),
-            F.sum("show_keyboard").alias("o_show_keyboard"),
-        )
-        join_keys = ["client_id", "country", "submission_date", "event_vertical"]
-        vertical_session = (
-            vst.join(vso, join_keys, "left")
-            .join(bs, join_keys, "left")
-            .select(
-                "client_id", "country", "submission_date",
-                "event_vertical", "feature_type", "feature_name",
-                "session_time",
-                F.when(
-                    (F.col("feature_type") == "Vertical")
-                    & (F.col("event_vertical") == "all"),
-                    F.col("search_counts"),
-                )
-                .otherwise(F.col("o_url_counts"))
-                .alias("url_counts"),
-                F.col("o_app_link_install").alias("app_link_install"),
-                F.col("o_app_link_open").alias("app_link_open"),
-                F.col("o_show_keyboard").alias("show_keyboard"),
-            )
-        )
-        app_session = (
-            vertical_session.groupBy("client_id", "country", "submission_date")
-            .agg(
-                F.sum("session_time").alias("session_time"),
-                F.sum("url_counts").alias("url_counts"),
-                F.sum("app_link_install").alias("app_link_install"),
-                F.sum("app_link_open").alias("app_link_open"),
-                F.sum("show_keyboard").alias("show_keyboard"),
-            )
-            .select(
-                "client_id", "country", "submission_date",
-                F.lit("all").alias("event_vertical"),
-                F.lit("App").alias("feature_type"),
-                F.lit("App").alias("feature_name"),
-                "session_time", "url_counts", "app_link_install",
-                "app_link_open", "show_keyboard",
-            )
-        )
-        out = feature_session.unionByName(vertical_session).unionByName(
-            app_session
-        )
-        return out.withColumn("day", F.col("submission_date"))
 
     def rfe_28d(ctx: TaskContext) -> DataFrame:
-        """mango_user_rfe_28d (sql/mango_user_rfe_28d.sql): the
-        28-day final rollup — active_days ∥ partial rollup ∥ session
-        rollup, assembled with the J4 left-join chain, channel name
-        from user_channels, age-gated recency/stickiness, per-use-day
-        ratios.  Cleanup = delete execution_date partition (generic)."""
-        as_of = F.lit(ctx.date).cast("date")
-        lo = F.date_sub(as_of, 27)
-        pings = ctx.src("mango_events").filter(
-            (F.col("day") >= lo) & (F.col("day") <= as_of)
-        )
-        active_days = pings.groupBy("client_id").agg(
-            F.countDistinct("day").alias("active_days")
-        )
-        partial = (
-            ctx.src("mango_user_rfe_daily_partial")
-            .filter(
-                (F.col("submission_date") > F.date_sub(as_of, 28))
-                & (F.col("submission_date") <= as_of)
-            )
-            .groupBy(
-                "client_id", "os", "country", "profile_date",
-                "feature_type", "feature_name",
-            )
-            .agg(
-                F.datediff(as_of, F.max("submission_date")).alias("recency"),
-                F.countDistinct("submission_date").alias("frequency_days"),
-                F.sum("value_event_count").alias("value_event_count"),
-            )
-            .withColumn("age", F.datediff(as_of, F.col("profile_date")))
-        )
-        session = (
-            ctx.src("mango_user_rfe_daily_session")
-            .filter(
-                (F.col("submission_date") > F.date_sub(as_of, 28))
-                & (F.col("submission_date") <= as_of)
-            )
-            .groupBy(
-                "client_id", "country", "event_vertical",
-                "feature_type", "feature_name",
-            )
-            .agg(
-                F.sum("session_time").alias("s_session_time"),
-                F.sum("url_counts").alias("s_url_counts"),
-                F.sum("app_link_install").alias("s_app_link_install"),
-                F.sum("app_link_open").alias("s_app_link_open"),
-                F.sum("show_keyboard").alias("s_show_keyboard"),
-            )
-        )
-        uc = ctx.src("mango_user_channels").select("client_id", "network_name")
-        age7 = F.col("age") >= 7
-        fd = F.col("frequency_days")
-        return (
-            partial.join(active_days, "client_id", "left")
-            .join(
-                session,
-                ["client_id", "feature_type", "feature_name", "country"],
-                "left",
-            )
-            .join(uc, "client_id", "left")
-            .select(
-                "client_id",
-                "network_name",
-                "os",
-                "country",
-                "profile_date",
-                "age",
-                "active_days",
-                "feature_type",
-                "feature_name",
-                F.when(age7, F.col("recency")).alias("recency"),
-                F.when(
-                    age7, F.try_divide(fd, F.col("active_days"))
-                ).alias("stickiness"),
-                "frequency_days",
-                F.try_divide(F.col("value_event_count"), fd).alias(
-                    "value_event_count"
-                ),
-                F.try_divide(F.col("s_session_time"), fd).alias("session_time"),
-                F.try_divide(F.col("s_url_counts"), fd).alias("url_counts"),
-                F.try_divide(F.col("s_app_link_install"), fd).alias(
-                    "app_link_install"
-                ),
-                F.try_divide(F.col("s_app_link_open"), fd).alias(
-                    "app_link_open"
-                ),
-                F.try_divide(F.col("s_show_keyboard"), fd).alias(
-                    "show_keyboard"
-                ),
-                F.lit(ctx.date).cast("date").alias("execution_date"),
-            )
-            .withColumn("day", F.col("execution_date"))
+        """mango_user_rfe_28d (sql/mango_user_rfe_28d.sql) — see
+        :func:`rfe_28d_from`."""
+        return rfe_28d_from(
+            ctx.src("mango_events"),
+            ctx.src("mango_user_rfe_daily_partial"),
+            ctx.src("mango_user_rfe_daily_session"),
+            ctx.src("mango_user_channels"),
+            ctx.date,
         )
 
     # -- occurrence / retention -------------------------------------------
@@ -743,59 +1008,17 @@ def build_full_mango_pipeline(sf_dir: str, warehouse: str) -> Pipeline:
         )
         return chan.unionByName(feat)
 
-    def _retained_pivot(occ: DataFrame, date: str, lo_filter: bool) -> DataFrame:
-        as_of = F.lit(date).cast("date")
-        cond = (
-            (F.col("cohort_date") <= as_of)
-            & (F.col("occur_date") <= as_of)
-            & F.col("occur_day").between(0, RETENTION_WINDOW)
-        )
-        if lo_filter:
-            lo = F.date_sub(as_of, RETENTION_WINDOW)
-            cond = cond & (F.col("cohort_date") >= lo) & (
-                F.col("occur_date") >= lo
-            )
-        win = occ.filter(cond)
-
-        def cnt(col, i, alias):
-            return F.countDistinct(
-                F.when(F.col(col) == i, F.col("client_id"))
-            ).alias(alias)
-
-        aggs = [cnt("occur_day", 0, "daily_cohort_size")]
-        aggs += [
-            cnt("occur_day", n, f"d{n}_retained_users") for n in _DAY_POINTS
-        ]
-        aggs += [cnt("occur_week", 0, "weekly_cohort_size")]
-        aggs += [
-            cnt("occur_week", n, f"w{n}_retained_users") for n in _WEEK_POINTS
-        ]
-        aggs += [cnt("occur_month", 0, "monthly_cohort_size")]
-        aggs += [
-            cnt("occur_month", n, f"m{n}_retained_users")
-            for n in _MONTH_POINTS
-        ]
-        return (
-            win.groupBy(
-                "os", "country", "measure_type", "cohort_level",
-                "cohort_name", "cohort_date",
-            )
-            .agg(*aggs)
-            .withColumn("execution_date", F.lit(date).cast("date"))
-            .withColumn("day", F.col("cohort_date"))
-        )
-
     def cohort_retained_users(ctx: TaskContext) -> DataFrame:
         """mango_cohort_retained_users
         (sql/mango_cohort_retained_users.sql): the 22-aggregate pivot
         over the rolling 112-day window; cleanup = rolling wipe."""
-        return _retained_pivot(
+        return retained_pivot_from(
             ctx.src("mango_cohort_user_occurrence"), ctx.date, lo_filter=True
         )
 
     def cohort_retained_init(ctx: TaskContext) -> DataFrame:
         """init_mango_cohort_retained_users.sql: full-history pivot."""
-        return _retained_pivot(
+        return retained_pivot_from(
             ctx.src("mango_cohort_user_occurrence"), ctx.date, lo_filter=False
         )
 
@@ -803,117 +1026,19 @@ def build_full_mango_pipeline(sf_dir: str, warehouse: str) -> Pipeline:
         """mango_active_user_count (sql/mango_active_user_count.sql):
         per-cohort DAU (today) enriched with rolling WAU / MAU and the
         new_* variants (occur_day = 0)."""
-        as_of = F.lit(ctx.date).cast("date")
-        occ = (
-            ctx.src("mango_cohort_user_occurrence")
-            .filter(
-                (F.col("occur_date") >= F.date_sub(as_of, 27))
-                & (F.col("occur_date") <= as_of)
-            )
-            .select(
-                "os", "country", "measure_type", "cohort_level",
-                "cohort_name", "client_id",
-                F.when(F.col("occur_day") == 0, F.col("client_id")).alias(
-                    "new_client_id"
-                ),
-                "occur_date",
-            )
-        )
-        keys = ["os", "country", "measure_type", "cohort_level", "cohort_name"]
-        dau = (
-            occ.filter(F.col("occur_date") == as_of)
-            .groupBy(*keys, "occur_date")
-            .agg(
-                F.countDistinct("new_client_id").alias("new_dau"),
-                F.countDistinct("client_id").alias("dau"),
-            )
-        )
-        wau = (
-            occ.filter(F.col("occur_date") >= F.date_sub(as_of, 6))
-            .groupBy(*keys)
-            .agg(
-                F.countDistinct("new_client_id").alias("new_wau"),
-                F.countDistinct("client_id").alias("wau"),
-            )
-        )
-        mau = occ.groupBy(*keys).agg(
-            F.countDistinct("new_client_id").alias("new_mau"),
-            F.countDistinct("client_id").alias("mau"),
-        )
-        return (
-            dau.join(wau, keys, "left")
-            .join(mau, keys, "left")
-            .withColumn("day", F.col("occur_date"))
+        return active_user_count_from(
+            ctx.src("mango_cohort_user_occurrence"), ctx.date
         )
 
     # -- ROI ---------------------------------------------------------------
 
     def _roi(ctx: TaskContext, measure: str) -> DataFrame:
-        """mango_feature_roi.sql / mango_channel_roi.sql: RFE
-        percentile pack (the W4 group-by rewrite of the reference's
-        PERCENTILE_CONT-over-window + SELECT DISTINCT) ⟕ retention
-        ratios ⟕ active-user averages."""
-        as_of = F.lit(ctx.date).cast("date")
-        rfe = ctx.src("mango_user_rfe_28d").filter(
-            F.col("execution_date") == as_of
-        )
-        if measure == "feature":
-            level = F.col("feature_type").alias("cohort_level")
-            name = F.col("feature_name").alias("cohort_name")
-        else:
-            level = F.lit("Network").alias("cohort_level")
-            name = F.col("network_name").alias("cohort_name")
-        pct_aggs = []
-        for m in _RFE_METRICS:
-            for p, tag in ((0.25, "25p"), (0.5, "50p"), (0.75, "75p")):
-                pct_aggs.append(
-                    F.expr(f"percentile({m}, {p})").alias(f"{m}_{tag}")
-                )
-        rfe_pct = rfe.select(
-            "os", "country", level, name, *_RFE_METRICS
-        ).groupBy("os", "country", "cohort_level", "cohort_name").agg(*pct_aggs)
-        rr_src = ctx.src("mango_cohort_retained_users").filter(
-            (F.col("measure_type") == measure)
-            & (F.col("cohort_date") > F.date_sub(as_of, 28))
-            & (F.col("cohort_date") <= as_of)
-        )
-        rr_cols = (
-            [(f"d{n}_retained_users", f"d{n}_retention", "daily_cohort_size")
-             for n in _DAY_POINTS]
-            + [(f"w{n}_retained_users", f"w{n}_retention", "weekly_cohort_size")
-               for n in (1, 2, 4, 8, 12)]
-            + [(f"m{n}_retained_users", f"m{n}_retention", "monthly_cohort_size")
-               for n in _MONTH_POINTS]
-        )
-        rr = rr_src.groupBy("os", "country", "cohort_level", "cohort_name").agg(
-            *[
-                F.try_divide(F.sum(num), F.sum(den)).alias(out)
-                for num, out, den in rr_cols
-            ]
-        )
-        au = (
-            ctx.src("mango_active_user_count")
-            .filter(
-                (F.col("measure_type") == measure)
-                & (F.col("occur_date") > F.date_sub(as_of, 28))
-                & (F.col("occur_date") <= as_of)
-            )
-            .groupBy("os", "country", "cohort_level", "cohort_name")
-            .agg(
-                F.avg("new_dau").alias("new_aDAU"),
-                F.avg("dau").alias("aDAU"),
-                F.avg("new_wau").alias("new_aWAU"),
-                F.avg("wau").alias("aWAU"),
-                F.avg("new_mau").alias("new_aMAU"),
-                F.avg("mau").alias("aMAU"),
-            )
-        )
-        keys = ["os", "country", "cohort_level", "cohort_name"]
-        return (
-            rfe_pct.join(rr, keys, "left")
-            .join(au, keys, "left")
-            .withColumn("execution_date", F.lit(ctx.date).cast("date"))
-            .withColumn("day", F.col("execution_date"))
+        return roi_from(
+            ctx.src("mango_user_rfe_28d"),
+            ctx.src("mango_cohort_retained_users"),
+            ctx.src("mango_active_user_count"),
+            ctx.date,
+            measure,
         )
 
     def feature_roi(ctx: TaskContext) -> DataFrame:

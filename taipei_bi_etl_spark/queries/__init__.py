@@ -92,4 +92,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     graph,
     relational9,
     retention,
+    mango_parity,
 )
