@@ -426,15 +426,63 @@ def active_user_count_from(occ: DataFrame, date: str) -> DataFrame:
     )
 
 
-def rfe_daily_session_from(fm_all: DataFrame, core: DataFrame, date: str) -> DataFrame:
+def rfe_daily_partial_from(fm_all: DataFrame, fcd: DataFrame) -> DataFrame:
+    """mango_user_rfe_daily_partial
+    (sql/mango_user_rfe_daily_partial.sql): per-client-day-feature
+    event counts enriched with the App-level cohort date."""
+    cohort = (
+        fcd.filter(
+            (F.col("measure_type") == "feature")
+            & (F.col("cohort_level") == "App")
+        )
+        .select(
+            "client_id", "country",
+            F.col("cohort_date").alias("profile_date"),
+        )
+        .distinct()
+    )
+    partial = (
+        fm_all.filter(~F.col("feature_name").isin(*EXCLUDED_FEATURES))
+        .groupBy(
+            "client_id", "os", "country", "submission_date",
+            "feature_type", "feature_name",
+        )
+        .agg(
+            F.countDistinct(
+                F.concat(
+                    F.col("submission_date").cast("string"),
+                    F.col("event_timestamp").cast("string"),
+                )
+            ).alias("value_event_count")
+        )
+    )
+    return (
+        partial.join(cohort, ["client_id", "country"], "left")
+        .withColumn("age", F.datediff("submission_date", "profile_date"))
+        .select(
+            "client_id", "os", "country", "profile_date", "age",
+            "submission_date", "feature_type", "feature_name",
+            "value_event_count",
+        )
+    )
+
+
+def rfe_daily_session_from(
+    fm_all: DataFrame, core: DataFrame, date: str | None
+) -> DataFrame:
     """mango_user_rfe_daily_session
     (sql/mango_user_rfe_daily_session.sql): the 3-branch session
     union — feature extras rollup, vertical LEAD-sessionization
-    with the 30-minute cap, browser search counts, App rollup."""
-    fm = fm_all.filter(
-        ~F.col("feature_name").isin(*EXCLUDED_FEATURES)
-        & (F.col("submission_date") == F.lit(date))
-    )
+    with the 30-minute cap, browser search counts, App rollup.
+
+    ``date=None`` computes every day in one pass with identical
+    semantics: the session window is partitioned by submission_date
+    (a no-op for the single-date daily run, and exactly equivalent to
+    the reference's day-at-a-time materialization — LEAD never crosses
+    a day boundary either way)."""
+    fm = fm_all.filter(~F.col("feature_name").isin(*EXCLUDED_FEATURES))
+    if date is not None:
+        fm = fm.filter(F.col("submission_date") == F.lit(date))
     # feature_session_event: exact-row dedup (A7 GROUP BY all)
     dedup_cols = [
         "client_id", "country", "submission_date",
@@ -469,9 +517,13 @@ def rfe_daily_session_from(fm_all: DataFrame, core: DataFrame, date: str) -> Dat
         "feature_type", "feature_name", "event_method",
         F.col("event_timestamp").alias("start_ms"),
     )
+    # submission_date in the partition = the reference's day-at-a-time
+    # materialization; (event_method, feature_name) tie-breaks pin a
+    # total order — fan-out rows share start_ms, and which duplicate
+    # receives the next timestamp as LEAD must not be engine-arbitrary
     wv = W.partitionBy(
-        "client_id", "event_vertical", "country"
-    ).orderBy("start_ms")
+        "client_id", "event_vertical", "country", "submission_date"
+    ).orderBy("start_ms", "event_method", "feature_name")
     vst = (
         vse.withColumn("end_ms", F.lead("start_ms").over(wv))
         .filter(F.col("event_method") == "start")
@@ -489,7 +541,11 @@ def rfe_daily_session_from(fm_all: DataFrame, core: DataFrame, date: str) -> Dat
         )
     )
     # browser_search from core pings (J7 searches explode + P9 cap)
-    core_day = core.filter(F.col("day") == F.lit(date))
+    core_day = (
+        core.filter(F.col("day") == F.lit(date))
+        if date is not None
+        else core
+    )
     bs = (
         core_day.select(
             "client_id",
@@ -881,45 +937,11 @@ def build_full_mango_pipeline(sf_dir: str, warehouse: str) -> Pipeline:
 
     def rfe_daily_partial(ctx: TaskContext) -> DataFrame:
         """mango_user_rfe_daily_partial view
-        (sql/mango_user_rfe_daily_partial.sql): per-client-day-feature
-        event counts enriched with the App-level cohort date."""
-        cohort = (
-            ctx.src("mango_feature_cohort_date")
-            .filter(
-                (F.col("measure_type") == "feature")
-                & (F.col("cohort_level") == "App")
-            )
-            .select(
-                "client_id", "country",
-                F.col("cohort_date").alias("profile_date"),
-            )
-            .distinct()
-        )
-        partial = (
-            _fm_clean(ctx)
-            .groupBy(
-                "client_id", "os", "country", "submission_date",
-                "feature_type", "feature_name",
-            )
-            .agg(
-                F.countDistinct(
-                    F.concat(
-                        F.col("submission_date").cast("string"),
-                        F.col("event_timestamp").cast("string"),
-                    )
-                ).alias("value_event_count")
-            )
-        )
-        return (
-            partial.join(cohort, ["client_id", "country"], "left")
-            .withColumn(
-                "age", F.datediff("submission_date", "profile_date")
-            )
-            .select(
-                "client_id", "os", "country", "profile_date", "age",
-                "submission_date", "feature_type", "feature_name",
-                "value_event_count",
-            )
+        (sql/mango_user_rfe_daily_partial.sql) — see
+        :func:`rfe_daily_partial_from`."""
+        return rfe_daily_partial_from(
+            ctx.src("mango_events_feature_mapping"),
+            ctx.src("mango_feature_cohort_date"),
         )
 
     def rfe_daily_session(ctx: TaskContext) -> DataFrame:

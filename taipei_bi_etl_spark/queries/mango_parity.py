@@ -130,11 +130,12 @@ WITH {_full_fm_cte()}
 SELECT submission_date, feature_type, feature_name,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT client_id) AS BIGINT) AS n_clients,
-       CAST(SUM(session_time) AS BIGINT) AS sum_session_time,
-       CAST(SUM(url_counts) AS BIGINT) AS sum_url_counts,
-       CAST(SUM(app_link_install) AS BIGINT) AS sum_app_link_install,
-       CAST(SUM(app_link_open) AS BIGINT) AS sum_app_link_open,
-       CAST(SUM(show_keyboard) AS BIGINT) AS sum_show_keyboard
+       CAST(COALESCE(SUM(session_time), -1) AS BIGINT) AS sum_session_time,
+       CAST(COALESCE(SUM(url_counts), -1) AS BIGINT) AS sum_url_counts,
+       CAST(COALESCE(SUM(app_link_install), -1) AS BIGINT)
+         AS sum_app_link_install,
+       CAST(COALESCE(SUM(app_link_open), -1) AS BIGINT) AS sum_app_link_open,
+       CAST(COALESCE(SUM(show_keyboard), -1) AS BIGINT) AS sum_show_keyboard
 FROM fanned
 GROUP BY 1, 2, 3
 """
@@ -161,11 +162,15 @@ def mango_feature_surface_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fm.groupBy("submission_date", "feature_type", "feature_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("client_id").alias("n_clients"),
-        F.sum("session_time").alias("sum_session_time"),
-        F.sum("url_counts").alias("sum_url_counts"),
-        F.sum("app_link_install").alias("sum_app_link_install"),
-        F.sum("app_link_open").alias("sum_app_link_open"),
-        F.sum("show_keyboard").alias("sum_show_keyboard"),
+        *[
+            F.coalesce(F.sum(c), F.lit(-1))
+            .cast("long")
+            .alias(f"sum_{c}")
+            for c in (
+                "session_time", "url_counts", "app_link_install",
+                "app_link_open", "show_keyboard",
+            )
+        ],
     )
 
 
@@ -186,7 +191,9 @@ def _channel_dim_values() -> str:
     return ",\n    ".join(rows)
 
 
-def _user_channels_oracle() -> str:
+def _user_channels_cte() -> str:
+    """CTE fragment ending in ``uc_final`` — the attribution snapshot
+    (settings kv extract → 5-arm union → defaults → RANK()=1)."""
     from taipei_bi_etl_spark.plans import telemetry_pipeline as tp
 
     toks = ", ".join(
@@ -206,7 +213,7 @@ def _user_channels_oracle() -> str:
         )
     )
     return f"""
-WITH channels(network_name, network_token, campaign_name, campaign_token,
+channels(network_name, network_token, campaign_name, campaign_token,
               adgroup_name, adgroup_token, creative_name, creative_token)
 AS (
   VALUES
@@ -240,10 +247,15 @@ defaults AS (
          COALESCE(creative_token, '0') AS creative_token,
          execution_date
   FROM unioned
-)
-SELECT * FROM defaults
-QUALIFY RANK() OVER (PARTITION BY client_id ORDER BY creative_token ASC) = 1
-"""
+),
+uc_final AS (
+  SELECT * FROM defaults
+  QUALIFY RANK() OVER (PARTITION BY client_id ORDER BY creative_token ASC) = 1
+)"""
+
+
+def _user_channels_oracle() -> str:
+    return f"WITH {_user_channels_cte()}\nSELECT * FROM uc_final"
 
 
 @query(
@@ -378,4 +390,838 @@ def mango_revenue_google_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("volume") * F.col("rps"), 6).alias("payout"),
         F.lit("USD").alias("currency"),
         F.col("entrypoint").alias("fx_defined1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Occurrence chain — cohorts → occurrence grid → active users / retention.
+# ---------------------------------------------------------------------------
+
+_OCCURRENCE_CTE_TEMPLATE = """
+days AS (
+  SELECT DISTINCT client_id, os, country, feature_type, feature_name,
+         submission_date
+  FROM fanned
+  WHERE feature_name NOT IN ('Others', 'feature: others')
+), cohort AS (
+  SELECT client_id, os, country, feature_type, feature_name,
+         MIN(submission_date) AS cohort_date
+  FROM days GROUP BY 1, 2, 3, 4, 5
+), occ AS (
+  SELECT 'feature' AS measure_type,
+         d.feature_type AS cohort_level,
+         d.feature_name AS cohort_name,
+         d.os, d.country, d.client_id, c.cohort_date,
+         d.submission_date AS occur_date,
+         datediff('day', c.cohort_date, d.submission_date) AS occur_day,
+         datediff('day', c.cohort_date, d.submission_date) // 7 AS occur_week,
+         datediff('day', c.cohort_date, d.submission_date) // 28 AS occur_month
+  FROM days d
+  JOIN cohort c USING (client_id, os, country, feature_type, feature_name)
+), couo AS (
+  SELECT o.os, o.country,
+         'channel' AS measure_type,
+         'Network' AS cohort_level,
+         -- unmatched non-NULL tracker tokens drop out of attribution
+         -- (reference semantics); coalesce ONLY at this snapshot
+         -- presentation layer so the row-hash comparator can sort
+         COALESCE(uc.network_name, '(unattributed)') AS cohort_name,
+         o.client_id, o.cohort_date, o.occur_date,
+         o.occur_day, o.occur_week, o.occur_month
+  FROM occ o
+  LEFT JOIN uc_final uc ON o.client_id = uc.client_id
+  WHERE o.cohort_level = 'App'
+  UNION ALL
+  SELECT os, country, measure_type, cohort_level, cohort_name,
+         client_id, cohort_date, occur_date,
+         occur_day, occur_week, occur_month
+  FROM occ
+)"""
+
+
+def _occurrence_chain_cte() -> str:
+    return f"{_full_fm_cte()},\n{_user_channels_cte()},\n{_OCCURRENCE_CTE_TEMPLATE}"
+
+
+def _spark_couo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taipei_bi_etl_spark.plans.mango_dag import (
+        cohort_user_occurrence_from,
+        occurrence_from,
+        tracker_settings,
+        user_channels_from,
+    )
+    from taipei_bi_etl_spark.plans.telemetry_pipeline import (
+        channel_mapping_table,
+        synthesize_full_pings,
+    )
+
+    fm = _spark_fm(spark, sf_dir)
+    ufo = occurrence_from(fm)
+    pings = synthesize_full_pings(spark, sf_dir).withColumn(
+        "day", F.col("submission_date")
+    )
+    uc = user_channels_from(
+        tracker_settings(pings, AS_OF, lo_date="1970-01-01"),
+        channel_mapping_table(spark),
+    )
+    return cohort_user_occurrence_from(ufo, uc).withColumn(
+        "cohort_name", F.coalesce("cohort_name", F.lit("(unattributed)"))
+    )
+
+
+_ACTIVE_USER_ORACLE = f"""
+WITH {_occurrence_chain_cte()},
+win AS (
+  SELECT *,
+         CASE WHEN occur_day = 0 THEN client_id END AS new_client_id
+  FROM couo
+  WHERE occur_date >= DATE '{AS_OF}' - 27 AND occur_date <= DATE '{AS_OF}'
+),
+dau AS (
+  SELECT os, country, measure_type, cohort_level, cohort_name, occur_date,
+         CAST(COUNT(DISTINCT new_client_id) AS BIGINT) AS new_dau,
+         CAST(COUNT(DISTINCT client_id) AS BIGINT) AS dau
+  FROM win WHERE occur_date = DATE '{AS_OF}'
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+wau AS (
+  SELECT os, country, measure_type, cohort_level, cohort_name,
+         CAST(COUNT(DISTINCT new_client_id) AS BIGINT) AS new_wau,
+         CAST(COUNT(DISTINCT client_id) AS BIGINT) AS wau
+  FROM win WHERE occur_date >= DATE '{AS_OF}' - 6
+  GROUP BY 1, 2, 3, 4, 5
+),
+mau AS (
+  SELECT os, country, measure_type, cohort_level, cohort_name,
+         CAST(COUNT(DISTINCT new_client_id) AS BIGINT) AS new_mau,
+         CAST(COUNT(DISTINCT client_id) AS BIGINT) AS mau
+  FROM win
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT dau.os, dau.country, dau.measure_type, dau.cohort_level,
+       dau.cohort_name, dau.occur_date, dau.new_dau, dau.dau,
+       COALESCE(wau.new_wau, -1) AS new_wau,
+       COALESCE(wau.wau, -1) AS wau,
+       COALESCE(mau.new_mau, -1) AS new_mau,
+       COALESCE(mau.mau, -1) AS mau
+FROM dau
+LEFT JOIN wau USING (os, country, measure_type, cohort_level, cohort_name)
+LEFT JOIN mau USING (os, country, measure_type, cohort_level, cohort_name)
+"""
+
+
+@query(
+    "mango_active_user_snapshot",
+    oracle=_ACTIVE_USER_ORACLE,
+    tags=("mango", "A3", "A14", "J5"),
+)
+def mango_active_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mango_active_user_count (sql/mango_active_user_count.sql:1-105)
+    as a snapshot: the full occurrence chain (feature-mapping surface →
+    full-history cohorts → distinct occurrence grid → channel ∪ feature
+    measures) rolled into per-cohort DAU with rolling WAU / MAU and the
+    new_* (occur_day=0) variants.
+
+    Scale: the occurrence grid is the one corpus-sized shuffle (distinct
+    on the composite key); dau/wau/mau reuse its partitioning, and the
+    three COUNT DISTINCT frames join on bounded cohort keys."""
+    from taipei_bi_etl_spark.plans.mango_dag import active_user_count_from
+
+    couo = _spark_couo(spark, sf_dir)
+    au = active_user_count_from(couo, AS_OF).drop("day")
+    # -1 sentinels for the NULL-key join misses (NULL cells make the
+    # result unsortable for row-hash comparators; both sides identical)
+    return au.select(
+        "os", "country", "measure_type", "cohort_level", "cohort_name",
+        "occur_date",
+        *[
+            F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+            for c in ("new_dau", "dau", "new_wau", "wau", "new_mau", "mau")
+        ],
+    )
+
+
+def _retained_cols_sql() -> str:
+    parts = [
+        "CAST(COUNT(DISTINCT CASE WHEN occur_day = 0 THEN client_id END)"
+        " AS BIGINT) AS daily_cohort_size"
+    ]
+    parts += [
+        f"CAST(COUNT(DISTINCT CASE WHEN occur_day = {n} THEN client_id END)"
+        f" AS BIGINT) AS d{n}_retained_users"
+        for n in (1, 3, 7, 14, 28, 56, 84)
+    ]
+    parts.append(
+        "CAST(COUNT(DISTINCT CASE WHEN occur_week = 0 THEN client_id END)"
+        " AS BIGINT) AS weekly_cohort_size"
+    )
+    parts += [
+        f"CAST(COUNT(DISTINCT CASE WHEN occur_week = {n} THEN client_id END)"
+        f" AS BIGINT) AS w{n}_retained_users"
+        for n in (1, 2, 3, 4, 8, 12)
+    ]
+    parts.append(
+        "CAST(COUNT(DISTINCT CASE WHEN occur_month = 0 THEN client_id END)"
+        " AS BIGINT) AS monthly_cohort_size"
+    )
+    parts += [
+        f"CAST(COUNT(DISTINCT CASE WHEN occur_month = {n} THEN client_id END)"
+        f" AS BIGINT) AS m{n}_retained_users"
+        for n in (1, 2, 3)
+    ]
+    return ",\n       ".join(parts)
+
+
+_RETAINED_ORACLE = f"""
+WITH {_occurrence_chain_cte()}
+SELECT os, country, measure_type, cohort_level, cohort_name, cohort_date,
+       DATE '{AS_OF}' AS execution_date,
+       {_retained_cols_sql()}
+FROM couo
+WHERE cohort_date <= DATE '{AS_OF}'
+  AND cohort_date >= DATE '{AS_OF}' - 112
+  AND occur_date <= DATE '{AS_OF}'
+  AND occur_date >= DATE '{AS_OF}' - 112
+  AND occur_day BETWEEN 0 AND 112
+GROUP BY os, country, measure_type, cohort_level, cohort_name, cohort_date
+"""
+
+
+@query(
+    "mango_retained_users_snapshot",
+    oracle=_RETAINED_ORACLE,
+    tags=("mango", "A5", "flagship"),
+)
+def mango_retained_users_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mango_cohort_retained_users
+    (sql/mango_cohort_retained_users.sql:1-36) at FULL reference grain
+    over the real pipeline chain: the 22-aggregate day/week/month pivot
+    per (os, country, measure, cohort_level, cohort_name, cohort_date),
+    channel AND feature measures, 112-day rolling window — the
+    centerpiece table of the reference, hash-checked end to end from
+    the raw event stream through attribution, cohorts and occurrence.
+
+    Scale: same Expand consideration as `cohort_retention_full` — here
+    the faithful COUNT(DISTINCT CASE) form is kept because the grain
+    (cohort keys × dates) bounds each group; the Expand-free rewrite in
+    queries/retention.py is the high-cardinality alternative."""
+    from taipei_bi_etl_spark.plans.mango_dag import retained_pivot_from
+
+    couo = _spark_couo(spark, sf_dir)
+    r = retained_pivot_from(couo, AS_OF, lo_filter=True).drop("day")
+    counts = [c for c in r.columns if "retained" in c or "cohort_size" in c]
+    return r.select(
+        "os", "country", "measure_type", "cohort_level", "cohort_name",
+        "cohort_date", "execution_date",
+        *[F.col(c).cast("long").alias(c) for c in counts],
+    )
+
+
+# ---------------------------------------------------------------------------
+# mango_user_rfe_daily_session — the 3-branch session union.
+# ---------------------------------------------------------------------------
+
+
+def _core_cte() -> str:
+    """Closed-form mango_core (Zerda rows only, as the core task
+    materializes them)."""
+    from taipei_bi_etl_spark.plans import telemetry_pipeline as tp
+
+    return f"""
+core AS (
+  SELECT user_id AS client_id,
+         CAST(ts AS DATE) AS submission_date,
+         CASE WHEN event_id % 29 = 0 THEN '??'
+              ELSE ({_lst(tp._COUNTRIES)})[(user_id % {len(tp._COUNTRIES)}) + 1]
+         END AS geo_country,
+         ({_lst(tp._ENTRYPOINTS)})[(event_id % {len(tp._ENTRYPOINTS)}) + 1]
+           AS entrypoint,
+         CASE WHEN event_id % 97 = 0 THEN 20000
+              ELSE (event_id * 13) % 50 + 1 END AS volume
+  FROM events
+  WHERE event_id % 41 <> 0  -- app_name = 'Zerda'
+)"""
+
+
+def _session_likes_sql() -> str:
+    from taipei_bi_etl_spark.plans.mango_dag import _SESSION_LIKES
+
+    return " OR ".join(
+        "feature_name LIKE '" + pat.replace("\\", "") + "'"
+        for pat in _SESSION_LIKES
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH {_full_fm_cte()},
+{_core_cte()},
+fm AS (
+  SELECT * FROM fanned
+  WHERE feature_name NOT IN ('Others', 'feature: others')
+),
+fse AS (
+  SELECT client_id, country, submission_date, event_timestamp,
+         event_vertical, feature_type, feature_name, session_time,
+         url_counts, app_link_install, app_link_open, show_keyboard
+  FROM fm
+  GROUP BY ALL
+),
+feature_session AS (
+  SELECT client_id, country, submission_date, event_vertical,
+         feature_type, feature_name,
+         SUM(session_time) AS session_time,
+         SUM(url_counts) AS url_counts,
+         SUM(app_link_install) AS app_link_install,
+         SUM(app_link_open) AS app_link_open,
+         SUM(show_keyboard) AS show_keyboard
+  FROM fse
+  WHERE feature_type = 'Feature' AND ({_session_likes_sql()})
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+vse AS (
+  SELECT client_id, country, submission_date, event_vertical,
+         feature_type, feature_name, event_method,
+         event_timestamp AS start_ms
+  FROM fm
+  WHERE event_method IN ('start', 'end') AND event_object = 'process'
+    AND feature_type = 'Vertical'
+),
+vlead AS (
+  SELECT *,
+         LEAD(start_ms) OVER (
+           PARTITION BY client_id, event_vertical, country, submission_date
+           ORDER BY start_ms, event_method, feature_name
+         ) AS end_ms
+  FROM vse
+),
+vst AS (
+  SELECT client_id, country, submission_date, event_vertical,
+         feature_type, feature_name,
+         SUM(CASE WHEN end_ms - start_ms > {30 * 60 * 1000} THEN 0
+                  ELSE end_ms - start_ms END) AS session_time
+  FROM vlead WHERE event_method = 'start'
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+bs AS (
+  SELECT client_id, geo_country AS country, submission_date,
+         'all' AS event_vertical, SUM(volume) AS search_counts
+  FROM core WHERE volume < 10000
+  GROUP BY 1, 2, 3, 4
+),
+vso AS (
+  SELECT client_id, country, submission_date, event_vertical,
+         SUM(url_counts) AS o_url_counts,
+         SUM(app_link_install) AS o_app_link_install,
+         SUM(app_link_open) AS o_app_link_open,
+         SUM(show_keyboard) AS o_show_keyboard
+  FROM feature_session
+  GROUP BY 1, 2, 3, 4
+),
+vertical_session AS (
+  SELECT t.client_id, t.country, t.submission_date, t.event_vertical,
+         t.feature_type, t.feature_name, t.session_time,
+         CASE WHEN t.feature_type = 'Vertical' AND t.event_vertical = 'all'
+              THEN b.search_counts ELSE o.o_url_counts END AS url_counts,
+         o.o_app_link_install AS app_link_install,
+         o.o_app_link_open AS app_link_open,
+         o.o_show_keyboard AS show_keyboard
+  FROM vst t
+  LEFT JOIN vso o USING (client_id, country, submission_date, event_vertical)
+  LEFT JOIN bs b USING (client_id, country, submission_date, event_vertical)
+),
+app_session AS (
+  SELECT client_id, country, submission_date,
+         'all' AS event_vertical, 'App' AS feature_type,
+         'App' AS feature_name,
+         SUM(session_time) AS session_time,
+         SUM(url_counts) AS url_counts,
+         SUM(app_link_install) AS app_link_install,
+         SUM(app_link_open) AS app_link_open,
+         SUM(show_keyboard) AS show_keyboard
+  FROM vertical_session
+  GROUP BY 1, 2, 3
+),
+sess AS (
+  SELECT * FROM feature_session
+  UNION ALL SELECT * FROM vertical_session
+  UNION ALL SELECT * FROM app_session
+)
+SELECT submission_date, event_vertical, feature_type, feature_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT client_id) AS BIGINT) AS n_clients,
+       CAST(COALESCE(SUM(session_time), -1) AS BIGINT) AS sum_session_time,
+       CAST(COALESCE(SUM(url_counts), -1) AS BIGINT) AS sum_url_counts,
+       CAST(COALESCE(SUM(app_link_install), -1) AS BIGINT)
+         AS sum_app_link_install,
+       CAST(COALESCE(SUM(app_link_open), -1) AS BIGINT) AS sum_app_link_open,
+       CAST(COALESCE(SUM(show_keyboard), -1) AS BIGINT) AS sum_show_keyboard
+FROM sess
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@query(
+    "mango_rfe_session_rollup",
+    oracle=_SESSION_ORACLE,
+    tags=("mango", "W2", "W3", "A7", "P5", "J7"),
+)
+def mango_rfe_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mango_user_rfe_daily_session
+    (sql/mango_user_rfe_daily_session.sql:1-213) over every day in one
+    pass: exact-row dedup (A7), the LIKE-set feature filter (P5),
+    LEAD-sessionization of start/end process events with the 30-minute
+    cap (W2/W3), browser search counts from the core stream (J7+P9),
+    and the Vertical→App rollup union — rolled up per (day, vertical,
+    feature) for the hash check.
+
+    Multi-day in one pass is exactly the reference's day-at-a-time
+    materialization because the session window partitions by
+    submission_date; the (start_ms, event_method, feature_name)
+    tie-break pins a total order so LEAD is engine-deterministic over
+    the fan-out duplicates.
+
+    Scale: one window shuffle on (client, vertical, country, day), one
+    hash aggregate per branch — each keyed, none corpus×corpus."""
+    from taipei_bi_etl_spark.plans.mango_dag import rfe_daily_session_from
+    from taipei_bi_etl_spark.plans.telemetry_pipeline import (
+        synthesize_core_pings,
+    )
+
+    fm = _spark_fm(spark, sf_dir)
+    core = (
+        synthesize_core_pings(spark, sf_dir)
+        .filter(F.col("app_name") == "Zerda")
+        .withColumn("day", F.col("submission_date"))
+    )
+    sess = rfe_daily_session_from(fm, core, None).drop("day")
+    return sess.groupBy(
+        "submission_date", "event_vertical", "feature_type", "feature_name"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("client_id").alias("n_clients"),
+        *[
+            F.coalesce(F.sum(c), F.lit(-1))
+            .cast("long")
+            .alias(f"sum_{c}")
+            for c in (
+                "session_time", "url_counts", "app_link_install",
+                "app_link_open", "show_keyboard",
+            )
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# mango_user_rfe_28d — the 28-day RFE profile join chain.
+# ---------------------------------------------------------------------------
+
+_RFE28_RATIOS = (
+    "stickiness", "value_event_count", "session_time", "url_counts",
+    "app_link_install", "app_link_open", "show_keyboard",
+)
+
+
+def _session_cte_body() -> str:
+    """The session branches (fm → sess) minus the fanned/core CTEs —
+    shared between the session rollup and the 28d profile oracles."""
+    head = _SESSION_ORACLE.split("fm AS (", 1)[1]
+    body = head.split("\nSELECT submission_date, event_vertical", 1)[0]
+    return "fm AS (" + body
+
+
+def _rfe28_cte() -> str:
+    return f"""{_full_fm_cte()},
+{_core_cte()},
+{_user_channels_cte()},
+{_session_cte_body()},
+active_days AS (
+  SELECT user_id AS client_id,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+  FROM events
+  WHERE CAST(ts AS DATE) >= DATE '{AS_OF}' - 27
+    AND CAST(ts AS DATE) <= DATE '{AS_OF}'
+  GROUP BY 1
+),
+fcd AS (
+  SELECT client_id, os, country, feature_type, feature_name,
+         MIN(submission_date) AS cohort_date
+  FROM fm
+  GROUP BY 1, 2, 3, 4, 5
+),
+app_cohort AS (
+  SELECT DISTINCT client_id, country, cohort_date AS profile_date
+  FROM fcd WHERE feature_type = 'App'
+),
+partial_daily AS (
+  SELECT p.client_id, p.os, p.country, c.profile_date,
+         datediff('day', c.profile_date, p.submission_date) AS age,
+         p.submission_date, p.feature_type, p.feature_name,
+         p.value_event_count
+  FROM (
+    SELECT client_id, os, country, submission_date, feature_type,
+           feature_name,
+           COUNT(DISTINCT CAST(submission_date AS VARCHAR)
+                 || CAST(event_timestamp AS VARCHAR)) AS value_event_count
+    FROM fm
+    GROUP BY 1, 2, 3, 4, 5, 6
+  ) p
+  LEFT JOIN app_cohort c USING (client_id, country)
+),
+partial28 AS (
+  SELECT client_id, os, country, profile_date,
+         datediff('day', profile_date, DATE '{AS_OF}') AS age,
+         feature_type, feature_name,
+         datediff('day', MAX(submission_date), DATE '{AS_OF}') AS recency,
+         CAST(COUNT(DISTINCT submission_date) AS BIGINT) AS frequency_days,
+         CAST(SUM(value_event_count) AS BIGINT) AS value_event_count
+  FROM partial_daily
+  WHERE submission_date > DATE '{AS_OF}' - 28
+    AND submission_date <= DATE '{AS_OF}'
+  GROUP BY 1, 2, 3, 4, 6, 7
+),
+session28 AS (
+  SELECT client_id, country, event_vertical, feature_type, feature_name,
+         SUM(session_time) AS s_session_time,
+         SUM(url_counts) AS s_url_counts,
+         SUM(app_link_install) AS s_app_link_install,
+         SUM(app_link_open) AS s_app_link_open,
+         SUM(show_keyboard) AS s_show_keyboard
+  FROM sess
+  WHERE submission_date > DATE '{AS_OF}' - 28
+    AND submission_date <= DATE '{AS_OF}'
+  GROUP BY 1, 2, 3, 4, 5
+),
+rfe28 AS (
+  SELECT p.client_id,
+         uc.network_name,
+         p.os, p.country, p.profile_date, p.age,
+         ad.active_days,
+         p.feature_type, p.feature_name,
+         CASE WHEN p.age >= 7 THEN p.recency END AS recency,
+         CASE WHEN p.age >= 7 THEN
+           CAST(p.frequency_days AS DOUBLE) / NULLIF(ad.active_days, 0)
+         END AS stickiness,
+         p.frequency_days,
+         CAST(p.value_event_count AS DOUBLE) / NULLIF(p.frequency_days, 0)
+           AS value_event_count,
+         CAST(s.s_session_time AS DOUBLE) / NULLIF(p.frequency_days, 0)
+           AS session_time,
+         CAST(s.s_url_counts AS DOUBLE) / NULLIF(p.frequency_days, 0)
+           AS url_counts,
+         CAST(s.s_app_link_install AS DOUBLE) / NULLIF(p.frequency_days, 0)
+           AS app_link_install,
+         CAST(s.s_app_link_open AS DOUBLE) / NULLIF(p.frequency_days, 0)
+           AS app_link_open,
+         CAST(s.s_show_keyboard AS DOUBLE) / NULLIF(p.frequency_days, 0)
+           AS show_keyboard,
+         DATE '{AS_OF}' AS execution_date
+  FROM partial28 p
+  LEFT JOIN active_days ad USING (client_id)
+  LEFT JOIN session28 s
+    USING (client_id, feature_type, feature_name, country)
+  LEFT JOIN uc_final uc USING (client_id)
+)"""
+
+
+_RFE28_ORACLE = f"""
+WITH {_rfe28_cte()}
+SELECT client_id,
+       COALESCE(network_name, '(unattributed)') AS network_name,
+       os, country,
+       COALESCE(profile_date, DATE '1900-01-01') AS profile_date,
+       CAST(COALESCE(age, -1) AS INT) AS age,
+       COALESCE(active_days, -1) AS active_days,
+       feature_type, feature_name,
+       CAST(COALESCE(recency, -1) AS INT) AS recency,
+       COALESCE(ROUND(stickiness, 6), -1.0) AS stickiness,
+       frequency_days,
+       COALESCE(ROUND(value_event_count, 6), -1.0) AS value_event_count,
+       COALESCE(ROUND(session_time, 6), -1.0) AS session_time,
+       COALESCE(ROUND(url_counts, 6), -1.0) AS url_counts,
+       COALESCE(ROUND(app_link_install, 6), -1.0) AS app_link_install,
+       COALESCE(ROUND(app_link_open, 6), -1.0) AS app_link_open,
+       COALESCE(ROUND(show_keyboard, 6), -1.0) AS show_keyboard,
+       execution_date
+FROM rfe28
+"""
+
+
+def _spark_rfe28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taipei_bi_etl_spark.plans.mango_dag import (
+        rfe_28d_from,
+        rfe_daily_partial_from,
+        rfe_daily_session_from,
+        tracker_settings,
+        user_channels_from,
+    )
+    from taipei_bi_etl_spark.plans.telemetry_pipeline import (
+        channel_mapping_table,
+        synthesize_core_pings,
+        synthesize_full_pings,
+    )
+
+    fm = _spark_fm(spark, sf_dir)
+    fcd = (
+        fm.filter(
+            ~F.col("feature_name").isin("Others", "feature: others")
+            & F.col("country").isNotNull()
+            & F.col("os").isNotNull()
+        )
+        .groupBy(
+            F.lit("feature").alias("measure_type"),
+            F.col("feature_type").alias("cohort_level"),
+            F.col("feature_name").alias("cohort_name"),
+            "os", "country", "client_id",
+        )
+        .agg(F.min("submission_date").alias("cohort_date"))
+    )
+    partial = rfe_daily_partial_from(fm, fcd)
+    core = (
+        synthesize_core_pings(spark, sf_dir)
+        .filter(F.col("app_name") == "Zerda")
+        .withColumn("day", F.col("submission_date"))
+    )
+    session = rfe_daily_session_from(fm, core, None)
+    pings = synthesize_full_pings(spark, sf_dir).withColumn(
+        "day", F.col("submission_date")
+    )
+    uc = user_channels_from(
+        tracker_settings(pings, AS_OF, lo_date="1970-01-01"),
+        channel_mapping_table(spark),
+    )
+    return rfe_28d_from(pings, partial, session, uc, AS_OF)
+
+
+@query(
+    "mango_rfe_28d_snapshot",
+    oracle=_RFE28_ORACLE,
+    tags=("mango", "J4", "A3", "A4", "F2"),
+)
+def mango_rfe_28d_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mango_user_rfe_28d (sql/mango_user_rfe_28d.sql:1-117) end to
+    end: the 28-day RFE profile — active_days ∥ daily-partial rollup ∥
+    session rollup assembled with the J4 left-join chain, attribution
+    channel name, the age≥7 recency/stickiness gates, and the
+    per-use-day ratios — hash-checked from the raw event stream
+    through every upstream node (feature mapping, cohorts, session
+    union, attribution).
+
+    Scale: four frames, each keyed on client_id (plus the feature key
+    where applicable); the joins reuse one hash partitioning and the
+    dims broadcast.  Ratios ROUND to 6 for the cross-engine hash; the
+    DAG table keeps raw doubles."""
+    # NULL-free presentation: every nullable cell gets a typed sentinel
+    # (identical on the oracle side) so any row-sorting comparator can
+    # canonicalize the result — mixed None/value columns are unsortable
+    rfe = _spark_rfe28(spark, sf_dir).drop("day")
+    keep = [
+        "client_id",
+        F.coalesce("network_name", F.lit("(unattributed)")).alias(
+            "network_name"
+        ),
+        "os", "country",
+        F.coalesce(
+            "profile_date", F.lit("1900-01-01").cast("date")
+        ).alias("profile_date"),
+        F.coalesce(F.col("age"), F.lit(-1)).cast("int").alias("age"),
+        F.coalesce("active_days", F.lit(-1).cast("long")).alias(
+            "active_days"
+        ),
+        "feature_type", "feature_name",
+        F.coalesce(F.col("recency"), F.lit(-1)).cast("int").alias("recency"),
+        F.coalesce(F.round("stickiness", 6), F.lit(-1.0)).alias("stickiness"),
+        "frequency_days",
+    ]
+    keep += [
+        F.coalesce(F.round(c, 6), F.lit(-1.0)).alias(c)
+        for c in _RFE28_RATIOS
+        if c != "stickiness"
+    ]
+    keep += ["execution_date"]
+    return rfe.select(*keep)
+
+
+# ---------------------------------------------------------------------------
+# mango_feature_roi — the terminal table: percentile pack ⟕ retention
+# ratios ⟕ active-user averages, i.e. the ENTIRE pipeline in one oracle.
+# ---------------------------------------------------------------------------
+
+
+def _roi_oracle() -> str:
+    from taipei_bi_etl_spark.plans.mango_dag import _RFE_METRICS
+
+    pct_cols = ",\n         ".join(
+        f"quantile_cont({m}, {p}) AS {m}_{tag}"
+        for m in _RFE_METRICS
+        for p, tag in ((0.25, "25p"), (0.5, "50p"), (0.75, "75p"))
+    )
+    rr_specs = (
+        [(f"d{n}_retained_users", f"d{n}_retention", "daily_cohort_size")
+         for n in (1, 3, 7, 14, 28, 56, 84)]
+        + [(f"w{n}_retained_users", f"w{n}_retention", "weekly_cohort_size")
+           for n in (1, 2, 4, 8, 12)]
+        + [(f"m{n}_retained_users", f"m{n}_retention", "monthly_cohort_size")
+           for n in (1, 2, 3)]
+    )
+    rr_cols = ",\n         ".join(
+        f"CAST(SUM({num}) AS DOUBLE) / NULLIF(SUM({den}), 0) AS {out}"
+        for num, out, den in rr_specs
+    )
+    out_pct = ",\n       ".join(
+        f"COALESCE(ROUND({m}_{tag}, 6), -1.0) AS {m}_{tag}"
+        for m in _RFE_METRICS
+        for tag in ("25p", "50p", "75p")
+    )
+    out_rr = ",\n       ".join(
+        f"COALESCE(ROUND({out}, 6), -1.0) AS {out}" for _, out, _d in rr_specs
+    )
+    out_au = ",\n       ".join(
+        f"COALESCE(ROUND({c}, 6), -1.0) AS {c}"
+        for c in ("new_aDAU", "aDAU", "new_aWAU", "aWAU", "new_aMAU", "aMAU")
+    )
+    return f"""
+WITH {_rfe28_cte()},
+{_OCCURRENCE_CTE_TEMPLATE.split("days AS (", 1)[0]}days AS (
+{_OCCURRENCE_CTE_TEMPLATE.split("days AS (", 1)[1]},
+retained AS (
+  SELECT os, country, measure_type, cohort_level, cohort_name, cohort_date,
+         {_retained_cols_sql()}
+  FROM couo
+  WHERE cohort_date <= DATE '{AS_OF}'
+    AND cohort_date >= DATE '{AS_OF}' - 112
+    AND occur_date <= DATE '{AS_OF}'
+    AND occur_date >= DATE '{AS_OF}' - 112
+    AND occur_day BETWEEN 0 AND 112
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+auwin AS (
+  SELECT *,
+         CASE WHEN occur_day = 0 THEN client_id END AS new_client_id
+  FROM couo
+  WHERE occur_date > DATE '{AS_OF}' - 28 AND occur_date <= DATE '{AS_OF}'
+),
+au AS (
+  SELECT os, country, measure_type, cohort_level, cohort_name, occur_date,
+         COUNT(DISTINCT new_client_id) AS new_dau,
+         COUNT(DISTINCT client_id) AS dau,
+         0 AS new_wau, 0 AS wau, 0 AS new_mau, 0 AS mau
+  FROM auwin
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+rfe_pct AS (
+  SELECT os, country, feature_type AS cohort_level,
+         feature_name AS cohort_name,
+         {pct_cols}
+  FROM rfe28
+  GROUP BY 1, 2, 3, 4
+),
+rr AS (
+  SELECT os, country, cohort_level, cohort_name,
+         {rr_cols}
+  FROM retained
+  WHERE measure_type = 'feature'
+    AND cohort_date > DATE '{AS_OF}' - 28 AND cohort_date <= DATE '{AS_OF}'
+  GROUP BY 1, 2, 3, 4
+),
+au_avg AS (
+  SELECT os, country, cohort_level, cohort_name,
+         AVG(new_dau) AS "new_aDAU", AVG(dau) AS "aDAU",
+         AVG(new_wau) AS "new_aWAU", AVG(wau) AS "aWAU",
+         AVG(new_mau) AS "new_aMAU", AVG(mau) AS "aMAU"
+  FROM au
+  WHERE measure_type = 'feature'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT p.os, p.country, p.cohort_level, p.cohort_name,
+       {out_pct},
+       {out_rr},
+       {out_au},
+       DATE '{AS_OF}' AS execution_date
+FROM rfe_pct p
+LEFT JOIN rr USING (os, country, cohort_level, cohort_name)
+LEFT JOIN au_avg USING (os, country, cohort_level, cohort_name)
+"""
+
+
+@query(
+    "mango_feature_roi_snapshot",
+    oracle=_roi_oracle(),
+    tags=("mango", "W4", "A10", "J4", "flagship"),
+)
+def mango_feature_roi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mango_feature_roi (sql/mango_feature_roi.sql:1-217) — the
+    TERMINAL table of the reference pipeline, hash-checked from raw
+    events through every node it transitively consumes: feature
+    mapping, attribution, cohorts, occurrence, the 22-agg retention
+    pivot, active-user counts, the 28-day RFE profile, and finally the
+    30-percentile pack (the W4 group-by rewrite of the reference's
+    PERCENTILE_CONT-over-window + SELECT DISTINCT), sum-of-sums
+    retention ratios (A10), and active-user averages, joined per
+    cohort (J4).
+
+    One caveat kept faithful: the reference's ROI reads
+    active_user_count rows materialized DAILY (each with rolling
+    wau/mau); the snapshot derives the dau column the same way but
+    pins wau/mau averages to 0 on both sides — the daily-materialized
+    history needed for a true avg-of-rolling-windows exists only in
+    the DAG warehouse (covered by tests/test_mango_full_dag.py).
+
+    All float outputs ROUND 6 with -1.0 NULL sentinels, so the row
+    hash is stable for any comparator."""
+    from taipei_bi_etl_spark.plans.mango_dag import (
+        _RFE_METRICS,
+        retained_pivot_from,
+        roi_from,
+    )
+
+    couo = _spark_couo(spark, sf_dir)
+    rfe28 = _spark_rfe28(spark, sf_dir)
+    retained = retained_pivot_from(couo, AS_OF, lo_filter=True)
+    # snapshot AU: per-day dau over the 28d window; wau/mau pinned 0
+    # (see docstring)
+    as_of = F.lit(AS_OF).cast("date")
+    auwin = couo.filter(
+        (F.col("occur_date") > F.date_sub(as_of, 28))
+        & (F.col("occur_date") <= as_of)
+    ).select(
+        "os", "country", "measure_type", "cohort_level", "cohort_name",
+        "client_id",
+        F.when(F.col("occur_day") == 0, F.col("client_id")).alias(
+            "new_client_id"
+        ),
+        "occur_date",
+    )
+    au = auwin.groupBy(
+        "os", "country", "measure_type", "cohort_level", "cohort_name",
+        "occur_date",
+    ).agg(
+        F.countDistinct("new_client_id").alias("new_dau"),
+        F.countDistinct("client_id").alias("dau"),
+        F.lit(0).alias("new_wau"),
+        F.lit(0).alias("wau"),
+        F.lit(0).alias("new_mau"),
+        F.lit(0).alias("mau"),
+    )
+    roi = roi_from(rfe28, retained, au, AS_OF, "feature").drop("day")
+    keys = ["os", "country", "cohort_level", "cohort_name"]
+    float_cols = [
+        f"{m}_{tag}"
+        for m in _RFE_METRICS
+        for tag in ("25p", "50p", "75p")
+    ]
+    float_cols += [
+        f"d{n}_retention" for n in (1, 3, 7, 14, 28, 56, 84)
+    ] + [f"w{n}_retention" for n in (1, 2, 4, 8, 12)] + [
+        f"m{n}_retention" for n in (1, 2, 3)
+    ]
+    float_cols += [
+        "new_aDAU", "aDAU", "new_aWAU", "aWAU", "new_aMAU", "aMAU"
+    ]
+    return roi.select(
+        *keys,
+        *[
+            F.coalesce(F.round(F.col(c), 6), F.lit(-1.0)).alias(c)
+            for c in float_cols
+        ],
+        "execution_date",
     )
