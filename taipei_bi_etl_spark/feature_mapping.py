@@ -524,3 +524,59 @@ def feature_mapping_sql(
         )
     )
     return {name: fn(_SqlBackend, *cols) for name, fn in _VERTICALS}
+
+
+# ---------------------------------------------------------------------------
+# Rule introspection — the mechanical completeness audit (VERDICT r01 #6).
+# ---------------------------------------------------------------------------
+
+
+def _normalize_item(item) -> str:
+    """Render a rule item as the JS-side push template: literal strings
+    stay literal; ``cat`` results become 'prefix{col}suffix' with every
+    column reference braced."""
+    if isinstance(item, str):
+        return item
+    s = item.s  # _SqlExpr from B.cat
+    if s.startswith("(") and s.endswith(")"):
+        s = s[1:-1]
+    out = []
+    for part in s.split(" || "):
+        part = part.strip()
+        if part.startswith("'") and part.endswith("'"):
+            out.append(part[1:-1].replace("''", "'"))
+        else:
+            out.append("{" + part + "}")
+    return "".join(out)
+
+
+def rule_inventory() -> list[tuple[str, int, tuple[str, ...]]]:
+    """(vertical, rule_index, normalized item templates) for every
+    ``B.rule`` call — compiled through a recording subclass of the SQL
+    backend, so the inventory reflects EXACTLY what the production
+    compile emits (no third transcription to drift)."""
+    acc: list[tuple[str, int, tuple[str, ...]]] = []
+
+    class _Rec(_SqlBackend):
+        current: list = []
+
+        @staticmethod
+        def rule(cond, *items):
+            _Rec.current.append(tuple(_normalize_item(i) for i in items))
+            return _SqlBackend.rule(cond, *items)
+
+    cols = tuple(
+        _SqlCol(x)
+        for x in (
+            "event_method", "event_object", "event_value",
+            "extra_key", "extra_value", "event_vertical",
+            "settings_search_engine",
+        )
+    )
+    for name, fn in _VERTICALS:
+        _Rec.current = []
+        fn(_Rec, *cols)
+        acc.extend(
+            (name, i, items) for i, items in enumerate(_Rec.current)
+        )
+    return acc
