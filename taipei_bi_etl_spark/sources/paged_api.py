@@ -31,9 +31,26 @@ from pyspark.sql.types import StructType
 #: module-level callable works; closures do not.
 
 
-def resolve_fetcher(ref: str) -> Callable[[int | str], list[dict]]:
+def resolve_fetcher(ref: str) -> Callable[..., list[dict]]:
     mod, _, fn = ref.partition(":")
     return getattr(importlib.import_module(mod), fn)
+
+
+def call_fetcher(ref: str, value: int | str, options: dict) -> list[dict]:
+    """Invoke a fetcher, passing the source options through when its
+    signature takes them (the production HTTP fetcher needs the URL
+    template / parse config; simple synthetic fetchers take only the
+    partition value)."""
+    import inspect
+
+    fetcher = resolve_fetcher(ref)
+    try:
+        n_params = len(inspect.signature(fetcher).parameters)
+    except (TypeError, ValueError):
+        n_params = 1
+    if n_params >= 2:
+        return fetcher(value, dict(options))
+    return fetcher(value)
 
 
 def synthetic_rates_fetcher(value: int | str) -> list[dict]:
@@ -100,9 +117,10 @@ class PagedApiReader(DataSourceReader):
         interval = float(self._options.get("request_interval", 0))
         if interval:
             time.sleep(interval)
-        fetcher = resolve_fetcher(self._options["fetcher"])
         names = self._schema.fieldNames()
-        for row in fetcher(partition.value):
+        for row in call_fetcher(
+            self._options["fetcher"], partition.value, self._options
+        ):
             if names == ["value"] and "value" not in row:
                 yield (json.dumps(row, sort_keys=True),)
             else:
@@ -139,12 +157,11 @@ class PagedApiStreamReader(SimpleDataSourceStreamReader):
     def _fetch_range(self, lo: int, hi: int) -> list[tuple]:
         # a LIST, not a generator: the simple-reader machinery pickles
         # the prefetched batch into its block cache
-        fetcher = resolve_fetcher(self._options["fetcher"])
         names = self._schema.fieldNames()
         return [
             tuple(row.get(n) for n in names)
             for page in range(lo, hi)
-            for row in fetcher(page)
+            for row in call_fetcher(self._options["fetcher"], page, self._options)
         ]
 
     def read(self, start: dict):
