@@ -243,6 +243,9 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        .persist()  # three consumers: deg (×2 via union) + the ed join —
+        # unpersisted, the orders self-join + dedup re-executes for each
+        # (measured: over half the query's runtime at sf0.1)
     )
     deg = (
         edges.select(F.col("u").alias("n"))
@@ -250,8 +253,10 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # |V| rows of (node, degree): broadcast both sides of the degree
+    # enrichment so the edge list never shuffles for it
+    du = F.broadcast(deg.select(F.col("n").alias("u"), F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")))
     ed = edges.join(du, "u").join(dv, "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -262,21 +267,37 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     ).persist()
     oriented.count()  # materialize: three consumers below scan the cache
+    edges.unpersist()
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedge_ordered = (F.col("o1.ddst") < F.col("o2.ddst")) | (
         (F.col("o1.ddst") == F.col("o2.ddst"))
         & (F.col("o1.dst") < F.col("o2.dst"))
     )
+    # (b, c) packed into one long: the wedge stream is the big side
+    # (Σ C(outdeg, 2) rows), so its join key should be one 8-byte
+    # compare, not two
     wedges = o1.join(
         o2, (F.col("o1.src") == F.col("o2.src")) & wedge_ordered
-    ).select(F.col("o1.dst").alias("b"), F.col("o2.dst").alias("c"))
-    closer = oriented.select(
-        F.col("src").alias("b"), F.col("dst").alias("c")
+    ).select(
+        (
+            F.col("o1.dst").cast("long") * F.lit(1 << 32) + F.col("o2.dst")
+        ).alias("bc")
     )
+    closer = oriented.select(
+        (F.col("src").cast("long") * F.lit(1 << 32) + F.col("dst")).alias(
+            "bc"
+        )
+    )
+    # BROADCAST the closing-edge side: |E| longs (~10 MB at sf0.1, and
+    # still broadcastable far beyond) vs the 30×-larger wedge stream —
+    # without the hint Catalyst shuffles every wedge row; with it the
+    # wedge side never leaves its map task and the whole count is one
+    # scan over the cached oriented edges.  Beyond broadcast range,
+    # drop the hint: the same plan degrades to a shuffled hash join.
     # inner (not semi): every wedge is a distinct (a;b,c), so one match
     # per closing edge = one triangle
-    return wedges.join(closer, ["b", "c"], "inner").agg(
+    return wedges.join(F.broadcast(closer), ["bc"], "inner").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
 
