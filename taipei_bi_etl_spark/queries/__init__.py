@@ -93,4 +93,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     relational9,
     retention,
     mango_parity,
+    suffix,
 )
