@@ -50,6 +50,17 @@ HEADLINE = [
     "text_ngram_lm_score",
     "dedup_substring_profile",
     "streaming_sessionize",
+    # r02 additions: full-grain retention, the mango chain surface, the
+    # ExactSubstr spans, and the scale-default embedding dedup.  (The
+    # deeper mango snapshots — retained users, RFE 28d, ROI — stay out
+    # of the headline set: each re-derives the same feature-mapping
+    # chain the surface rollup times, so benching them re-measures the
+    # D4 cascade, not new plan shapes.)
+    "cohort_retention_full",
+    "mango_feature_surface_rollup",
+    "dedup_exact_substring_spans",
+    "dedup_embedding_lsh",
+    "cms_heavy_hitters",
 ]
 
 

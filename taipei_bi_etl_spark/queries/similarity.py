@@ -366,40 +366,41 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_norm(spark, sf_dir)
     sigs = corpus.select(
         "vec_id",
-        "emb",
-        "norm",
         F.array(
             *[signature(F.col("emb"), planes[t]) for t in range(LSH_TABLES)]
         ).alias("sigs"),
     )
+    # candidate generation on IDS ONLY: the bucket self-join fans out to
+    # Σ_buckets |bucket|² pairs, so each pair must be 16 bytes, never two
+    # embedded vectors — carrying the arrays through the join is a
+    # |pairs|×dim materialization (the OOM found at sf0.1)
     bucketed = sigs.select(
-        "vec_id",
-        "emb",
-        "norm",
-        F.posexplode("sigs").alias("table_id", "bucket"),
+        "vec_id", F.posexplode("sigs").alias("table_id", "bucket")
     )
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("ea"),
-        F.col("norm").alias("na"),
-        "table_id",
-        "bucket",
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("eb"),
-        F.col("norm").alias("nb"),
-        "table_id",
-        "bucket",
-    )
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])  # OR across tables
     )
+    # exact verify: join the deduplicated id pairs back to the
+    # (broadcast) corpus — vectors touch only surviving candidates
+    ca = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    cb = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
     sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
-        cand.withColumn("sim", sim)
+        cand.join(F.broadcast(ca), "vec_a")
+        .join(F.broadcast(cb), "vec_b")
+        .withColumn("sim", sim)
         .filter(F.col("sim") >= NEARDUP_SIM)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
     )
