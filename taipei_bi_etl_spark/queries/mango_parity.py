@@ -1225,3 +1225,91 @@ def mango_feature_roi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "execution_date",
     )
+
+
+def _channel_roi_oracle() -> str:
+    """The channel-measure ROI twin (sql/mango_channel_roi.sql:1-217):
+    identical machinery with cohort_level 'Network' and the rfe side
+    grouped by attribution network instead of feature."""
+    from taipei_bi_etl_spark.plans.mango_dag import _RFE_METRICS
+
+    feature = _roi_oracle()
+    # retarget the rfe percentile grain and the measure filters
+    out = feature.replace(
+        """rfe_pct AS (
+  SELECT os, country, feature_type AS cohort_level,
+         feature_name AS cohort_name,""",
+        """rfe_pct AS (
+  SELECT os, country, 'Network' AS cohort_level,
+         COALESCE(network_name, '(unattributed)') AS cohort_name,""",
+    )
+    out = out.replace("WHERE measure_type = 'feature'", "WHERE measure_type = 'channel'")
+    assert "'channel'" in out and "'Network'" in out
+    return out
+
+
+@query(
+    "mango_channel_roi_snapshot",
+    oracle=_channel_roi_oracle(),
+    tags=("mango", "W4", "A10", "J4"),
+)
+def mango_channel_roi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mango_channel_roi (sql/mango_channel_roi.sql:1-217): the
+    channel-measure ROI — the same percentile/retention/AU assembly as
+    the feature ROI, grained by attribution network (cohort_level
+    'Network'), closing the last reference table without a snapshot
+    oracle.  Same end-to-end chain, same NULL-sentinel policy."""
+    from taipei_bi_etl_spark.plans.mango_dag import (
+        _RFE_METRICS,
+        retained_pivot_from,
+        roi_from,
+    )
+
+    couo = _spark_couo(spark, sf_dir)
+    rfe28 = _spark_rfe28(spark, sf_dir).withColumn(
+        "network_name",
+        F.coalesce("network_name", F.lit("(unattributed)")),
+    )
+    retained = retained_pivot_from(couo, AS_OF, lo_filter=True)
+    as_of = F.lit(AS_OF).cast("date")
+    auwin = couo.filter(
+        (F.col("occur_date") > F.date_sub(as_of, 28))
+        & (F.col("occur_date") <= as_of)
+    ).select(
+        "os", "country", "measure_type", "cohort_level", "cohort_name",
+        "client_id",
+        F.when(F.col("occur_day") == 0, F.col("client_id")).alias(
+            "new_client_id"
+        ),
+        "occur_date",
+    )
+    au = auwin.groupBy(
+        "os", "country", "measure_type", "cohort_level", "cohort_name",
+        "occur_date",
+    ).agg(
+        F.countDistinct("new_client_id").alias("new_dau"),
+        F.countDistinct("client_id").alias("dau"),
+        F.lit(0).alias("new_wau"),
+        F.lit(0).alias("wau"),
+        F.lit(0).alias("new_mau"),
+        F.lit(0).alias("mau"),
+    )
+    roi = roi_from(rfe28, retained, au, AS_OF, "channel").drop("day")
+    keys = ["os", "country", "cohort_level", "cohort_name"]
+    float_cols = [
+        f"{m}_{tag}" for m in _RFE_METRICS for tag in ("25p", "50p", "75p")
+    ]
+    float_cols += [
+        f"d{n}_retention" for n in (1, 3, 7, 14, 28, 56, 84)
+    ] + [f"w{n}_retention" for n in (1, 2, 4, 8, 12)] + [
+        f"m{n}_retention" for n in (1, 2, 3)
+    ]
+    float_cols += ["new_aDAU", "aDAU", "new_aWAU", "aWAU", "new_aMAU", "aMAU"]
+    return roi.select(
+        *keys,
+        *[
+            F.coalesce(F.round(F.col(c), 6), F.lit(-1.0)).alias(c)
+            for c in float_cols
+        ],
+        "execution_date",
+    )
