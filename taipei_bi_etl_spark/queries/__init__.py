@@ -94,4 +94,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     retention,
     mango_parity,
     suffix,
+    sampling,
 )

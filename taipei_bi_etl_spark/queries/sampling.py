@@ -1,0 +1,90 @@
+"""Weighted sampling without replacement — Efraimidis & Spirakis
+(2006) exponential-jumps ("A-ExpJ") selection as a distributed top-k:
+item i with weight w_i gets key u_i^(1/w_i) for uniform u_i, and the
+k largest keys are EXACTLY a weighted sample without replacement.
+
+This was r01-backlogged as "blocked on cross-engine pow/log ulp
+differences".  The unblock is twofold:
+
+* the key is computed as ln(u)/w — same argmax set as u^(1/w)
+  (monotone transform), avoiding ``pow`` entirely; ``ln`` is within
+  1 ulp on both engines and the inputs are exact rationals, so a
+  ranking flip needs two keys within ~1e-16 relative — vanishing for
+  hash-derived uniforms;
+* u derives from the first 15 hex chars of md5 (the repo's portable
+  60-bit hash, same bits on both engines), u = (h + 0.5) / 2^60 —
+  an EXACT dyadic rational, bit-identical cross-engine.
+
+The output exposes only the selected (doc_id, weight) membership —
+never the float keys — so the oracle hash cannot flap on last-digit
+rendering.  tests/test_sampling.py adds the statistical gate: across
+independent salts, inclusion frequency tracks weight.
+
+Scale: one map-side key computation + one TakeOrderedAndProject-shaped
+top-k — no shuffle beyond the k-row reduction; the classic reservoir
+formulation serializes a stream, this form is embarrassingly parallel
+(the same reason the paper's Algorithm A beats sequential reservoirs
+on partitioned data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries import query
+
+SAMPLE_K = 50
+_M = 1 << 60  # 15 hex chars of md5 → exact 60-bit uniform
+
+
+def _u(col):
+    """Portable exact-dyadic uniform in (0,1) from md5(col)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (h.cast("double") + F.lit(0.5)) / F.lit(float(_M))
+
+
+_AEXPJ_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS weight,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            + 0.5) / {float(_M)} AS u
+  FROM documents
+)
+SELECT doc_id, weight
+FROM w
+QUALIFY ROW_NUMBER() OVER (ORDER BY ln(u) / weight DESC, doc_id) <= {SAMPLE_K}
+"""
+
+
+@query(
+    "weighted_sample_aexpj",
+    oracle=_AEXPJ_ORACLE,
+    tags=("curation", "sampling", "extension"),
+)
+def weighted_sample_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted document sample without replacement (K=50):
+    heavier documents proportionally likelier, no document twice —
+    the sampling primitive for building token-budgeted eval/train
+    subsets where uniform row sampling would under-represent long
+    documents.
+
+    Content-addressed like every sampler in this repo: the uniform
+    comes from md5(doc_id), so the sample is stable under
+    repartitioning and re-ingestion."""
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("weight"),
+        _u(F.col("doc_id")).alias("u"),
+    )
+    key = F.log(F.col("u")) / F.col("weight")
+    return (
+        w.orderBy(key.desc(), F.col("doc_id"))
+        .limit(SAMPLE_K)
+        .select("doc_id", "weight")
+    )
