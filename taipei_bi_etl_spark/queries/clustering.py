@@ -104,7 +104,13 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
                     F.col("component_id"), F.coalesce("nbr_min", "component_id")
                 ).alias("component_id"),
             )
-            .persist()
+            # localCheckpoint, not persist: each round references the
+            # previous labels TWICE (propagation + convergence check),
+            # so an uncut logical plan doubles per round — long-diameter
+            # graphs (grid-cell chains) then OOM the driver just
+            # BUILDING the plan string.  Checkpointing truncates the
+            # lineage to the materialized rows each round.
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -112,7 +118,6 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             .filter(F.col("n.component_id") != F.col("o.component_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -467,3 +472,156 @@ def kcenter_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mind", F.least(F.col("mind"), dist_to(list(nxt.v)))
         )
     return spark.createDataFrame([(c,) for c in chosen], "vec_id long")
+
+
+# ---------------------------------------------------------------------------
+# Grid DBSCAN — density clustering via JL projection + grid cells
+# (the r01-backlogged compose: "DBSCAN needs a low-dim projection
+# first — grid join explodes in 64-dim").
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS = 0.5
+DBSCAN_MIN_PTS = 4
+_GRID_OFF = 1 << 20  # coordinate offset so packed cell keys stay positive
+
+
+def _dbscan_proj_rows() -> list[list[int]]:
+    from taipei_bi_etl_spark.queries.similarity import _jl_rows
+
+    return _jl_rows()[:2]
+
+
+def _dbscan_oracle() -> str:
+    rows = _dbscan_proj_rows()
+
+    def r(row):
+        return "[" + ", ".join(f"{s}.0" for s in row) + "]"
+
+    eps, mp, off = DBSCAN_EPS, DBSCAN_MIN_PTS, _GRID_OFF
+    return f"""
+WITH RECURSIVE
+p AS (
+  SELECT vec_id,
+         CAST(floor(list_inner_product(embedding::DOUBLE[], {r(rows[0])})
+                    / {eps}) AS BIGINT) + {off} AS cx,
+         CAST(floor(list_inner_product(embedding::DOUBLE[], {r(rows[1])})
+                    / {eps}) AS BIGINT) + {off} AS cy
+  FROM embeddings
+),
+cells AS (
+  SELECT cx, cy, cx * {2 * off} + cy AS cell, COUNT(*) AS n
+  FROM p GROUP BY 1, 2
+),
+core AS (SELECT * FROM cells WHERE n >= {mp}),
+adj AS (
+  SELECT a.cell AS ca, b.cell AS cb
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+labels AS (
+  -- adj includes self-pairs, so MIN over neighbors includes the own
+  -- label and the recursive term needs only ONE reference to labels
+  SELECT 0 AS iter, ca AS cell, MIN(cb) AS lbl,
+         SUM(MIN(cb)) OVER () AS tot
+  FROM adj GROUP BY ca
+  UNION ALL
+  SELECT iter + 1, cell, lbl, SUM(lbl) OVER () AS tot FROM (
+    SELECT l.iter AS iter, a.ca AS cell, MIN(l.lbl) AS lbl,
+           MIN(l.tot) AS prev
+    FROM labels l JOIN adj a ON a.cb = l.cell
+    GROUP BY l.iter, a.ca
+  ) QUALIFY SUM(lbl) OVER () < MIN(prev) OVER ()
+),
+final_lbl AS (
+  SELECT cell, lbl FROM labels
+  WHERE iter = (SELECT MAX(iter) FROM labels)
+),
+assigned AS (
+  SELECT pt.vec_id, fl.lbl
+  FROM p pt
+  JOIN core c ON pt.cx = c.cx AND pt.cy = c.cy
+  JOIN final_lbl fl ON fl.cell = c.cell
+)
+SELECT a.vec_id,
+       CAST(m.cluster_id AS BIGINT) AS cluster_id
+FROM assigned a
+JOIN (
+  SELECT lbl, MIN(vec_id) AS cluster_id FROM assigned GROUP BY lbl
+) m USING (lbl)
+"""
+
+
+@query(
+    "dbscan_grid_clusters",
+    oracle=_dbscan_oracle(),
+    tags=("clustering", "extension", "iterative"),
+)
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering (grid DBSCAN): JL-project embeddings to 2-D
+    (closed-form sign matrix shared with `embedding_random_projection`),
+    bucket into eps-cells, mark cells with ≥ min_pts as CORE, connect
+    8-adjacent core cells into components, and label every point in a
+    core cell with its component — points outside core cells are noise
+    (omitted), exactly DBSCAN's core/noise split at grid granularity.
+
+    The grid is why this scales where true DBSCAN's eps-range join
+    cannot: density comes from ONE hash aggregate on the packed cell
+    key (no pairwise distances), adjacency joins |core-cells|² at most
+    (bounded by the occupied grid, not |points|²), and the component
+    propagation runs on cells, not points.  In 64-dim a grid is
+    hopeless (3^64 neighbor offsets) — the JL projection is what buys
+    the 2-D grid while approximately preserving density structure.
+
+    Cluster ids are canonicalized to the minimum member vec_id, so the
+    labeling is content-addressed; the oracle replicates the whole
+    chain including the component fixpoint (recursive CTE with a
+    label-sum QUALIFY stop — same pattern as the k-core oracle).
+    """
+    from taipei_bi_etl_spark.io import read_table
+    from taipei_bi_etl_spark.queries.similarity import as_double, dot
+
+    rows = _dbscan_proj_rows()
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = as_double("embedding")
+    proj = [
+        dot(emb, F.array(*[F.lit(float(s)) for s in row])) for row in rows
+    ]
+    eps, off = DBSCAN_EPS, _GRID_OFF
+    p = e.select(
+        "vec_id",
+        (F.floor(proj[0] / eps).cast("long") + off).alias("cx"),
+        (F.floor(proj[1] / eps).cast("long") + off).alias("cy"),
+    )
+    cells = (
+        p.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cell", F.col("cx") * (2 * off) + F.col("cy"))
+    )
+    core = cells.filter(F.col("n") >= DBSCAN_MIN_PTS).persist()
+    a = core.select(
+        F.col("cx").alias("ax"), F.col("cy").alias("ay"),
+        F.col("cell").alias("ca"),
+    )
+    b = core.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+        F.col("cell").alias("cb"),
+    )
+    adj = a.join(
+        b,
+        (F.abs(F.col("ax") - F.col("bx")) <= 1)
+        & (F.abs(F.col("ay") - F.col("by")) <= 1),
+    ).select("ca", "cb")
+    comp = min_label_components(adj, "ca", "cb").withColumnRenamed(
+        "node", "cell"
+    )
+    assigned = (
+        p.join(core.select("cx", "cy", "cell"), ["cx", "cy"])
+        .join(comp, "cell")
+        .select("vec_id", F.col("component_id").alias("lbl"))
+    )
+    canon = assigned.groupBy("lbl").agg(F.min("vec_id").alias("cluster_id"))
+    out = assigned.join(canon, "lbl").select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+    core.unpersist()
+    return out
