@@ -467,3 +467,41 @@ def write_audit_publish(
         if had_live and not os.path.exists(path):
             os.rename(prev, path)  # roll the old version back live
         raise
+
+
+def cached_extract(
+    spark: SparkSession,
+    cache_path: str,
+    extract_fn: Callable[[], DataFrame],
+    date: str | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """K9 — the reference's raw-extract cache
+    (``utils/cache.py::check_extract_cache``, ``tasks/base.py:449``
+    decorator): run ``extract_fn`` only on a cache MISS, persist the
+    raw result, and serve every later call from the cached copy — the
+    write-once raw zone that makes re-runs hit storage instead of the
+    upstream API.
+
+    ``date`` partitions the cache per execution date (the reference
+    keys cache files by date); a dated entry is
+    ``cache_path/date=<d>``.  Hit = the directory exists AND is
+    readable; a directory left unreadable by a crashed write counts as
+    a miss and is overwritten (same self-healing the audit-publish
+    sink uses).
+
+    Scale: the cache IS the raw zone — one extract per (source, date)
+    ever, any number of downstream reads, each a plain parquet scan
+    with partition pruning.
+    """
+    path = cache_path if date is None else os.path.join(
+        cache_path, f"date={date}"
+    )
+    if os.path.exists(path):
+        try:
+            return spark.read.format(fmt).load(path)
+        except Exception:
+            pass  # unreadable partial write → re-extract below
+    df = extract_fn()
+    df.write.mode("overwrite").format(fmt).save(path)
+    return spark.read.format(fmt).load(path)

@@ -408,3 +408,31 @@ def test_tablesample_repeatable_is_deterministic(spark):
     a = sorted(r.o_orderkey for r in spark.sql(q).collect())
     b = sorted(r.o_orderkey for r in spark.sql(q).collect())
     assert a == b and len(a) > 0
+
+
+def test_cached_extract_runs_once_and_self_heals(spark, tmp_path):
+    """K9: extract runs on miss, later calls are cache hits (the
+    extract fn is NOT re-invoked), dated entries are independent, and
+    an unreadable partial write re-extracts."""
+    import os
+
+    from taipei_bi_etl_spark.io import cached_extract
+
+    calls = {"n": 0}
+
+    def extract():
+        calls["n"] += 1
+        return spark.range(5).withColumnRenamed("id", "v")
+
+    base = str(tmp_path / "raw_cache")
+    a = cached_extract(spark, base, extract, date="2024-01-01")
+    assert a.count() == 5 and calls["n"] == 1
+    b = cached_extract(spark, base, extract, date="2024-01-01")
+    assert b.count() == 5 and calls["n"] == 1  # hit: not re-invoked
+    c = cached_extract(spark, base, extract, date="2024-01-02")
+    assert c.count() == 5 and calls["n"] == 2  # new date: miss
+    # simulate a crashed write: empty unreadable dir → self-heal
+    broken = os.path.join(base, "date=2024-01-03")
+    os.makedirs(broken)
+    d = cached_extract(spark, base, extract, date="2024-01-03")
+    assert d.count() == 5 and calls["n"] == 3
