@@ -60,6 +60,12 @@ STRESS_QUERIES = [
     "min_cost_supplier",
     "returned_revenue_topk",
     "part_copurchase_pagerank",
+    # r02: budgeted graph family + new dedup/sampling entries
+    "copurchase_triangle_count",
+    "copurchase_kcore",
+    "dedup_exact_substring_spans",
+    "weighted_sample_aexpj",
+    "cohort_retention_full",
 ]
 
 
