@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` runs the flagship cohort-retention query at sf0.001;
+``entry(spark)`` runs the flagship full-grain cohort-retention pivot at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the engine's full registered
 operator surface (taipei_bi_etl_spark.queries.REGISTRY) for the driver's
 DuckDB cross-check at sf0.01.
@@ -23,8 +23,12 @@ from taipei_bi_etl_spark.queries import oracle_queries, spark_queries  # noqa: E
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: cohort retention pivot (SURVEY §2.4 A5) at sf0.001."""
-    return spark_queries()["cohort_retention"](spark, "/root/testdata/sf0.001")
+    """Flagship query: the FULL 22-aggregate cohort retention pivot
+    (SURVEY §2.4 A5 at reference grain — day/week/month points over the
+    rolling 112-day window, Expand-free single pass) at sf0.001."""
+    return spark_queries()["cohort_retention_full"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
