@@ -96,12 +96,30 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component_id"), F.coalesce("nbr_min", "component_id")
+            ).alias("component_id"),
+        )
+        # pointer jumping: follow my label's label (labels are node ids,
+        # so the label table doubles as a parent map) — distance to the
+        # component minimum HALVES per round, turning O(diameter)
+        # rounds into O(log diameter); a 30-cell grid chain converges
+        # in ~5 rounds instead of ~30.
+        parent = propagated.select(
+            F.col("node").alias("p_node"),
+            F.col("component_id").alias("p_label"),
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            propagated.join(
+                parent, propagated["component_id"] == parent["p_node"], "left"
+            )
             .select(
                 "node",
                 F.least(
-                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
+                    F.col("component_id"),
+                    F.coalesce("p_label", "component_id"),
                 ).alias("component_id"),
             )
             # localCheckpoint, not persist: each round references the
