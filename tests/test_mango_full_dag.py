@@ -189,3 +189,69 @@ def test_rfe_28d_frequency_bounded_by_active_days(spark, warehouse):
         ).count()
         == 0
     )
+
+
+def test_delete_by_keys_removes_emptied_partitions(spark, tmp_path):
+    """DeleteByKeys edge case: a partition whose EVERY row belongs to a
+    re-attributed client must disappear entirely (an empty dynamic
+    overwrite writes nothing, so the policy removes the directory
+    explicitly)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.plans.dag import (
+        DeleteByKeys,
+        Pipeline,
+        TaskContext,
+        TaskSpec,
+    )
+
+    path = str(tmp_path / "uc")
+    spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")],
+        "client_id long, day string",
+    ).withColumn("day", F.col("day").cast("date")).write.partitionBy(
+        "day"
+    ).parquet(path)
+
+    victims = spark.createDataFrame([(1,), (2,)], "client_id long")
+    policy = DeleteByKeys("client_id", lambda ctx: victims)
+    spec = TaskSpec("uc", lambda ctx: None, partition_col="day")
+    pipe = Pipeline([spec], str(tmp_path))
+    ctx = TaskContext(spark=spark, pipeline=pipe, date="2024-01-03", task=spec)
+    policy.apply(ctx, path)
+
+    assert not os.path.exists(os.path.join(path, "day=2024-01-01"))
+    left = spark.read.parquet(path)
+    assert [r.client_id for r in left.collect()] == [3]
+
+
+def test_rolling_wipe_only_touches_window(spark, tmp_path):
+    """RollingWipe removes partitions inside [date-N, date] and leaves
+    older ones (outside the recompute window) untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.plans.dag import (
+        Pipeline,
+        RollingWipe,
+        TaskContext,
+        TaskSpec,
+    )
+
+    path = str(tmp_path / "ret")
+    spark.createDataFrame(
+        [(1, "2023-01-01"), (2, "2024-01-20"), (3, "2024-01-29")],
+        "v long, day string",
+    ).withColumn("day", F.col("day").cast("date")).write.partitionBy(
+        "day"
+    ).parquet(path)
+    spec = TaskSpec("ret", lambda ctx: None, partition_col="day")
+    pipe = Pipeline([spec], str(tmp_path))
+    ctx = TaskContext(spark=spark, pipeline=pipe, date="2024-01-30", task=spec)
+    RollingWipe(112).apply(ctx, path)
+    assert os.path.exists(os.path.join(path, "day=2023-01-01"))  # pre-window
+    assert not os.path.exists(os.path.join(path, "day=2024-01-20"))
+    assert not os.path.exists(os.path.join(path, "day=2024-01-29"))
