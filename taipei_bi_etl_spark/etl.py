@@ -53,11 +53,20 @@ def run_task(
     return task.run(spark, dest_dir=dest_dir)
 
 
-def run_pipeline(spark: SparkSession, sf_dir: str, warehouse: str, dates):
-    """The daily DAG (reference entry point C, ``etl.py --task bigquery``)."""
-    from taipei_bi_etl_spark.plans.mango_dag import build_mango_pipeline
+def run_pipeline(
+    spark: SparkSession, sf_dir: str, warehouse: str, dates, full: bool = True
+):
+    """The daily DAG (reference entry point C, ``etl.py --task bigquery``).
 
-    pipe = build_mango_pipeline(sf_dir, warehouse)
+    ``full`` (default) runs the 18-task reference-parity pipeline;
+    ``full=False`` keeps the r01 condensed 6-task teaching DAG."""
+    from taipei_bi_etl_spark.plans.mango_dag import (
+        build_full_mango_pipeline,
+        build_mango_pipeline,
+    )
+
+    build = build_full_mango_pipeline if full else build_mango_pipeline
+    pipe = build(sf_dir, warehouse)
     pipe.run_range(spark, list(dates))
     return pipe
 
@@ -68,6 +77,11 @@ def main(argv=None) -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--warehouse", default="./spark-warehouse/mango")
     ap.add_argument("--date", action="append", default=None)
+    ap.add_argument(
+        "--condensed",
+        action="store_true",
+        help="run the condensed 6-task DAG instead of the full 18-task one",
+    )
     args = ap.parse_args(argv)
 
     from taipei_bi_etl_spark.session import get_spark
@@ -75,7 +89,10 @@ def main(argv=None) -> None:
     spark = get_spark(app_name=f"etl-{args.task or 'pipeline'}")
     if args.task in (None, "pipeline"):
         dates = args.date or ["2024-01-30"]
-        run_pipeline(spark, args.sf_dir, args.warehouse, dates)
+        run_pipeline(
+            spark, args.sf_dir, args.warehouse, dates,
+            full=not args.condensed,
+        )
     else:
         run_task(spark, args.task)
 
