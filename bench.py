@@ -25,6 +25,15 @@ from taipei_bi_etl_spark.session import get_spark  # noqa: E402
 
 #: Headline set: the flagship telemetry chain + heavy relational shapes +
 #: the scale-path pipeline operators.
+#:
+#: Cost attribution for the two large r02 entries (sf0.1):
+#: `mango_feature_surface_rollup` ~22 s is the 150-rule D4 cascade over
+#: ~1M fan-out rows — whole-stage codegen'd, one shuffle (the reference
+#: runs 1,050 lines of JS per row for the same answer);
+#: `dedup_embedding_lsh` ~13 s is exact-verify dot products over the
+#: LSH candidate set, which is large because the SYNTHETIC corpus is
+#: weakly clustered (buckets unselective) — on real near-dup corpora
+#: the same plan touches far fewer candidates.
 HEADLINE = [
     "cohort_retention",
     "active_user_counts",
