@@ -160,3 +160,39 @@ def test_skew_report_empty_input(spark):
         "skew_ratio": 0.0,
         "top": [],
     }
+
+
+def test_compare_tables_checksum_property(spark):
+    """Property test (hypothesis): for random small row multisets over
+    a NULL/separator/empty-string-rich alphabet, the checksum matches
+    IFF the multisets are equal."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from taipei_bi_etl_spark.checks import compare_tables_checksum
+
+    alphabet = [None, "", "|", "a", "a|b", "NULL", "x"]
+    row = st.tuples(
+        st.integers(0, 2), st.sampled_from(alphabet), st.sampled_from(alphabet)
+    )
+    rows = st.lists(row, min_size=0, max_size=5)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows, rows)
+    def check(rows_a, rows_b):
+        schema = "k int, a string, b string"
+        da = spark.createDataFrame(rows_a, schema) if rows_a else (
+            spark.createDataFrame([], schema)
+        )
+        db = spark.createDataFrame(rows_b, schema) if rows_b else (
+            spark.createDataFrame([], schema)
+        )
+        got = compare_tables_checksum(spark, da, db, ["k", "a", "b"])["match"]
+        expect = sorted(rows_a, key=repr) == sorted(rows_b, key=repr)
+        assert got == expect, (rows_a, rows_b)
+
+    check()
