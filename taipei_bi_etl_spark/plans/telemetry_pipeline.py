@@ -175,7 +175,14 @@ def synthesize_full_pings(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding the RFE session rollup (session_time / url_counts /
     app_link / show_keyboard —
     sql/mango_events_feature_mapping.sql:17-21)."""
-    ev = read_table(spark, sf_dir, "events")
+    return full_pings_from(read_table(spark, sf_dir, "events"))
+
+
+def full_pings_from(ev: DataFrame) -> DataFrame:
+    """Frame form of :func:`synthesize_full_pings` — works on ANY
+    events frame incl. a STREAMING one (every expression is stateless
+    map-side, so the whole ping synthesis + unnest + mapping chain runs
+    unchanged under Structured Streaming)."""
 
     # DECORRELATED picks: each field indexes a different "digit" of
     # event_id (divisor stride), so (method, object, value, …) span the

@@ -273,3 +273,74 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         click_purchase_left_outer_join(stream_events(spark, sf_dir)),
         output_mode="append",
     )
+
+
+def _streaming_fm_oracle() -> str:
+    from taipei_bi_etl_spark.queries.mango_parity import _full_fm_cte
+
+    return f"""
+WITH {_full_fm_cte()}
+SELECT submission_date AS day, feature_type, feature_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(session_time), -1) AS BIGINT) AS sum_session_time,
+       CAST(COALESCE(SUM(url_counts), -1) AS BIGINT) AS sum_url_counts
+FROM fanned
+GROUP BY 1, 2, 3
+"""
+
+
+@query(
+    "streaming_feature_usage",
+    oracle=_streaming_fm_oracle(),
+    tags=("streaming", "D4", "mango"),
+)
+def streaming_feature_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL mango feature-mapping chain — ping synthesis, JSON
+    parse, D2 cleanup, kv session metrics, outer-lateral extras, the
+    150-rule D4 cascade, 3-way fan-out — running under Structured
+    Streaming, rolled into a watermarked daily window per feature.
+
+    This is the reference's daily batch chain as a stream: every stage
+    before the rollup is a STATELESS map, so the chain needs no state
+    store at all until the windowed aggregate (state = one row per
+    (day, feature)).  The oracle is the same closed-form DuckDB
+    derivation that checks the batch surface rollup — streaming and
+    batch must hash-match exactly (COUNT DISTINCT is unsupported in
+    streaming aggs, so the rollup carries counts and sums only).
+    """
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.plans.telemetry_pipeline import (
+        full_pings_from,
+        map_features_full,
+        unnest_events_full,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    fm = map_features_full(unnest_events_full(full_pings_from(ev)))
+    rolled = (
+        fm.withWatermark("submission_timestamp", "1 day")
+        .groupBy(
+            F.window("submission_timestamp", "1 day").alias("w"),
+            "feature_type",
+            "feature_name",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("session_time"), F.lit(-1))
+            .cast("long")
+            .alias("sum_session_time"),
+            F.coalesce(F.sum("url_counts"), F.lit(-1))
+            .cast("long")
+            .alias("sum_url_counts"),
+        )
+    )
+    out = run_available_now(rolled)
+    return out.select(
+        F.to_date("w.start").alias("day"),
+        "feature_type",
+        "feature_name",
+        "n_rows",
+        "sum_session_time",
+        "sum_url_counts",
+    )
