@@ -109,15 +109,45 @@ base AS (
 )"""
 
 
-def _spark_fm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_fm(
+    spark: SparkSession, sf_dir: str, persisted: bool = False
+) -> DataFrame:
+    """The full feature-mapping chain.  ``persisted=True`` caches the
+    mapped frame (MEMORY_AND_DISK): the D4 cascade is the chain's cost
+    center (SCALE.md), and the deep snapshots otherwise re-evaluate it
+    up to 6× — once per downstream consumer subtree."""
     from taipei_bi_etl_spark.plans.telemetry_pipeline import (
         map_features_full,
         synthesize_full_pings,
         unnest_events_full,
     )
 
-    return map_features_full(
+    fm = map_features_full(
         unnest_events_full(synthesize_full_pings(spark, sf_dir))
+    )
+    if persisted:
+        from pyspark import StorageLevel
+
+        fm = fm.persist(StorageLevel.MEMORY_AND_DISK)
+    return fm
+
+
+def _spark_uc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taipei_bi_etl_spark.plans.mango_dag import (
+        tracker_settings,
+        user_channels_from,
+    )
+    from taipei_bi_etl_spark.plans.telemetry_pipeline import (
+        channel_mapping_table,
+        synthesize_full_pings,
+    )
+
+    pings = synthesize_full_pings(spark, sf_dir).withColumn(
+        "day", F.col("submission_date")
+    )
+    return user_channels_from(
+        tracker_settings(pings, AS_OF, lo_date="1970-01-01"),
+        channel_mapping_table(spark),
     )
 
 
@@ -443,27 +473,20 @@ def _occurrence_chain_cte() -> str:
     return f"{_full_fm_cte()},\n{_user_channels_cte()},\n{_OCCURRENCE_CTE_TEMPLATE}"
 
 
-def _spark_couo(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_couo(
+    spark: SparkSession,
+    sf_dir: str,
+    fm: DataFrame | None = None,
+    uc: DataFrame | None = None,
+) -> DataFrame:
     from taipei_bi_etl_spark.plans.mango_dag import (
         cohort_user_occurrence_from,
         occurrence_from,
-        tracker_settings,
-        user_channels_from,
-    )
-    from taipei_bi_etl_spark.plans.telemetry_pipeline import (
-        channel_mapping_table,
-        synthesize_full_pings,
     )
 
-    fm = _spark_fm(spark, sf_dir)
+    fm = _spark_fm(spark, sf_dir) if fm is None else fm
     ufo = occurrence_from(fm)
-    pings = synthesize_full_pings(spark, sf_dir).withColumn(
-        "day", F.col("submission_date")
-    )
-    uc = user_channels_from(
-        tracker_settings(pings, AS_OF, lo_date="1970-01-01"),
-        channel_mapping_table(spark),
-    )
+    uc = _spark_uc(spark, sf_dir) if uc is None else uc
     return cohort_user_occurrence_from(ufo, uc).withColumn(
         "cohort_name", F.coalesce("cohort_name", F.lit("(unattributed)"))
     )
@@ -946,21 +969,23 @@ FROM rfe28
 """
 
 
-def _spark_rfe28(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_rfe28(
+    spark: SparkSession,
+    sf_dir: str,
+    fm: DataFrame | None = None,
+    uc: DataFrame | None = None,
+) -> DataFrame:
     from taipei_bi_etl_spark.plans.mango_dag import (
         rfe_28d_from,
         rfe_daily_partial_from,
         rfe_daily_session_from,
-        tracker_settings,
-        user_channels_from,
     )
     from taipei_bi_etl_spark.plans.telemetry_pipeline import (
-        channel_mapping_table,
         synthesize_core_pings,
         synthesize_full_pings,
     )
 
-    fm = _spark_fm(spark, sf_dir)
+    fm = _spark_fm(spark, sf_dir) if fm is None else fm
     fcd = (
         fm.filter(
             ~F.col("feature_name").isin("Others", "feature: others")
@@ -985,10 +1010,7 @@ def _spark_rfe28(spark: SparkSession, sf_dir: str) -> DataFrame:
     pings = synthesize_full_pings(spark, sf_dir).withColumn(
         "day", F.col("submission_date")
     )
-    uc = user_channels_from(
-        tracker_settings(pings, AS_OF, lo_date="1970-01-01"),
-        channel_mapping_table(spark),
-    )
+    uc = _spark_uc(spark, sf_dir) if uc is None else uc
     return rfe_28d_from(pings, partial, session, uc, AS_OF)
 
 
@@ -1174,8 +1196,10 @@ def mango_feature_roi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         roi_from,
     )
 
-    couo = _spark_couo(spark, sf_dir)
-    rfe28 = _spark_rfe28(spark, sf_dir)
+    fm = _spark_fm(spark, sf_dir, persisted=True)
+    uc = _spark_uc(spark, sf_dir)
+    couo = _spark_couo(spark, sf_dir, fm=fm, uc=uc)
+    rfe28 = _spark_rfe28(spark, sf_dir, fm=fm, uc=uc)
     retained = retained_pivot_from(couo, AS_OF, lo_filter=True)
     # snapshot AU: per-day dau over the 28d window; wau/mau pinned 0
     # (see docstring)
@@ -1265,8 +1289,10 @@ def mango_channel_roi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         roi_from,
     )
 
-    couo = _spark_couo(spark, sf_dir)
-    rfe28 = _spark_rfe28(spark, sf_dir).withColumn(
+    fm = _spark_fm(spark, sf_dir, persisted=True)
+    uc = _spark_uc(spark, sf_dir)
+    couo = _spark_couo(spark, sf_dir, fm=fm, uc=uc)
+    rfe28 = _spark_rfe28(spark, sf_dir, fm=fm, uc=uc).withColumn(
         "network_name",
         F.coalesce("network_name", F.lit("(unattributed)")),
     )
