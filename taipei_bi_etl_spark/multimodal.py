@@ -219,3 +219,163 @@ def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
             F.ceil(h * scale).cast("int").alias("height"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs (r02) — formats decodable with stdlib + numpy alone.
+#
+# The stub above remains the gate for COMPRESSED formats (JPEG/PNG/mp3
+# need Pillow/audio libs this container lacks).  But raw formats need
+# no library: PPM P6 is a header + raw RGB bytes, and RIFF/WAVE PCM16
+# is a header + raw little-endian samples.  These codecs are REAL —
+# actual byte-level encode/decode — which upgrades the multimodal
+# family from "plumbing real, codec stubbed" to "decode path real for
+# numpy-decodable formats, compressed formats env-gated".
+# ---------------------------------------------------------------------------
+
+WAV_SR = 8000
+WAV_N = 2048
+WAV_AMP = 12000
+
+
+def encode_ppm(width: int, height: int, pix) -> bytes:
+    """P6 PPM bytes from an (h, w, 3) uint8 array."""
+    import numpy as np
+
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + np.ascontiguousarray(pix, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """P6 PPM → (h, w, 3) uint8 array.  Real parse: header fields,
+    maxval check, raw buffer reshape."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts = payload.split(b"\n", 3)
+    width, height = (int(x) for x in parts[1].split())
+    if int(parts[2]) != 255:
+        raise ValueError("only maxval 255 supported")
+    raw = parts[3][: width * height * 3]
+    return np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+
+
+def encode_wav_pcm16(samples, sr: int = WAV_SR) -> bytes:
+    """Minimal RIFF/WAVE PCM16 mono encoder (stdlib struct + numpy)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, sr, sr * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(payload: bytes):
+    """RIFF/WAVE PCM16 mono → (sample_rate, int16 array).  Real parse:
+    chunk walk to fmt/data, format assertions."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sr, data
+
+
+def resize_nearest(pix, max_side: int):
+    """REAL nearest-neighbor resize via numpy index selection —
+    replaces the plan-only resize for numpy-decodable images."""
+    import numpy as np
+
+    h, w = pix.shape[:2]
+    scale = min(1.0, max_side / max(h, w))
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    ys = (np.arange(nh) * (h / nh)).astype(int)
+    xs = (np.arange(nw) * (w / nw)).astype(int)
+    return pix[ys][:, xs]
+
+
+def synthesize_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL media payloads, generated distributed (Arrow
+    batches, numpy): even doc_ids get a P6 PPM whose pixel (x, y, c) is
+    ``(3x + 5y + 7c + id) % 256``; odd doc_ids get a PCM16 WAV sine of
+    integer frequency coprime to sr/2 (so no sample is exactly zero
+    except k=0 — the property the zero-crossing oracle relies on)."""
+    from taipei_bi_etl_spark.io import read_table
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    sr, n, amp = WAV_SR, WAV_N, WAV_AMP
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def ppm_for(i: int) -> bytes:
+            w, h = 16 + i % 17, 12 + i % 13
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            pix = (3 * x + 5 * y + 7 * c + i) % 256
+            header = f"P6\n{w} {h}\n255\n".encode()
+            return header + pix.astype(np.uint8).tobytes()
+
+        def wav_for(i: int) -> bytes:
+            import struct
+
+            f = 101 + 2 * (i % 97)
+            while f % 5 == 0:
+                f += 2
+            k = np.arange(n)
+            samples = np.round(
+                amp * np.sin(2 * np.pi * f * k / sr)
+            ).astype("<i2")
+            data = samples.tobytes()
+            hdr = struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+                1, 1, sr, sr * 2, 2, 16, b"data", len(data),
+            )
+            return hdr + data
+
+        for pdf in batches:
+            ids_, kinds, payloads = [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                ids_.append(i)
+                if i % 2 == 0:
+                    kinds.append("image")
+                    payloads.append(ppm_for(i))
+                else:
+                    kinds.append("audio")
+                    payloads.append(wav_for(i))
+            yield pd.DataFrame(
+                {"media_id": ids_, "kind": kinds, "payload": payloads}
+            )
+
+    return ids.mapInPandas(gen, schema=out_schema)

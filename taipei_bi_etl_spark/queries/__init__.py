@@ -95,4 +95,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     mango_parity,
     suffix,
     sampling,
+    multimodal_real,
 )

@@ -1,0 +1,225 @@
+"""REAL-codec multimodal queries (r02): the decode path executes
+actual byte-level codecs (P6 PPM images, RIFF/WAVE PCM16 audio —
+multimodal.py's numpy-only codecs), and the ORACLE recomputes the same
+statistics from first principles in SQL — no decoding on the oracle
+side, just the closed forms the synthesized media obeys:
+
+* image pixels are ``(3x + 5y + 7c + id) % 256``, so every channel sum
+  is a double ``generate_series`` sum DuckDB evaluates exactly;
+* audio samples are ``round(A · sin(2π f k / sr))`` with f odd and
+  coprime to 5, so the sign of sample k is the parity of
+  ``floor(f·k / (sr/2))`` — zero crossings are EXACT integer
+  arithmetic (int16 rounding cannot flip a sign: the smallest nonzero
+  |sin| on the lattice is sin(π/4000) ≈ 7.9e-4 → |sample| ≥ 9).
+
+A hash match therefore certifies the whole encode → bytes → decode →
+feature pipeline against an independent derivation that never touches
+the bytes — a stronger check than a decode-vs-decode comparison.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from taipei_bi_etl_spark.multimodal import WAV_AMP, WAV_N, WAV_SR
+from taipei_bi_etl_spark.queries import query
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+_IMG_ORACLE = """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 17 AS w,
+         12 + doc_id % 13 AS h
+  FROM documents WHERE doc_id % 2 = 0
+), px AS (
+  SELECT media_id, w, h, x.x, y.y
+  FROM ids,
+       LATERAL (SELECT UNNEST(range(0, w)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, h)) AS y) y
+)
+SELECT media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM((3 * x + 5 * y + 0 + media_id) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((3 * x + 5 * y + 7 + media_id) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((3 * x + 5 * y + 14 + media_id) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY media_id
+"""
+
+
+@query(
+    "multimodal_image_decode_roundtrip",
+    oracle=_IMG_ORACLE,
+    tags=("multimodal", "extension"),
+)
+def multimodal_image_decode_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL image decode: P6 PPM payloads are parsed byte-for-byte
+    (header fields, raw RGB buffer) and per-channel pixel sums are
+    computed from the DECODED array; the oracle re-derives the sums
+    from the generating formula without ever seeing the bytes.
+
+    Scale: payload generation and decode both run in Arrow batches
+    (mapInPandas) — bytes never cross a Python row boundary; the
+    output is one narrow row per image."""
+    from taipei_bi_etl_spark.multimodal import (
+        decode_ppm,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(spark, sf_dir).filter(
+        F.col("kind") == "image"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def parse(payload: bytes):
+            if not payload.startswith(b"P6"):
+                raise ValueError("not a P6 PPM")
+            parts = bytes(payload).split(b"\n", 3)
+            w, h = (int(v) for v in parts[1].split())
+            raw = parts[3][: w * h * 3]
+            return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, pix = parse(payload)
+                s = pix.astype(np.int64).sum(axis=(0, 1))
+                rows.append((int(mid), w, h, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def _audio_oracle() -> str:
+    half = WAV_SR // 2
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         101 + 2 * (doc_id % 97) AS f0
+  FROM documents WHERE doc_id % 2 = 1
+), freq AS (
+  SELECT media_id,
+         CASE WHEN f0 % 5 = 0 THEN f0 + 2 ELSE f0 END AS f
+  FROM ids
+), signs AS (
+  SELECT media_id, k.k,
+         (f * k.k // {half}) % 2 AS par
+  FROM freq, LATERAL (SELECT UNNEST(range(1, {WAV_N})) AS k) k
+), flips AS (
+  SELECT media_id, k,
+         CASE WHEN par <> LAG(par) OVER (PARTITION BY media_id ORDER BY k)
+              THEN 1 ELSE 0 END AS flip
+  FROM signs
+)
+SELECT media_id,
+       {WAV_SR} AS sample_rate,
+       CAST({WAV_N} AS BIGINT) AS n_samples,
+       CAST(SUM(flip) AS BIGINT) AS zero_crossings,
+       TRUE AS rms_ok
+FROM flips
+GROUP BY media_id
+"""
+
+
+@query(
+    "multimodal_audio_decode_features",
+    oracle=_audio_oracle(),
+    tags=("multimodal", "extension"),
+)
+def multimodal_audio_decode_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL audio decode: RIFF/WAVE chunks are walked, PCM16 samples
+    extracted, and signal features computed from the DECODED waveform —
+    sample rate and count from the header, zero crossings from actual
+    sign changes, and an RMS gate (a pure sine's RMS is A/√2; assert
+    within 1%).  The oracle computes sample_rate/n_samples as literals
+    and the zero-crossing count from the floor-parity closed form —
+    integer arithmetic only, no trig on the SQL side."""
+    from taipei_bi_etl_spark.multimodal import (
+        decode_wav_pcm16,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(spark, sf_dir).filter(
+        F.col("kind") == "audio"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("rms_ok", T.BooleanType()),
+        ]
+    )
+    amp = WAV_AMP
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def parse(payload: bytes):
+            payload = bytes(payload)
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not RIFF/WAVE")
+            pos, sr, data = 12, None, None
+            while pos + 8 <= len(payload):
+                cid, size = struct.unpack_from("<4sI", payload, pos)
+                body = payload[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    _f, _c, sr, _br, _ba, _b = struct.unpack_from(
+                        "<HHIIHH", body
+                    )
+                elif cid == b"data":
+                    data = np.frombuffer(body, dtype="<i2")
+                pos += 8 + size + (size & 1)
+            return sr, data
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, data = parse(payload)
+                # sign changes over k>=1 (sample 0 is exactly zero)
+                signs = data[1:] > 0
+                zc = int(np.count_nonzero(signs[1:] != signs[:-1]))
+                rms = float(np.sqrt(np.mean(data.astype(np.float64) ** 2)))
+                rms_ok = abs(rms - amp / np.sqrt(2)) < 0.01 * amp
+                rows.append((int(mid), int(sr), len(data), zc, bool(rms_ok)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "zero_crossings", "rms_ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=schema)
