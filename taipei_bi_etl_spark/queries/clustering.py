@@ -643,3 +643,54 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     core.unpersist()
     return out
+
+
+CLUSTER_SAMPLE_K = 5
+
+
+def _balanced_sample_oracle() -> str:
+    return f"""
+WITH clusters AS (
+{_dbscan_oracle()}
+)
+SELECT cluster_id, vec_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY cluster_id
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       ) AS INT) AS sample_rank
+FROM clusters
+QUALIFY sample_rank <= {CLUSTER_SAMPLE_K}
+"""
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=_balanced_sample_oracle(),
+    tags=("clustering", "curation", "extension"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced selection: up to K vectors per density cluster,
+    ranked by content hash — the diversity-preserving sampler a
+    curation pipeline uses so dense regions don't drown sparse ones
+    (the cluster-quota idea behind SemDeDup-style pruning and balanced
+    eval-set construction), composed directly on `dbscan_grid_clusters`.
+
+    Content-addressed (md5 of vec_id) like every sampler here: stable
+    under repartitioning.  The oracle nests the full recursive DBSCAN
+    derivation as a CTE and applies the same per-cluster quota — the
+    composition, not just the parts, is hash-checked.
+
+    Scale: the quota is one window over the (point, cluster) frame,
+    partitioned by cluster — bounded state per cluster, no global sort.
+    """
+    assigned = dbscan_grid_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        assigned.withColumn(
+            "sample_rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("sample_rank") <= CLUSTER_SAMPLE_K)
+        .select("cluster_id", "vec_id", "sample_rank")
+    )
