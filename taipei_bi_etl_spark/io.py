@@ -485,15 +485,20 @@ def cached_extract(
 
     ``date`` partitions the cache per execution date (the reference
     keys cache files by date); a dated entry is
-    ``cache_path/date=<d>``.  Hit = the directory exists AND is
-    readable; a directory left unreadable by a crashed write counts as
-    a miss and is overwritten (same self-healing the audit-publish
-    sink uses).
+    ``cache_path/date=<d>``.  Hit = the directory was PROMOTED by a
+    completed write (staging-rename, the same pattern as
+    ``write_audit_publish``) — a crashed write that left some valid
+    parquet footers is still readable but incomplete, so readability
+    alone is not a hit test.  Crashed writes only ever leave a
+    ``.staging`` directory, which is ignored and overwritten on the
+    next call; the live path appears atomically via ``os.rename``.
 
     Scale: the cache IS the raw zone — one extract per (source, date)
     ever, any number of downstream reads, each a plain parquet scan
     with partition pruning.
     """
+    import shutil
+
     path = cache_path if date is None else os.path.join(
         cache_path, f"date={date}"
     )
@@ -501,7 +506,14 @@ def cached_extract(
         try:
             return spark.read.format(fmt).load(path)
         except Exception:
-            pass  # unreadable partial write → re-extract below
+            # pre-promotion-era partial write (or external corruption):
+            # clear it so the staging rename below can land
+            shutil.rmtree(path, ignore_errors=True)
+    staging = path + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # crashed previous attempt
     df = extract_fn()
-    df.write.mode("overwrite").format(fmt).save(path)
+    df.write.mode("overwrite").format(fmt).save(staging)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    os.rename(staging, path)
     return spark.read.format(fmt).load(path)

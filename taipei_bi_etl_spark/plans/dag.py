@@ -149,7 +149,25 @@ class DeleteByKeys(CleanupPolicy):
             str(r[0])
             for r in keep.select(t.partition_col).distinct().collect()
         }
-        keep.write.mode("overwrite").partitionBy(t.partition_col).parquet(path)
+        # `keep` lazily reads the very path being overwritten.  That is
+        # safe ONLY under dynamic partition overwrite (commit replaces
+        # matching partitions after the job has read its input); under
+        # static mode Spark truncates the whole path at job start and
+        # the read returns nothing.  Don't trust session config drift —
+        # force dynamic for the duration of this write.
+        conf = ctx.spark.conf
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = conf.get(key, None)
+        conf.set(key, "dynamic")
+        try:
+            keep.write.mode("overwrite").partitionBy(
+                t.partition_col
+            ).parquet(path)
+        finally:
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
         for v in affected_vals:
             if str(v) not in kept_vals:
                 gone = os.path.join(path, f"{t.partition_col}={v}")

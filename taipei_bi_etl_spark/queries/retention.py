@@ -129,10 +129,14 @@ def cohort_retention_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     a naive 22-way COUNT(DISTINCT CASE ...) makes Spark plan a 22-way
     Expand (22× the shuffle volume of the input).  Instead:
 
-    1. ONE shuffle keyed on (user, os, country, cohort_name) builds each
-       user-cohort's distinct-day set (collect_set dedups map-side);
-       cohort_date = array_min — no window function, no second pass over
-       events.
+    1. ONE shuffle keyed on (user, os, country, cohort_name) builds, in
+       the SAME aggregate, the true full-history cohort_date (MIN over
+       unfiltered days — the reference precomputes first-activity over
+       all history, so a user whose first day precedes AS_OF-112 must
+       NOT be re-cohorted to their first in-window day) and the
+       window-filtered distinct-day set (collect_set over a
+       null-when-out-of-window projection; collect_set drops nulls, so
+       per-user state stays bounded at ≤113 days even on full history).
     2. Per user-cohort, the day set maps to three BOUNDED arrays of
        distinct (grain, index) pairs — occur days, array_distinct of
        floor(d/7), floor(d/28) — ≤ 113+17+5 entries regardless of how
@@ -164,10 +168,16 @@ def cohort_retention_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("cohort_name"),
             F.to_date("ts").alias("day"),
         )
-        .filter((F.col("day") <= as_of) & (F.col("day") >= lo))
         .groupBy("user_id", "os", "country", "cohort_name")
-        .agg(F.collect_set("day").alias("days"))
-        .withColumn("cohort_date", F.array_min("days"))
+        .agg(
+            F.min("day").alias("cohort_date"),
+            F.collect_set(
+                F.when(
+                    (F.col("day") <= as_of) & (F.col("day") >= lo),
+                    F.col("day"),
+                )
+            ).alias("days"),
+        )
         .filter(
             (F.col("cohort_date") <= as_of) & (F.col("cohort_date") >= lo)
         )

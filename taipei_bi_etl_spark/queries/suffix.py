@@ -6,11 +6,14 @@ as a windowed-suffix computation: every maximal token span of length
 Equivalence to the suffix-array formulation: a suffix array detects a
 duplicated span of length ≥ W iff two suffixes share a prefix of ≥ W
 tokens, iff some W-token window occurs twice.  Grouping positions by
-their ACTUAL W-token window string (not a hash — zero collisions) and
-merging overlapping duplicated positions therefore yields exactly the
-maximal duplicated spans with detection granularity W — Lee et al.'s
-suffix array with comparison depth bounded at W, which is also how
-their implementation bounds memory.
+their ACTUAL W-token window string (not a hash — zero collisions),
+marking every token covered by a duplicated window, and emitting the
+maximal contiguous runs of marked tokens (duplicated window starts
+p1 < p2 mark a contiguous region iff p2 - p1 <= W, the islands merge
+condition) therefore yields exactly the maximal duplicate-marked
+spans with detection granularity W — Lee et al.'s suffix array with
+comparison depth bounded at W, which is also how their implementation
+bounds memory.
 
 This completes the dedup family's one honest r01 gap (BACKLOG:
 "suffix-array ExactSubstr full dedup"); the hashed 13-gram PROFILE
@@ -53,13 +56,18 @@ WITH toks AS (
   SELECT doc_id, p, COUNT(*) OVER (PARTITION BY w) AS c FROM win
 ), dup AS (
   SELECT doc_id, p,
-         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   > {WINDOW} THEN 1 ELSE 0 END AS ni
   FROM cnt WHERE c >= 2
+), isl AS (
+  SELECT doc_id, p,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM dup
 )
 SELECT doc_id,
        CAST(MIN(p) AS BIGINT) AS span_start,
        CAST(MAX(p) - MIN(p) + {WINDOW} AS BIGINT) AS span_len
-FROM dup
+FROM isl
 GROUP BY doc_id, grp
 """
 
@@ -99,10 +107,21 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("tok", F.col("p"), WINDOW), " ").alias("w"),
     )
     cnt = win.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("w")))
-    dup = cnt.filter(F.col("c") >= 2).withColumn(
-        "grp",
-        F.col("p")
-        - F.row_number().over(W.partitionBy("doc_id").orderBy("p")),
+    # islands merge spans whose MARKED-TOKEN regions touch or overlap:
+    # window starts p1 < p2 cover a contiguous duplicated region iff
+    # p2 - p1 <= WINDOW (gap > WINDOW leaves an unmarked token between
+    # [p1, p1+W-1] and [p2, p2+W-1]), so a new island begins exactly
+    # when the gap exceeds WINDOW — not only at consecutive positions.
+    wdoc = W.partitionBy("doc_id").orderBy("p")
+    dup = (
+        cnt.filter(F.col("c") >= 2)
+        .withColumn(
+            "ni",
+            F.when(
+                F.col("p") - F.lag("p").over(wdoc) > WINDOW, 1
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("ni").over(wdoc))
     )
     return (
         dup.groupBy("doc_id", "grp")
