@@ -51,15 +51,26 @@ def normalized(col: Column) -> Column:
 
 
 class _SparkBackend:
-    """Compile rules to Catalyst Column expressions (the engine path)."""
+    """Compile rules to Catalyst Column expressions (the engine path).
+
+    Encoding matters at this expression count (~150 rules × ~2 items):
+    the obvious per-rule ``when(cond, array(items)) else array()`` +
+    ``flatten(array(rules))`` allocates one ArrayData PER RULE PER ROW
+    plus a nested array-of-arrays for flatten — measured 2× slower
+    than this flat encoding, which emits every item as a single
+    nullable ``when(cond, item)`` slot in ONE fixed-width array and
+    drops the null slots with ``array_compact``: one array allocation
+    per vertical per row, zero nesting.  Item order inside the array
+    is rule order then item order — exactly the JS push order."""
 
     @staticmethod
-    def rule(cond, *items) -> Column:
-        """One JS ``if (...) feature.push(...)`` block → conditional array."""
-        return F.when(
-            cond,
-            F.array(*[i if isinstance(i, Column) else F.lit(i) for i in items]),
-        ).otherwise(F.array().cast("array<string>"))
+    def rule(cond, *items) -> list[Column]:
+        """One JS ``if (...) feature.push(...)`` block → one nullable
+        slot per pushed item (null = rule did not fire)."""
+        return [
+            F.when(cond, i if isinstance(i, Column) else F.lit(i))
+            for i in items
+        ]
 
     @staticmethod
     def cat(*parts) -> Column:
@@ -67,7 +78,7 @@ class _SparkBackend:
 
     @staticmethod
     def flat(rules) -> Column:
-        return F.flatten(F.array(*rules))
+        return F.array_compact(F.array(*[w for r in rules for w in r]))
 
 
 def _q(v: str) -> str:
@@ -496,12 +507,22 @@ def feature_mapping(
             F.lit(app).alias("app"),
         )
 
-    lists = [fn(_SparkBackend, *args) for _, fn in _VERTICALS]
-    out = None
-    for (name, _), lst in zip(_VERTICALS, lists):
-        branch = (F.size(lst) > 0, pack(lst, name, "App"))
-        out = F.when(*branch) if out is None else out.when(*branch)
-    return out.otherwise(pack(F.array(F.lit("feature: others")), "Others", "Others"))
+    # Single-evaluation cascade: a CASE chain on `size(lst) > 0` with
+    # `lst` again in the branch value makes codegen evaluate each
+    # vertical's whole rule-set TWICE (condition + value — Catalyst
+    # does not CSE across when-branches).  Building the five packed
+    # candidates in ONE array and taking the first non-empty keeps
+    # every rule-set in the expression tree exactly once; order of
+    # _VERTICALS is the reference's first-match-wins cascade order.
+    cands = F.array(
+        *[pack(fn(_SparkBackend, *args), name, "App") for name, fn in _VERTICALS]
+    )
+    first = F.try_element_at(
+        F.filter(cands, lambda s: F.size(s["feature"]) > 0), F.lit(1)
+    )
+    return F.coalesce(
+        first, pack(F.array(F.lit("feature: others")), "Others", "Others")
+    )
 
 
 def feature_mapping_sql(

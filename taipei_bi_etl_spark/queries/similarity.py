@@ -363,7 +363,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-approximate.
     """
     planes = _hyperplanes()
-    corpus = _corpus_with_norm(spark, sf_dir)
+    # the corpus subtree feeds THREE consumers (signatures + both sides
+    # of the verify join) and the bucketed-ids subtree feeds both sides
+    # of the candidate self-join — without a persist each consumer
+    # re-reads the parquet and re-evaluates the 64 hyperplane inner
+    # products (measured ~3× the query's whole cost at sf0.1)
+    corpus = _corpus_with_norm(spark, sf_dir).persist()
     sigs = corpus.select(
         "vec_id",
         F.array(
@@ -376,10 +381,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |pairs|×dim materialization (the OOM found at sf0.1)
     bucketed = sigs.select(
         "vec_id", F.posexplode("sigs").alias("table_id", "bucket")
-    )
+    ).persist()
     a = bucketed.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
     b = bucketed.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
     cand = (
+        # deliberately NOT a forced broadcast: the id side is
+        # |corpus|×LSH_TABLES rows, which outgrows the driver at real
+        # corpus sizes; AQE converts this to a broadcast join at
+        # runtime whenever the persisted side is actually small
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])  # OR across tables
