@@ -131,3 +131,120 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-doubling form — the suffix-array layout at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def _equality_rank(df: DataFrame, c1: str, c2: str, out: str) -> DataFrame:
+    """Replace each distinct (c1, c2) pair with one 8-byte id.
+
+    Only EQUALITY of ids is consumed downstream (the doubling rounds
+    test window equality, never order), so the id does not need to be
+    dense or order-preserving — ``monotonically_increasing_id`` over
+    the distinct pairs is collision-free by construction (partition id
+    in the high bits) with zero extra shuffle beyond the distinct.
+    The id frame is persisted so every consumer sees ONE materialized
+    assignment — an unpersisted nondeterministic id could be
+    recomputed differently per consumer."""
+    ids = (
+        df.select(c1, c2)
+        .distinct()
+        .withColumn(out, F.monotonically_increasing_id())
+        .persist()
+    )
+    return df.join(ids, [c1, c2])
+
+
+def _shift_rank(ranks: DataFrame, k: int, out: str) -> DataFrame:
+    """(doc_id, p, r) → (doc_id, p, r, r_at_p_plus_k) — inner join, so
+    positions whose shifted partner falls off the document end drop
+    out, exactly the positions whose window would overrun."""
+    shifted = ranks.select(
+        "doc_id", (F.col("p") - k).alias("p"), F.col("r").alias(out)
+    )
+    return ranks.join(shifted, ["doc_id", "p"])
+
+
+@query(
+    "dedup_exact_substring_sa",
+    oracle=_SPAN_ORACLE,
+    tags=("text", "dedup", "extension", "iterative"),
+)
+def dedup_exact_substring_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME maximal duplicate-marked spans as
+    ``dedup_exact_substring_spans`` (identical oracle — the two forms
+    are hash-compared against one SQL text), computed in the
+    suffix-array layout: prefix-doubling equality ranks instead of
+    materialized window strings.
+
+    Manber-Myers doubling, equality-only: rank_1 = id of the token;
+    rank_2k(p) = id of (rank_k(p), rank_k(p+k)); the final length-13
+    rank combines rank_8(p) and rank_8(p+5) — the overlapping-pair
+    trick (sparse-table style): two length-8 windows at offsets 0 and
+    5 cover positions p..p+12, and equality of the pair is equality
+    of the 13-token window.  Positions sharing a final rank with ≥ 2
+    members are duplicated; the islands merge is shared with the
+    windowed form.
+
+    Scale — WHY this exists next to the windowed form: the windowed
+    form shuffles O(n·W) bytes (every position carries its W-token
+    string as the shuffle key); this form shuffles O(n) 8-byte ranks
+    per doubling round, ceil(log2 W)+1 rounds — at W=50+ (Lee et
+    al.'s threshold) that is an order of magnitude less shuffle
+    volume, and the key is always a fixed-width long, never a string
+    comparator.  Per round: one distinct + one join + one shift join,
+    all keyed on (doc_id, p) or the 8-byte pair.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = F.split("text", r"\s+")
+    base = d.select("doc_id", tok.alias("tok")).filter(
+        F.size("tok") >= WINDOW
+    )
+    pos = base.select(
+        "doc_id", F.posexplode("tok").alias("p0", "t")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "t")
+    # rank_1: token identity (c2 is a constant — rank over the token).
+    # Each round SELF-joins the rank frame (shifted vs unshifted) and
+    # feeds the next round: the LOGICAL plan doubles per round even
+    # when a persist makes execution reuse the cache, and by round 4
+    # the plan tree itself (2^rounds nodes) OOMs the driver just
+    # rendering explain strings.  localCheckpoint truncates lineage —
+    # the iterative-algorithm tool persist is not.
+    r = (
+        _equality_rank(pos.withColumn("z", F.lit(0)), "t", "z", "r")
+        .select("doc_id", "p", "r")
+        .localCheckpoint()
+    )
+    # doubling rounds 1→2→4→8, then the 8+5 overlap for length 13
+    for k in (1, 2, 4):
+        paired = _shift_rank(r, k, "r2")
+        r = (
+            _equality_rank(paired, "r", "r2", "rn")
+            .select("doc_id", "p", F.col("rn").alias("r"))
+            .localCheckpoint()
+        )
+    final = _shift_rank(r, WINDOW - 8, "r2")
+    w13 = _equality_rank(final, "r", "r2", "w").select("doc_id", "p", "w")
+    cnt = w13.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("w")))
+    wdoc = W.partitionBy("doc_id").orderBy("p")
+    dup = (
+        cnt.filter(F.col("c") >= 2)
+        .withColumn(
+            "ni",
+            F.when(
+                F.col("p") - F.lag("p").over(wdoc) > WINDOW, 1
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("ni").over(wdoc))
+    )
+    return (
+        dup.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") - F.min("p") + WINDOW).cast("long").alias("span_len"),
+        )
+        .drop("grp")
+    )
