@@ -90,10 +90,13 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     relational8,
     modern_api2,
     graph,
+    graph2,
     relational9,
     retention,
     mango_parity,
     suffix,
     sampling,
     multimodal_real,
+    label_quality,
+    profiling,
 )

@@ -88,3 +88,58 @@ def weighted_sample_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SAMPLE_K)
         .select("doc_id", "weight")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment — exact per-class balance.
+# ---------------------------------------------------------------------------
+
+K_FOLDS = 5
+
+_KFOLD_ORACLE = f"""
+WITH ranked AS (
+  SELECT label,
+         (ROW_NUMBER() OVER (
+            PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          ) - 1) % {K_FOLDS} AS fold
+  FROM embeddings
+)
+SELECT label, CAST(fold AS INT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@query(
+    "stratified_kfold_assignment",
+    oracle=_KFOLD_ORACLE,
+    tags=("curation", "sampling", "extension"),
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation folds stratified by label with EXACT per-class
+    balance: within each label, rows rank by a content-addressed key
+    (md5 of the id — stable under repartitioning / re-ingestion, like
+    every sampler here) and fold = rank mod K, so per (label, fold)
+    counts differ by at most one.  Output is the (label, fold, count)
+    balance certificate.
+
+    Scale: one window per label.  A label that dominates the corpus
+    serializes its rank on one task — at that scale trade exactness
+    for `pmod(xxhash64(id), K)` (only approximately balanced, fully
+    parallel), or salt the rank per label shard and take mod K of
+    (shard_rank · n_shards + shard).  The exact form is right for the
+    label-cardinality regimes a labeled training corpus actually has.
+    """
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = e.select(
+        "label",
+        ((F.row_number().over(w) - 1) % K_FOLDS).cast("int").alias("fold"),
+    )
+    return ranked.groupBy("label", "fold").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
