@@ -68,17 +68,74 @@ class _SparkBackend:
         """One JS ``if (...) feature.push(...)`` block → one nullable
         slot per pushed item (null = rule did not fire)."""
         return [
-            F.when(cond, i if isinstance(i, Column) else F.lit(i))
+            F.when(cond, _as_col(i))
             for i in items
         ]
 
     @staticmethod
     def cat(*parts) -> Column:
-        return F.concat(*[p if isinstance(p, Column) else F.lit(p) for p in parts])
+        return F.concat(*[_as_col(p) for p in parts])
 
     @staticmethod
     def flat(rules) -> Column:
         return F.array_compact(F.array(*[w for r in rules for w in r]))
+
+
+def _as_col(p) -> Column:
+    """Literal / Column / _AtomCol → Column (value context)."""
+    if isinstance(p, _AtomCol):
+        return p.col
+    return p if isinstance(p, Column) else F.lit(p)
+
+
+class _AtomCol:
+    """Column proxy for the ATOMIZED Spark compile: every distinct
+    atomic predicate (col = lit, col IN set, contains(col, lit)) is
+    registered ONCE in ``reg`` under a stable generated name and the
+    rules reference it as a plain boolean attribute.
+
+    Why: the ~150-rule cascade repeats the same handful of atoms many
+    times (the ``vert = '<name>'`` guard alone appears in ~25 rules,
+    the 10-way partner IN in ~22) — compiled inline that is ~600
+    string comparisons per row, and Catalyst's subexpression
+    elimination does not reach across when-branches.  Factoring the
+    atoms into their OWN projection evaluates each one once per row;
+    CollapseProject keeps the two projections separate exactly
+    because the atoms are non-trivial expressions referenced more
+    than once.  In value contexts (``B.cat``) the proxy decays to the
+    raw column via ``.col``.
+    """
+
+    def __init__(self, name: str, reg: dict):
+        self._name = name
+        self._reg = reg
+        self.col = F.col(name)
+
+    def _atom(self, key: tuple, build) -> Column:
+        if key not in self._reg:
+            self._reg[key] = (f"__fm_atom_{len(self._reg)}", build())
+        return F.col(self._reg[key][0])
+
+    def __eq__(self, v):  # type: ignore[override]
+        return self._atom(("eq", self._name, v), lambda: self.col == v)
+
+    def __ne__(self, v):  # type: ignore[override]
+        return self._atom(("ne", self._name, v), lambda: self.col != v)
+
+    def isin(self, *vals) -> Column:
+        flat = (
+            vals[0]
+            if len(vals) == 1 and isinstance(vals[0], (list, tuple))
+            else vals
+        )
+        return self._atom(
+            ("in", self._name, tuple(flat)), lambda: self.col.isin(*flat)
+        )
+
+    def contains(self, sub: str) -> Column:
+        return self._atom(
+            ("ct", self._name, sub), lambda: self.col.contains(sub)
+        )
 
 
 def _q(v: str) -> str:
@@ -499,14 +556,18 @@ def feature_mapping(
         event_method, event_object, event_value,
         extra_key, extra_value, event_vertical, settings_search_engine,
     )
+    return _cascade_column(args)
 
-    def pack(features: Column, vertical: str, app: str) -> Column:
-        return F.struct(
-            features.alias("feature"),
-            F.lit(vertical).alias("vertical"),
-            F.lit(app).alias("app"),
-        )
 
+def _pack(features: Column, vertical: str, app: str) -> Column:
+    return F.struct(
+        features.alias("feature"),
+        F.lit(vertical).alias("vertical"),
+        F.lit(app).alias("app"),
+    )
+
+
+def _cascade_column(args) -> Column:
     # Single-evaluation cascade: a CASE chain on `size(lst) > 0` with
     # `lst` again in the branch value makes codegen evaluate each
     # vertical's whole rule-set TWICE (condition + value — Catalyst
@@ -515,14 +576,51 @@ def feature_mapping(
     # every rule-set in the expression tree exactly once; order of
     # _VERTICALS is the reference's first-match-wins cascade order.
     cands = F.array(
-        *[pack(fn(_SparkBackend, *args), name, "App") for name, fn in _VERTICALS]
+        *[
+            _pack(fn(_SparkBackend, *args), name, "App")
+            for name, fn in _VERTICALS
+        ]
     )
     first = F.try_element_at(
         F.filter(cands, lambda s: F.size(s["feature"]) > 0), F.lit(1)
     )
     return F.coalesce(
-        first, pack(F.array(F.lit("feature: others")), "Others", "Others")
+        first, _pack(F.array(F.lit("feature: others")), "Others", "Others")
     )
+
+
+def feature_mapping_mapped(
+    df,
+    out: str = "map",
+    event_method: str = "event_method",
+    event_object: str = "event_object",
+    event_value: str = "event_value",
+    extra_key: str = "extra_key",
+    extra_value: str = "extra_value",
+    event_vertical: str = "event_vertical",
+    settings_search_engine: str = "settings_search_engine",
+):
+    """DataFrame-level D4 compile, atomized: adds ``out`` =
+    feature_mapping(...) with every distinct atomic predicate factored
+    into its own projection so it evaluates once per row instead of
+    once per referencing rule (see `_AtomCol`).  Semantically identical
+    to ``withColumn(out, feature_mapping(...))`` — gated by the same
+    randomized dual-transcription test — but ~2× faster on the rule
+    cascade, which is the mango chain's cost center (SCALE.md)."""
+    reg: dict = {}
+    proxies = tuple(
+        _AtomCol(c, reg)
+        for c in (
+            event_method, event_object, event_value,
+            extra_key, extra_value, event_vertical, settings_search_engine,
+        )
+    )
+    mapped = _cascade_column(proxies)
+    atom_names = [name for name, _ in reg.values()]
+    with_atoms = df.select(
+        "*", *[expr.alias(name) for name, expr in reg.values()]
+    )
+    return with_atoms.withColumn(out, mapped).drop(*atom_names)
 
 
 def feature_mapping_sql(

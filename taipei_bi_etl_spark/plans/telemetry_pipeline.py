@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark import functions as FN
 
-from taipei_bi_etl_spark.feature_mapping import feature_mapping
+from taipei_bi_etl_spark.feature_mapping import feature_mapping_mapped
 from taipei_bi_etl_spark.functions import kv_get
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.udfs import cleanup_extra, json_extract_events
@@ -100,14 +100,7 @@ def map_features(unnested: DataFrame) -> DataFrame:
         F.coalesce(F.lower(F.col("extra.key")), F.lit("")).alias("extra_key"),
         F.coalesce(F.lower(F.col("extra.value")), F.lit("")).alias("extra_value"),
     )
-    mapped = flat.withColumn(
-        "map",
-        feature_mapping(
-            F.col("event_method"), F.col("event_object"), F.col("event_value"),
-            F.col("extra_key"), F.col("extra_value"), F.col("event_vertical"),
-            F.col("settings_search_engine"),
-        ),
-    )
+    mapped = feature_mapping_mapped(flat, out="map")
     # 3-way fan-out: Feature rows (one per mapped feature) ∪ Vertical ∪ App,
     # expressed as one explode over a built array instead of 3 passes
     # (SURVEY §2.7 U1 preferred form).
@@ -408,14 +401,7 @@ def map_features_full(unnested: DataFrame) -> DataFrame:
             "extra_value"
         ),
     )
-    mapped = flat.withColumn(
-        "map",
-        feature_mapping(
-            F.col("event_method"), F.col("event_object"), F.col("event_value"),
-            F.col("extra_key"), F.col("extra_value"), F.col("event_vertical"),
-            F.col("settings_search_engine"),
-        ),
-    )
+    mapped = feature_mapping_mapped(flat, out="map")
     fan = F.concat(
         F.transform(
             F.col("map.feature"),
