@@ -34,6 +34,13 @@ from taipei_bi_etl_spark.session import get_spark  # noqa: E402
 
 #: events-shaped and documents-shaped heavy queries.
 STRESS_QUERIES = [
+    # r03 additions: iterative graph + SA dedup + tf-idf (the new
+    # shuffle-heavy shapes; the exact-kernel label/ANN ops scale as n²
+    # by design and route to shortlist forms instead of stress here)
+    "copurchase_label_propagation",
+    "copurchase_k_shortest_paths",
+    "dedup_exact_substring_sa",
+    "tfidf_top_terms",
     "asof_join_attribution",
     "range_join_error_window",
     "scd2_dimension_build",

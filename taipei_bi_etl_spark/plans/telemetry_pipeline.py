@@ -256,6 +256,121 @@ def full_pings_from(ev: DataFrame) -> DataFrame:
     )
 
 
+def structured_pings_from(ev: DataFrame) -> DataFrame:
+    """The parquet-native fast path: the SAME ping stream as
+    :func:`full_pings_from` but with ``events`` already an
+    ``ARRAY<STRUCT<...>>`` — the shape a telemetry warehouse that
+    stores structured parquet (not JSON strings) hands the chain.
+    Skips the build-JSON → VARIANT-parse round trip entirely (a
+    compatibility feature first: at bench scale the cascade, not the
+    parse, dominates — see the registered query's scale note);
+    everything
+    downstream (cleanup, mapping, fan-out) is shared code, and
+    `mango_feature_surface_native` hash-checks this path against the
+    SAME oracle as the JSON path, so the two entries are proven
+    row-identical."""
+
+    def pick(vocab, salt: int, stride: int = 1) -> F.Column:
+        arr = F.array(*[F.lit(x) for x in vocab])
+        idx = F.floor(F.col("event_id") / stride) + salt
+        return F.element_at(
+            arr, (F.pmod(idx, F.lit(len(vocab))) + 1).cast("int")
+        )
+
+    def kv(key: str, value: F.Column) -> F.Column:
+        return F.struct(F.lit(key).alias("key"), value.alias("value"))
+
+    eid = F.col("event_id")
+    extra = F.array_compact(
+        F.array(
+            kv("vertical", pick(_VERTICALS, 7, 5)),
+            kv("source", pick(_SOURCES, 11, 7)),
+            F.when(
+                F.pmod(eid, F.lit(3)) == 0,
+                kv(
+                    "session_time",
+                    F.pmod(eid * 37, F.lit(200_000)).cast("string"),
+                ),
+            ),
+            F.when(
+                F.pmod(eid, F.lit(3)) == 0,
+                kv("url_counts", F.pmod(eid, F.lit(7)).cast("string")),
+            ),
+            F.when(
+                F.pmod(eid, F.lit(11)) == 0, kv("app_link", F.lit("install"))
+            ),
+            F.when(
+                F.pmod(eid, F.lit(11)) == 1, kv("app_link", F.lit("open"))
+            ),
+            F.when(
+                F.pmod(eid, F.lit(13)) == 0,
+                kv("show_keyboard", F.lit("true")),
+            ),
+        )
+    )
+    event = F.struct(
+        FN.unix_ms(F.col("ts")).alias("event_timestamp"),
+        F.lit("action").alias("event_category"),
+        pick(_METHODS_FULL, 1, 1).alias("event_method"),
+        pick(_OBJECTS_FULL, 3, 8).alias("event_object"),
+        pick(_VALUES, 5, 64).alias("event_value"),
+        extra.alias("event_extra"),
+    )
+    tracker = F.element_at(
+        F.array(*[F.lit(t) for t in _TRACKER_TOKENS]),
+        (F.pmod(F.col("user_id"), F.lit(len(_TRACKER_TOKENS))) + 1).cast("int"),
+    )
+    settings = F.filter(
+        F.array(
+            F.struct(
+                F.lit("pref_search_engine").alias("key"),
+                F.lit("google").alias("value"),
+            ),
+            F.struct(
+                F.lit("pref_key_s_tracker_token").alias("key"),
+                tracker.alias("value"),
+            ),
+            F.struct(
+                F.lit("install_referrer").alias("key"),
+                F.concat(
+                    F.lit("ref-"),
+                    F.pmod(F.col("user_id"), F.lit(4)).cast("string"),
+                ).alias("value"),
+            ),
+        ),
+        lambda s: s["value"].isNotNull(),
+    )
+    return ev.select(
+        F.col("user_id").alias("client_id"),
+        F.col("ts").alias("submission_timestamp"),
+        F.to_date("ts").alias("submission_date"),
+        os_of(F.col("user_id")).alias("os"),
+        country_of(F.col("user_id")).alias("country"),
+        F.array(event).alias("events"),
+        settings.alias("settings"),
+    )
+
+
+def unnest_events_structured(pings: DataFrame) -> DataFrame:
+    """mango_events_unnested over STRUCTURED pings (no JSON parse):
+    explode + D2 cleanup, identical output columns to
+    :func:`unnest_events_full`."""
+    parsed = pings.withColumn("event", F.explode("events"))
+    return parsed.select(
+        "client_id",
+        "submission_timestamp",
+        "submission_date",
+        "os",
+        "country",
+        "settings",
+        F.col("event.event_timestamp").alias("event_timestamp"),
+        F.col("event.event_method").alias("event_method"),
+        F.col("event.event_object").alias("event_object"),
+        F.col("event.event_value").alias("event_value"),
+        cleanup_extra(F.col("event.event_extra")).alias("event_extra"),
+    )
+
+
 def synthesize_core_pings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The telemetry_core-shaped stream for mango_core
     (sql/mango_core.sql: Zerda scan with searches map, profile_date,

@@ -393,6 +393,12 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_before = live.select("u").distinct().count()
         n_after = nxt.select("u").distinct().count()
+        # nxt is materialized by the counts above — release the
+        # superseded round's caches so a long-lived session doesn't
+        # accumulate |rounds| copies of the edge frame
+        keep.unpersist()
+        if live is not edges:
+            live.unpersist()
         live = nxt
         if n_after == n_before or n_after == 0:
             break

@@ -58,6 +58,15 @@ def get_spark(
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
     builder = SparkSession.builder.appName(app_name).master(master)
+    # Local-mode driver heap defaults to 1g and the driver IS the
+    # executor: a bench/test session running many cache-using queries
+    # back to back exhausts it (GCLocker allocation-retry storms, then
+    # OOM).  Honored only at JVM launch — a no-op on getOrCreate reuse,
+    # which is fine: the first engine session in a process sets it.
+    builder = builder.config(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
     builder = builder.config(
