@@ -162,6 +162,110 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def star_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the scale-optimal layout twin of
+    :func:`min_label_components`, same (node, component_id) output.
+
+    large-star(u): every neighbor v > u re-points at
+    m = min(Γ(u) ∪ {{u}}); small-star(u) (on canonical u > v edges):
+    every neighbor and u itself point at the neighborhood minimum.
+    The fixed point is a 2-level star per component with the minimum
+    id at the center.
+
+    Why it exists next to min-label: label propagation moves ONE label
+    per node per round and a high-degree hub's neighborhood re-sends
+    the hub's whole adjacency every round; the star operations
+    REWRITE the edge list, so hubs disintegrate into direct pointers
+    to the minimum in O(log n) rounds with edge volume that shrinks
+    monotonically — the behavior that survives power-law duplicate
+    clusters.  Each round: two groupBy-on-node aggregates + explodes;
+    the edge frame is localCheckpoint'd per round (iterative
+    self-reference policy — see min_label_components).
+    """
+    e = (
+        pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    while True:
+        both = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nbrs = both.groupBy("u").agg(F.collect_set("v").alias("ns"))
+        m_all = F.array_min(
+            F.array_union(F.col("ns"), F.array(F.col("u")))
+        )
+        large = (
+            nbrs.select(
+                m_all.alias("m"),
+                F.explode(
+                    F.filter("ns", lambda v: v > F.col("u"))
+                ).alias("w"),
+            )
+            .filter(F.col("w") != F.col("m"))
+            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the canonical (u > v) form of large's output
+        nbrs2 = large.groupBy("u").agg(F.collect_set("v").alias("ns"))
+        small = (
+            nbrs2.select(
+                F.array_min("ns").alias("m"),
+                F.explode(
+                    F.array_union(F.array(F.col("u")), F.col("ns"))
+                ).alias("w"),
+            )
+            .filter(F.col("w") != F.col("m"))
+            .select(
+                F.greatest("w", "m").alias("u"), F.least("w", "m").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            small.exceptAll(e).count() + e.exceptAll(small).count()
+        )
+        e = small
+        if changed == 0:
+            break
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component_id"))
+        .unionByName(
+            e.select(
+                F.col("v").alias("node"), F.col("v").alias("component_id")
+            )
+        )
+        .groupBy("node")
+        .agg(F.min("component_id").alias("component_id"))
+    )
+
+
+@query(
+    "dedup_components_star",
+    oracle=_CC_ORACLE,
+    tags=("dedup", "extension", "iterative"),
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME duplicate-cluster assignment as `dedup_components`
+    (identical oracle — the recursive-CTE reachability), computed by
+    the alternating large-star/small-star edge rewriting instead of
+    min-label propagation; see :func:`star_components` for why this
+    layout wins on power-law cluster graphs."""
+    from taipei_bi_etl_spark.queries.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = star_components(pairs, "doc_a", "doc_b")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("component_id").cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # K-means over embeddings + IVF ANN.
 # ---------------------------------------------------------------------------

@@ -172,3 +172,131 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).alias("cosine_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JL-shortlist twin — the corpus-scale path for the consistency screen.
+# ---------------------------------------------------------------------------
+
+KNN_SHORT = 64
+
+
+def _consistency_jl_oracle() -> str:
+    from taipei_bi_etl_spark.queries.similarity import _jl_rows, _jl_sql_row
+
+    proj = ", ".join(
+        "list_inner_product(embedding::DOUBLE[], " + _jl_sql_row(r) + ")"
+        for r in _jl_rows()
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm,
+         [{proj}] AS p
+  FROM embeddings
+), pn AS (
+  SELECT vec_id, label, emb, nrm, p,
+         sqrt(list_inner_product(p, p)) AS pnrm
+  FROM e
+), shortlist AS (
+  SELECT a.vec_id, a.label, a.emb, a.nrm,
+         b.vec_id AS nbr_id, b.label AS nbr_label, b.emb AS bemb,
+         b.nrm AS bnrm
+  FROM pn a JOIN pn b ON a.vec_id <> b.vec_id
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY list_inner_product(a.p, b.p) / (a.pnrm * b.pnrm) DESC,
+             b.vec_id
+  ) <= {KNN_SHORT}
+), ranked AS (
+  SELECT vec_id, label,
+         CASE WHEN nbr_label = label THEN 1 ELSE 0 END AS same
+  FROM shortlist
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id
+    ORDER BY list_inner_product(emb, bemb) / (nrm * bnrm) DESC, nbr_id
+  ) <= {K_NN}
+)
+SELECT vec_id, label,
+       CAST(SUM(same) AS BIGINT) AS k_same,
+       CAST(SUM(same) * 2 < {K_NN} AS BOOLEAN) AS flagged
+FROM ranked GROUP BY vec_id, label
+"""
+
+
+@query(
+    "knn_label_consistency_jl",
+    oracle=_consistency_jl_oracle(),
+    tags=("similarity", "curation", "extension"),
+)
+def knn_label_consistency_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale twin of `knn_label_consistency`: candidate
+    neighbors come from a 16-dim Johnson-Lindenstrauss shortlist
+    (top {KNN_SHORT} by projected cosine — 4× fewer floats per pair),
+    and only the shortlist is re-ranked with the exact 64-dim kernel.
+    Same (vec_id, label, k_same, flagged) surface; the oracle
+    replicates projection, shortlist and re-rank exactly (inlined sign
+    matrix — the `ann_jl_shortlist_topk` pattern), so correctness is
+    hash-exact, not recall-approximate.
+
+    Scale: the projected corpus is the broadcast side (16 doubles +
+    norm per vector, 4× smaller than the exact form's); the exact
+    kernel touches |V|·{KNN_SHORT} pairs instead of |V|²."""
+    from taipei_bi_etl_spark.queries.similarity import (
+        _jl_rows,
+        as_double,
+        dot,
+        l2_norm,
+    )
+    from taipei_bi_etl_spark.io import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = as_double("embedding")
+    rows = _jl_rows()
+    proj = F.array(
+        *[
+            dot(emb, F.array(*[F.lit(float(s)) for s in row]))
+            for row in rows
+        ]
+    )
+    pn = e.select(
+        "vec_id", "label", emb.alias("emb"), l2_norm(emb).alias("norm"),
+        proj.alias("p"),
+    ).withColumn("pnrm", F.sqrt(dot(F.col("p"), F.col("p")))).persist()
+    a = pn.select(
+        "vec_id", "label", F.col("emb").alias("ea"), F.col("norm").alias("na"),
+        F.col("p").alias("pa"), F.col("pnrm").alias("pna"),
+    )
+    b = pn.select(
+        F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label"),
+        F.col("emb").alias("eb"), F.col("norm").alias("nb"),
+        F.col("p").alias("pb"), F.col("pnrm").alias("pnb"),
+    )
+    jl_sim = dot(F.col("pa"), F.col("pb")) / (F.col("pna") * F.col("pnb"))
+    w_short = Window.partitionBy("vec_id").orderBy(
+        F.desc("jl_sim"), F.asc("nbr_id")
+    )
+    shortlist = (
+        a.join(F.broadcast(b), F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("jl_sim", jl_sim)
+        .withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= KNN_SHORT)
+    )
+    exact = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    w_exact = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("nbr_id")
+    )
+    ranked = (
+        shortlist.withColumn("sim", exact)
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= K_NN)
+        .select(
+            "vec_id", "label",
+            (F.col("nbr_label") == F.col("label")).cast("int").alias("same"),
+        )
+    )
+    return ranked.groupBy("vec_id", "label").agg(
+        F.sum("same").cast("long").alias("k_same"),
+        (F.sum("same") * 2 < K_NN).alias("flagged"),
+    )

@@ -160,3 +160,33 @@ def test_kcore_property_and_maximality(spark):
         .m
     )
     assert worst is None or worst < KCORE_K, worst
+
+
+def test_star_components_equal_min_label(spark):
+    """large-star/small-star and min-label propagation are two layouts
+    of one operator — identical components on a graph with a long
+    chain (diameter stress), a 40-degree hub (skew stress), and an
+    isolated pair."""
+    from taipei_bi_etl_spark.queries.clustering import (
+        min_label_components,
+        star_components,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(0, 30)]
+        + [(100, j) for j in range(101, 140)]
+        + [(200, 201)]
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    got_min = {
+        (r.node, r.component_id)
+        for r in min_label_components(df, "a", "b").collect()
+    }
+    got_star = {
+        (r.node, r.component_id)
+        for r in star_components(df, "a", "b").collect()
+    }
+    assert got_min == got_star
+    # chain collapses to root 0, hub to 100, pair to 200
+    roots = {c for _, c in got_star}
+    assert roots == {0, 100, 200}

@@ -351,3 +351,35 @@ def test_rule_checklist_is_exhaustive_both_directions():
     assert len(rows) == 131
     assert unmatched_js == []
     assert unmatched_rules == []
+
+
+def test_mapped_compile_equals_column_compile(spark):
+    """feature_mapping_mapped (atomized two-projection compile) must be
+    row-identical to the single-Column compile over the same randomized
+    corpus — guards the atom-registry rewrite against any predicate
+    being registered under the wrong key or decayed to the wrong
+    value-context column."""
+    from taipei_bi_etl_spark.feature_mapping import feature_mapping_mapped
+
+    rng = random.Random(271828)
+    rows = [
+        (
+            rng.choice(METHODS), rng.choice(OBJECTS), rng.choice(VALUES),
+            rng.choice(EXTRA_KEYS), rng.choice(EXTRA_VALUES),
+            rng.choice(VERTICALS), rng.choice(ENGINES),
+        )
+        for _ in range(4000)
+    ]
+    cols = ["m", "o", "v", "ek", "ev", "vert", "se"]
+    df = spark.createDataFrame(rows, cols)
+    a = df.select(
+        *cols, feature_mapping(*[F.col(c) for c in cols]).alias("map")
+    ).collect()
+    b = feature_mapping_mapped(
+        df,
+        out="map",
+        event_method="m", event_object="o", event_value="v",
+        extra_key="ek", extra_value="ev", event_vertical="vert",
+        settings_search_engine="se",
+    ).select(*cols, "map").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
