@@ -250,3 +250,85 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxx.cast("decimal(38,0)").alias("sum_sq_micros2"),
         sx.cast("long").alias("sum_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact accounting — the report a dedup pass publishes.
+# ---------------------------------------------------------------------------
+
+_DEDUP_IMPACT_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS n_tokens,
+         md5(text) AS digest
+  FROM documents
+), kept AS (
+  SELECT *,
+         doc_id = MIN(doc_id) OVER (PARTITION BY digest) AS keep
+  FROM keyed
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE n_tokens END) * 1000000
+            // SUM(n_tokens) AS BIGINT) AS removed_ppm
+FROM kept
+GROUP BY source
+"""
+
+
+@query(
+    "dedup_impact_report",
+    oracle=_DEDUP_IMPACT_ORACLE,
+    tags=("dedup", "profile", "extension"),
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of an exact-dedup pass: documents and
+    tokens before vs after, and the removed-token rate in exact ppm —
+    the table a curation pipeline publishes so downstream consumers
+    know how much (and whose) mass dedup deleted.  Survivor rule is
+    `dedup_exact`'s: keep the minimum doc_id per md5(text) group.
+
+    Scale: one shuffle on the 128-bit digest (uniform, skew-free) to
+    mark survivors via a window min, one hash aggregate on source.
+    Exact integers only — the rate is a cross-multiplied ppm, never a
+    hashed float division.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != "")
+        ).cast("long").alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+    kept = keyed.withColumn(
+        "keep",
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy("digest")),
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.floor(
+            F.sum(
+                F.when(F.col("keep"), 0).otherwise(F.col("n_tokens"))
+            )
+            * 1_000_000
+            / F.sum("n_tokens")
+        )
+        .cast("long")
+        .alias("removed_ppm"),
+    )
