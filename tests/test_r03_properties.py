@@ -191,3 +191,40 @@ def test_graph_ops_match_python_reference(spark, tmp_path, seed):
         n: [dm for _, dm in sorted(v)] for n, v in got.items()
     }
     assert got_ksp == exp_ksp
+
+
+def test_knn_label_consistency_matches_numpy(spark):
+    """Third opinion for the consistency screen: numpy cosine +
+    argsort with the same (sim DESC, id ASC) tie-break over the real
+    sf0.001 embeddings — independent of both the Spark HOF kernel and
+    the DuckDB oracle arithmetic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from taipei_bi_etl_spark.queries.label_quality import (
+        K_NN,
+        knn_label_consistency,
+    )
+    from tests.conftest import SF_DIR
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    labels = np.asarray(t["label"])
+    emb = np.asarray([list(v) for v in t["embedding"].to_pylist()], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, labels, emb = ids[order], labels[order], emb[order]
+    norms = np.linalg.norm(emb, axis=1)
+    sims = (emb @ emb.T) / np.outer(norms, norms)
+    expected = {}
+    n = len(ids)
+    for i in range(n):
+        cand = [(-sims[i, j], ids[j], j) for j in range(n) if j != i]
+        cand.sort()
+        top = cand[:K_NN]
+        k_same = sum(1 for _, _, j in top if labels[j] == labels[i])
+        expected[int(ids[i])] = (int(labels[i]), k_same, k_same * 2 < K_NN)
+    got = {
+        r.vec_id: (r.label, r.k_same, r.flagged)
+        for r in knn_label_consistency(spark, SF_DIR).collect()
+    }
+    assert got == expected
