@@ -175,15 +175,38 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# JL-shortlist twin — the corpus-scale path for the consistency screen.
+# LSH-bucketed + JL-shortlist twin — the corpus-scale path for the
+# consistency screen.
 # ---------------------------------------------------------------------------
 
 KNN_SHORT = 64
 
 
 def _consistency_jl_oracle() -> str:
-    from taipei_bi_etl_spark.queries.similarity import _jl_rows, _jl_sql_row
+    from taipei_bi_etl_spark.queries.similarity import (
+        LSH_BITS,
+        LSH_TABLES,
+        _hyperplanes,
+        _jl_rows,
+        _jl_sql_row,
+    )
 
+    planes = _hyperplanes()
+
+    def sig_expr(emb: str, t: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product({emb}, "
+            f"[{', '.join(repr(v) for v in planes[t][i])}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_BITS)
+        )
+        return f"({bits})"
+
+    corpus_sigs = ", ".join(
+        f"{sig_expr('embedding::DOUBLE[]', t)} AS s{t}"
+        for t in range(LSH_TABLES)
+    )
+    any_match = " OR ".join(f"a.s{t} = b.s{t}" for t in range(LSH_TABLES))
     proj = ", ".join(
         "list_inner_product(embedding::DOUBLE[], " + _jl_sql_row(r) + ")"
         for r in _jl_rows()
@@ -193,29 +216,30 @@ WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS emb,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
            AS nrm,
-         [{proj}] AS p
+         [{proj}] AS p,
+         {corpus_sigs}
   FROM embeddings
 ), pn AS (
-  SELECT vec_id, label, emb, nrm, p,
-         sqrt(list_inner_product(p, p)) AS pnrm
-  FROM e
+  SELECT *, sqrt(list_inner_product(p, p)) AS pnrm FROM e
 ), shortlist AS (
-  SELECT a.vec_id, a.label, a.emb, a.nrm,
-         b.vec_id AS nbr_id, b.label AS nbr_label, b.emb AS bemb,
-         b.nrm AS bnrm
-  FROM pn a JOIN pn b ON a.vec_id <> b.vec_id
+  SELECT a.vec_id, a.label,
+         b.vec_id AS nbr_id, b.label AS nbr_label
+  FROM pn a JOIN pn b ON a.vec_id <> b.vec_id AND ({any_match})
   QUALIFY ROW_NUMBER() OVER (
     PARTITION BY a.vec_id
     ORDER BY list_inner_product(a.p, b.p) / (a.pnrm * b.pnrm) DESC,
              b.vec_id
   ) <= {KNN_SHORT}
 ), ranked AS (
-  SELECT vec_id, label,
-         CASE WHEN nbr_label = label THEN 1 ELSE 0 END AS same
-  FROM shortlist
+  SELECT s.vec_id, s.label,
+         CASE WHEN s.nbr_label = s.label THEN 1 ELSE 0 END AS same
+  FROM shortlist s
+  JOIN pn ea ON ea.vec_id = s.vec_id
+  JOIN pn eb ON eb.vec_id = s.nbr_id
   QUALIFY ROW_NUMBER() OVER (
-    PARTITION BY vec_id
-    ORDER BY list_inner_product(emb, bemb) / (nrm * bnrm) DESC, nbr_id
+    PARTITION BY s.vec_id
+    ORDER BY list_inner_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) DESC,
+             s.nbr_id
   ) <= {K_NN}
 )
 SELECT vec_id, label,
@@ -231,64 +255,117 @@ FROM ranked GROUP BY vec_id, label
     tags=("similarity", "curation", "extension"),
 )
 def knn_label_consistency_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-scale twin of `knn_label_consistency`: candidate
-    neighbors come from a 16-dim Johnson-Lindenstrauss shortlist
-    (top {KNN_SHORT} by projected cosine — 4× fewer floats per pair),
-    and only the shortlist is re-ranked with the exact 64-dim kernel.
-    Same (vec_id, label, k_same, flagged) surface; the oracle
-    replicates projection, shortlist and re-rank exactly (inlined sign
-    matrix — the `ann_jl_shortlist_topk` pattern), so correctness is
-    hash-exact, not recall-approximate.
+    """The corpus-scale twin of `knn_label_consistency`, genuinely
+    sub-quadratic: candidate pairs come from the LSH (table_id, bucket)
+    self-join (`similarity.py`'s seeded hyperplane machinery — id-only
+    pairs, Σ_buckets |bucket|² candidates instead of |V|²), candidates
+    are shortlisted to the top KNN_SHORT by the 16-dim
+    Johnson-Lindenstrauss projected cosine (16 doubles per side, never
+    the 64-dim vector), and only the |V|·KNN_SHORT survivors re-join
+    the full embedding for the exact re-rank.  Same
+    (vec_id, label, k_same, flagged) surface; the oracle replicates
+    hyperplanes, projection, shortlist and re-rank exactly (inlined
+    literal matrices), so correctness is hash-exact, not
+    recall-approximate.  Agreement with the exact
+    `knn_label_consistency` screen is separately gated in
+    tests/test_r03_properties.py.
 
-    Scale: the projected corpus is the broadcast side (16 doubles +
-    norm per vector, 4× smaller than the exact form's); the exact
-    kernel touches |V|·{KNN_SHORT} pairs instead of |V|²."""
+    Scale: no all-pairs join anywhere — candidate generation is keyed
+    on (table_id, bucket) with cardinality ≤ LSH_TABLES·2^LSH_BITS
+    (raise LSH_BITS as corpora cluster); the JL frame joined back to
+    score the shortlist carries 16 doubles + norm per vector; the
+    64-dim embedding is equi-joined (no forced broadcast — AQE decides)
+    only against shortlist survivors.
+    """
+    from taipei_bi_etl_spark.io import read_table
     from taipei_bi_etl_spark.queries.similarity import (
+        LSH_TABLES,
+        _hyperplanes,
         _jl_rows,
         as_double,
         dot,
-        l2_norm,
+        signature,
     )
-    from taipei_bi_etl_spark.io import read_table
 
+    planes = _hyperplanes()
     e = read_table(spark, sf_dir, "embeddings")
     emb = as_double("embedding")
     rows = _jl_rows()
     proj = F.array(
-        *[
-            dot(emb, F.array(*[F.lit(float(s)) for s in row]))
-            for row in rows
-        ]
+        *[dot(emb, F.array(*[F.lit(float(s)) for s in row])) for row in rows]
     )
-    pn = e.select(
-        "vec_id", "label", emb.alias("emb"), l2_norm(emb).alias("norm"),
-        proj.alias("p"),
-    ).withColumn("pnrm", F.sqrt(dot(F.col("p"), F.col("p")))).persist()
-    a = pn.select(
-        "vec_id", "label", F.col("emb").alias("ea"), F.col("norm").alias("na"),
-        F.col("p").alias("pa"), F.col("pnrm").alias("pna"),
+    # the SMALL per-vector frame: 16-dim projection + its norm + the
+    # LSH signatures — no 64-dim embedding.  Persisted because it feeds
+    # the bucket explode and both sides of the shortlist scoring join.
+    pn = (
+        e.select(
+            "vec_id",
+            "label",
+            proj.alias("p"),
+            F.array(
+                *[signature(emb, planes[t]) for t in range(LSH_TABLES)]
+            ).alias("sigs"),
+        )
+        .withColumn("pnrm", F.sqrt(dot(F.col("p"), F.col("p"))))
+        .persist()
     )
-    b = pn.select(
-        F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label"),
-        F.col("emb").alias("eb"), F.col("norm").alias("nb"),
-        F.col("p").alias("pb"), F.col("pnrm").alias("pnb"),
+    # candidate generation on IDS ONLY via the bounded (table_id, bucket)
+    # key; dropDuplicates ORs the tables.  Pairs are DIRECTED (each
+    # vector needs its own neighbor list), so keep both orders.
+    bucketed = pn.select(
+        "vec_id", F.posexplode("sigs").alias("table_id", "bucket")
+    )
+    cand = (
+        bucketed.join(
+            bucketed.select(
+                F.col("vec_id").alias("nbr_id"), "table_id", "bucket"
+            ),
+            ["table_id", "bucket"],
+        )
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .dropDuplicates(["vec_id", "nbr_id"])
+    )
+    # shortlist scoring joins back ONLY the projected frame (16 doubles
+    # per side) — plain equi-joins, AQE broadcasts when genuinely small.
+    pa = pn.select(
+        "vec_id", "label", F.col("p").alias("pa"), F.col("pnrm").alias("pna")
+    )
+    pb = pn.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("p").alias("pb"),
+        F.col("pnrm").alias("pnb"),
     )
     jl_sim = dot(F.col("pa"), F.col("pb")) / (F.col("pna") * F.col("pnb"))
     w_short = Window.partitionBy("vec_id").orderBy(
         F.desc("jl_sim"), F.asc("nbr_id")
     )
     shortlist = (
-        a.join(F.broadcast(b), F.col("vec_id") != F.col("nbr_id"))
+        cand.join(pa, "vec_id")
+        .join(pb, "nbr_id")
         .withColumn("jl_sim", jl_sim)
         .withColumn("srn", F.row_number().over(w_short))
         .filter(F.col("srn") <= KNN_SHORT)
+        .select("vec_id", "label", "nbr_id", "nbr_label")
+    )
+    # exact re-rank: the 64-dim embedding touches only shortlist rows.
+    corpus = _corpus_with_norm(spark, sf_dir)
+    ea = corpus.select(
+        "vec_id", F.col("emb").alias("ea"), F.col("norm").alias("na")
+    )
+    eb = corpus.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("emb").alias("eb"),
+        F.col("norm").alias("nb"),
     )
     exact = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     w_exact = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("nbr_id")
     )
     ranked = (
-        shortlist.withColumn("sim", exact)
+        shortlist.join(ea, "vec_id")
+        .join(eb, "nbr_id")
+        .withColumn("sim", exact)
         .withColumn("rn", F.row_number().over(w_exact))
         .filter(F.col("rn") <= K_NN)
         .select(

@@ -393,8 +393,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])  # OR across tables
     )
-    # exact verify: join the deduplicated id pairs back to the
-    # (broadcast) corpus — vectors touch only surviving candidates
+    # exact verify: join the deduplicated id pairs back to the corpus —
+    # vectors touch only surviving candidates.  Deliberately NO broadcast
+    # hint here either: ca/cb carry the full corpus WITH 64-dim vectors,
+    # which is strictly larger than the id side the candidate join already
+    # refuses to broadcast; at 100 TB a forced broadcast of the corpus
+    # OOMs every executor.  A plain shuffle equi-join on vec_a/vec_b moves
+    # only surviving pairs against the corpus, and AQE still downgrades to
+    # a broadcast join at runtime whenever the corpus is genuinely small
+    # (it is at bench scale — same physical plan, no forced hint).
     ca = corpus.select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("ea"),
@@ -407,8 +414,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
-        cand.join(F.broadcast(ca), "vec_a")
-        .join(F.broadcast(cb), "vec_b")
+        cand.join(ca, "vec_a")
+        .join(cb, "vec_b")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= NEARDUP_SIM)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))

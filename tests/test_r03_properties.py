@@ -228,3 +228,41 @@ def test_knn_label_consistency_matches_numpy(spark):
         for r in knn_label_consistency(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_knn_label_consistency_jl_agrees_with_exact(spark):
+    """Recall-style gate for the bucketed twin (VERDICT r03 item #2):
+    the LSH-candidate + JL-shortlist screen must cover ≥99% of the
+    vectors the exact kernel scores and agree on the `flagged` verdict
+    for ≥90% of the covered vectors.  Also pins the r04 plan fix: the
+    twin's optimized plan carries NO user broadcast hint (candidate and
+    re-rank joins are plain equi-joins; AQE decides)."""
+    from taipei_bi_etl_spark.queries.label_quality import (
+        knn_label_consistency,
+        knn_label_consistency_jl,
+    )
+    from tests.conftest import SF_DIR
+
+    exact = {
+        r.vec_id: r.flagged
+        for r in knn_label_consistency(spark, SF_DIR).collect()
+    }
+    jl_df = knn_label_consistency_jl(spark, SF_DIR)
+    assert "ResolvedHint" not in jl_df._jdf.queryExecution().optimizedPlan().toString()
+    jl = {r.vec_id: r.flagged for r in jl_df.collect()}
+    common = set(exact) & set(jl)
+    assert len(common) >= 0.99 * len(exact)
+    agree = sum(1 for v in common if exact[v] == jl[v])
+    assert agree >= 0.9 * len(common)
+
+
+def test_dedup_embedding_lsh_no_forced_corpus_broadcast(spark):
+    """VERDICT r03 item #1 regression pin: the registered embedding-
+    dedup path must not force-broadcast the corpus anywhere — no
+    user-supplied broadcast hint survives into the optimized plan."""
+    from taipei_bi_etl_spark.queries.similarity import dedup_embedding_lsh
+    from tests.conftest import SF_DIR
+
+    df = dedup_embedding_lsh(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan
