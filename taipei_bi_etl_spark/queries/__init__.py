@@ -99,4 +99,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     multimodal_real,
     label_quality,
     profiling,
+    tar_ingest,
 )

@@ -48,6 +48,7 @@ _MEMBER_SCHEMA = T.StructType(
         T.StructField("key", T.StringType()),
         T.StructField("member", T.StringType()),
         T.StructField("ext", T.StringType()),
+        T.StructField("pos", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("payload", T.BinaryType()),
     ]
@@ -64,30 +65,47 @@ def _split_key(name: str) -> tuple[str, str]:
 
 
 def read_tar_members(spark: SparkSession, path_glob: str) -> DataFrame:
-    """One row per tar member: (shard, key, member, ext, n_bytes,
-    payload).  Zero shuffle — binaryFile scan + per-shard decode."""
+    """One row per tar member: (shard, key, member, ext, pos, n_bytes,
+    payload) where ``pos`` is the member's ordinal within its shard.
+    Zero shuffle — binaryFile scan + per-shard decode."""
     shards = spark.read.format("binaryFile").load(path_glob)
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # self-contained closure: no references to module-level helpers,
+        # so cloudpickle ships it by VALUE and the Python workers never
+        # need this package importable (the driver may run from a
+        # foreign cwd with the repo only on the driver's sys.path)
+        import io
+        import os
+        import posixpath
+        import tarfile
+
         import pandas as pd
+
+        def split_key(name: str) -> tuple[str, str]:
+            head, base = posixpath.split(name)
+            stem, _, ext = base.partition(".")
+            return (posixpath.join(head, stem) if head else stem), ext
 
         for pdf in batches:
             rows = []
             for spath, blob in zip(pdf["path"], pdf["content"]):
                 shard = os.path.basename(spath)
                 with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
-                    for m in tf:
+                    for pos, m in enumerate(tf):
                         if not m.isfile():
                             continue
                         payload = tf.extractfile(m).read()
-                        key, ext = _split_key(m.name)
+                        key, ext = split_key(m.name)
                         rows.append(
-                            (shard, key, m.name, ext, len(payload), payload)
+                            (shard, key, m.name, ext, pos, len(payload),
+                             payload)
                         )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "shard", "key", "member", "ext", "n_bytes", "payload",
+                    "shard", "key", "member", "ext", "pos", "n_bytes",
+                    "payload",
                 ],
             )
 
@@ -98,19 +116,124 @@ def read_tar_members(spark: SparkSession, path_glob: str) -> DataFrame:
 
 def read_tar_samples(spark: SparkSession, path_glob: str) -> DataFrame:
     """One row per SAMPLE: (shard, key, exts, parts map<ext, binary>,
-    n_members, n_bytes) — the WebDataset sample view.  One shuffle,
-    keyed on (shard, key)."""
+    n_members, n_bytes) — the WebDataset sample view.
+
+    Tar archives legally contain duplicate member names; extraction
+    semantics are LAST WINS, so ``parts`` keeps, per ext, the payload
+    of the highest-``pos`` member (deterministic — no
+    ``DUPLICATE_MAP_KEY`` at runtime), while ``n_members``/``n_bytes``
+    still count every raw member.  Two shuffles, keyed on
+    (shard, key, ext) then (shard, key) — the first combines map-side
+    and carries one payload per ext into the second.
+    """
     members = read_tar_members(spark, path_glob)
+    per_ext = members.groupBy("shard", "key", "ext").agg(
+        F.max_by("payload", "pos").alias("payload"),
+        F.count(F.lit(1)).cast("int").alias("ext_members"),
+        F.sum("n_bytes").cast("long").alias("ext_bytes"),
+    )
     return (
-        members.groupBy("shard", "key")
+        per_ext.groupBy("shard", "key")
         .agg(
             F.map_from_entries(
                 F.array_sort(
                     F.collect_list(F.struct("ext", "payload"))
                 )
             ).alias("parts"),
-            F.array_sort(F.collect_set("ext")).alias("exts"),
-            F.count(F.lit(1)).cast("int").alias("n_members"),
-            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.array_sort(F.collect_list("ext")).alias("exts"),
+            F.sum("ext_members").cast("int").alias("n_members"),
+            F.sum("ext_bytes").cast("long").alias("n_bytes"),
         )
     )
+
+
+def write_tar_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard_id",
+    key_col: str = "key",
+    part_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """WebDataset tar-shard SINK: one row per sample in ``df`` (an int
+    ``shard_col`` assignment, a string ``key_col``, and one binary
+    column per member ext in ``part_cols`` = {ext: column}) → one
+    ``shard-<id>.tar`` per shard id under ``path``, members named
+    ``<key>.<ext>`` in sorted-key order (deterministic bytes for a
+    given assignment).  Returns the materialized manifest (shard_id,
+    n_samples, n_members, n_bytes) — the write has already happened
+    exactly once when this function returns (eager localCheckpoint),
+    so re-using the manifest never re-runs the writer.
+
+    Spark-first shape: ``repartition(shard_col)`` co-locates each
+    shard's samples, a self-contained ``mapInPandas`` closure streams
+    each shard's tar to disk exactly once (a partition may hold several
+    whole shards, never a fraction of one), and the manifest is the
+    stage output — no driver-side iteration over samples.  This writer
+    targets a locally-mounted path (local mode / NFS / FUSE); on a
+    hadoop-scheme filesystem, point it at a local staging dir and
+    promote with `io.write_audit_publish`.
+    """
+    import pandas as pd  # noqa: F401 — documents the worker dependency
+
+    part_cols = part_cols or {"bin": "payload"}
+    exts = sorted(part_cols)
+    sel = (
+        df.select(
+            F.col(shard_col).cast("long").alias("__shard"),
+            F.col(key_col).cast("string").alias("__key"),
+            *[F.col(part_cols[e]).alias(f"__p_{e}") for e in exts],
+        )
+        .repartition("__shard")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def write(batches):
+        # self-contained (cloudpickle by value — no package import on
+        # the workers); buffers one PARTITION of samples, i.e. a few
+        # whole shards, never a fraction of one
+        import io as _io
+        import os as _os
+        import tarfile as _tarfile
+
+        import pandas as _pd
+
+        rows = []
+        for pdf in batches:
+            rows.append(pdf)
+        if not rows:
+            yield _pd.DataFrame(
+                [], columns=["shard_id", "n_samples", "n_members", "n_bytes"]
+            )
+            return
+        all_rows = _pd.concat(rows, ignore_index=True)
+        out = []
+        for shard, g in all_rows.groupby("__shard"):
+            g = g.sort_values("__key")
+            n_members = 0
+            n_bytes = 0
+            fname = _os.path.join(path, f"shard-{int(shard):05d}.tar")
+            with _tarfile.open(fname, "w") as tf:
+                for _, r in g.iterrows():
+                    for col in sorted(c for c in g.columns if c.startswith("__p_")):
+                        payload = bytes(r[col])
+                        info = _tarfile.TarInfo(
+                            name=f"{r['__key']}.{col[len('__p_'):]}"
+                        )
+                        info.size = len(payload)
+                        tf.addfile(info, _io.BytesIO(payload))
+                        n_members += 1
+                        n_bytes += len(payload)
+            out.append((int(shard), len(g), n_members, n_bytes))
+        yield _pd.DataFrame(
+            out, columns=["shard_id", "n_samples", "n_members", "n_bytes"]
+        )
+
+    os.makedirs(path, exist_ok=True)
+    return sel.mapInPandas(write, schema=out_schema).localCheckpoint()

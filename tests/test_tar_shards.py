@@ -85,3 +85,54 @@ def test_member_stream_is_zero_shuffle(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_duplicate_member_names_last_wins(spark, tmp_path):
+    """Tar archives legally contain duplicate member names; extraction
+    semantics are last-wins (r03 ADVICE #1 — this used to raise
+    DUPLICATE_MAP_KEY)."""
+    with tarfile.open(os.path.join(tmp_path, "dup.tar"), "w") as tf:
+        for payload in (b"old", b"newer", b"newest"):
+            info = tarfile.TarInfo(name="000009.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+        info = tarfile.TarInfo(name="000009.json")
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"{}"))
+    r = read_tar_samples(spark, f"{tmp_path}/*.tar").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_members == 4
+    assert row.n_bytes == len(b"old") + len(b"newer") + len(b"newest") + 2
+    assert bytes(row.parts["txt"]) == b"newest"
+    assert list(row.exts) == ["json", "txt"]
+
+
+def test_write_tar_shards_roundtrip(spark, tmp_path):
+    """Sink → source identity: write samples as tar shards, read them
+    back, get byte-identical payloads and exact manifest accounting."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.sources.tar_shards import write_tar_shards
+
+    rows = [(i, i % 3, f"{i:06d}", f"text-{i}".encode(), f"m{i}".encode())
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "id long, shard_id long, key string, txt binary, meta binary"
+    )
+    out = f"{tmp_path}/shards"
+    manifest = write_tar_shards(
+        df, out, part_cols={"txt": "txt", "meta": "meta"}
+    )
+    m = {r.shard_id: r for r in manifest.collect()}
+    assert set(m) == {0, 1, 2}
+    assert sum(r.n_samples for r in m.values()) == 20
+    assert all(r.n_members == 2 * r.n_samples for r in m.values())
+
+    back = read_tar_samples(spark, f"{out}/*.tar").collect()
+    assert len(back) == 20
+    for r in back:
+        i = int(r.key)
+        assert r.shard == f"shard-{i % 3:05d}.tar"
+        assert bytes(r.parts["txt"]) == f"text-{i}".encode()
+        assert bytes(r.parts["meta"]) == f"m{i}".encode()
