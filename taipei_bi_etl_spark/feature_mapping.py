@@ -66,9 +66,13 @@ class _SparkBackend:
     @staticmethod
     def rule(cond, *items) -> list[Column]:
         """One JS ``if (...) feature.push(...)`` block → one nullable
-        slot per pushed item (null = rule did not fire)."""
+        slot per pushed item (null = rule did not fire).  Items are
+        coalesced to '' so a fired rule whose item expression is NULL
+        still occupies its slot (``array_compact`` can't tell 'did not
+        fire' from 'item is null') — mirrored in ``_SqlBackend.rule``
+        so both engines agree on nullable inputs (r03 ADVICE #2)."""
         return [
-            F.when(cond, _as_col(i))
+            F.when(cond, F.coalesce(_as_col(i), F.lit("")))
             for i in items
         ]
 
@@ -138,6 +142,95 @@ class _AtomCol:
         )
 
 
+class _VocabCol(_AtomCol):
+    """Recording proxy: collects every eq/ne/isin literal per column
+    (the rule vocabulary the dictionary encode chains are built from)."""
+
+    def __init__(self, name: str, reg: dict, vocab: dict):
+        super().__init__(name, reg)
+        self._vocab = vocab
+
+    def _atom(self, key: tuple, build) -> Column:
+        kind = key[0]
+        if kind in ("eq", "ne"):
+            self._vocab.setdefault(self._name, set()).add(key[2])
+        elif kind == "in":
+            self._vocab.setdefault(self._name, set()).update(key[2])
+        return F.lit(True)
+
+
+_RULE_VOCAB: dict[str, list[str]] | None = None
+
+
+def _rule_vocab() -> dict[str, list[str]]:
+    """Per-column sorted eq/isin literal vocabulary of the full rule-set
+    (computed once by compiling the rules against recording proxies)."""
+    global _RULE_VOCAB
+    if _RULE_VOCAB is None:
+        vocab: dict = {}
+        reg: dict = {}
+        names = (
+            "event_method", "event_object", "event_value", "extra_key",
+            "extra_value", "event_vertical", "settings_search_engine",
+        )
+        _cascade_column(tuple(_VocabCol(c, reg, vocab) for c in names))
+        _RULE_VOCAB = {c: sorted(v) for c, v in vocab.items()}
+    return _RULE_VOCAB
+
+
+class _DictAtomCol(_AtomCol):
+    """`_AtomCol` with dictionary-encoded equality atoms (VERDICT r03
+    #4): eq/ne/isin predicates whose literals are all in the column's
+    rule vocabulary compare a precomputed int code instead of the
+    string — the 131-rule cascade runs interpreted (its projection is
+    too wide/large for whole-stage codegen), where int equality beats
+    repeated UTF8String equality.  `contains` atoms and value contexts
+    stay on the raw string column.  Null-safe: a NULL input encodes to
+    NULL (not the -1 OOV code), so `ne` atoms stay three-valued exactly
+    like their string forms."""
+
+    def __init__(self, name: str, reg: dict, codes: dict):
+        super().__init__(name, reg)
+        self._codes = codes
+
+    def _code(self) -> Column:
+        return F.col(f"__fm_code_{self._name}")
+
+    def __eq__(self, v):  # type: ignore[override]
+        if v in self._codes:
+            c = self._codes[v]
+            return self._atom(("eq", self._name, v), lambda: self._code() == c)
+        return super().__eq__(v)
+
+    def __ne__(self, v):  # type: ignore[override]
+        if v in self._codes:
+            c = self._codes[v]
+            return self._atom(("ne", self._name, v), lambda: self._code() != c)
+        return super().__ne__(v)
+
+    def isin(self, *vals) -> Column:
+        flat = (
+            vals[0]
+            if len(vals) == 1 and isinstance(vals[0], (list, tuple))
+            else vals
+        )
+        if all(v in self._codes for v in flat):
+            cs = [self._codes[v] for v in flat]
+            return self._atom(
+                ("in", self._name, tuple(flat)),
+                lambda: self._code().isin(*cs),
+            )
+        return super().isin(*flat)
+
+
+def _encode_col(name: str, codes: dict) -> Column:
+    """String → rule-vocab int code; NULL stays NULL, OOV → -1."""
+    out = F.when(F.col(name).isNull(), F.lit(None).cast("int"))
+    for v, i in codes.items():
+        out = out.when(F.col(name) == v, F.lit(i))
+    return out.otherwise(F.lit(-1))
+
+
 def _q(v: str) -> str:
     return "'" + v.replace("'", "''") + "'"
 
@@ -183,7 +276,12 @@ class _SqlBackend:
 
     @staticmethod
     def rule(cond: _SqlExpr, *items) -> str:
-        lst = ", ".join(i.s if isinstance(i, _SqlExpr) else _q(i) for i in items)
+        """Items are COALESCE'd to '' to mirror ``_SparkBackend.rule``'s
+        null-item handling (r03 ADVICE #2)."""
+        lst = ", ".join(
+            f"COALESCE({i.s if isinstance(i, _SqlExpr) else _q(i)}, '')"
+            for i in items
+        )
         return f"CASE WHEN {cond.s} THEN [{lst}] ELSE CAST([] AS VARCHAR[]) END"
 
     @staticmethod
@@ -600,27 +698,52 @@ def feature_mapping_mapped(
     event_vertical: str = "event_vertical",
     settings_search_engine: str = "settings_search_engine",
 ):
-    """DataFrame-level D4 compile, atomized: adds ``out`` =
-    feature_mapping(...) with every distinct atomic predicate factored
-    into its own projection so it evaluates once per row instead of
-    once per referencing rule (see `_AtomCol`).  Semantically identical
-    to ``withColumn(out, feature_mapping(...))`` — gated by the same
-    randomized dual-transcription test — but ~2× faster on the rule
-    cascade, which is the mango chain's cost center (SCALE.md)."""
+    """DataFrame-level D4 compile, atomized + dictionary-encoded: adds
+    ``out`` = feature_mapping(...) with every distinct atomic predicate
+    factored into its own projection so it evaluates once per row
+    instead of once per referencing rule (see `_AtomCol`), and every
+    eq/ne/isin atom comparing a per-column int code computed once by a
+    rule-vocabulary encode chain (see `_DictAtomCol` — the cascade
+    projection is too wide for whole-stage codegen, and in interpreted
+    eval int compares beat UTF8String compares).  Semantically
+    identical to ``withColumn(out, feature_mapping(...))`` — gated by
+    the randomized dual-transcription test including NULL inputs —
+    and ~2× faster on the rule cascade, which is the mango chain's
+    cost center (SCALE.md)."""
+    bound = {
+        "event_method": event_method,
+        "event_object": event_object,
+        "event_value": event_value,
+        "extra_key": extra_key,
+        "extra_value": extra_value,
+        "event_vertical": event_vertical,
+        "settings_search_engine": settings_search_engine,
+    }
+    vocab = _rule_vocab()
     reg: dict = {}
-    proxies = tuple(
-        _AtomCol(c, reg)
-        for c in (
-            event_method, event_object, event_value,
-            extra_key, extra_value, event_vertical, settings_search_engine,
-        )
-    )
-    mapped = _cascade_column(proxies)
+    proxies = []
+    code_cols = []
+    for canonical, col_name in bound.items():
+        codes = {v: i for i, v in enumerate(vocab.get(canonical, []))}
+        if codes:
+            code_cols.append(
+                _encode_col(col_name, codes).alias(f"__fm_code_{col_name}")
+            )
+            proxies.append(_DictAtomCol(col_name, reg, codes))
+        else:
+            proxies.append(_AtomCol(col_name, reg))
+    with_codes = df.select("*", *code_cols)
+    mapped = _cascade_column(tuple(proxies))
     atom_names = [name for name, _ in reg.values()]
-    with_atoms = df.select(
+    with_atoms = with_codes.select(
         "*", *[expr.alias(name) for name, expr in reg.values()]
     )
-    return with_atoms.withColumn(out, mapped).drop(*atom_names)
+    code_names = [f"__fm_code_{c}" for c in bound.values()]
+    return (
+        with_atoms.withColumn(out, mapped)
+        .drop(*atom_names)
+        .drop(*[c for c in code_names])
+    )
 
 
 def feature_mapping_sql(

@@ -370,8 +370,14 @@ def test_mapped_compile_equals_column_compile(spark):
         )
         for _ in range(4000)
     ]
+    # NULL inputs too: the dict-encoded atoms must stay three-valued
+    # exactly like their string forms (NULL encodes to NULL, not OOV)
+    rows += [
+        tuple(None if rng.random() < 0.3 else x for x in r)
+        for r in rows[:500]
+    ]
     cols = ["m", "o", "v", "ek", "ev", "vert", "se"]
-    df = spark.createDataFrame(rows, cols)
+    df = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
     a = df.select(
         *cols, feature_mapping(*[F.col(c) for c in cols]).alias("map")
     ).collect()
@@ -382,4 +388,74 @@ def test_mapped_compile_equals_column_compile(spark):
         extra_key="ek", extra_value="ev", event_vertical="vert",
         settings_search_engine="se",
     ).select(*cols, "map").collect()
-    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(map(tuple, a), key=repr) == sorted(map(tuple, b), key=repr)
+
+
+def test_null_inputs_agree_with_sql_twin(spark):
+    """r03 ADVICE #2 regression: a FIRED rule whose item expression
+    evaluates NULL (e.g. `cat('tags: ...', ev)` with ev NULL) must keep
+    its slot — coalesced to '' — identically in the Catalyst compile
+    and the DuckDB compile, so standalone feature_mapping over nullable
+    columns cannot fall through to a later vertical in one engine only."""
+    import duckdb
+
+    from taipei_bi_etl_spark.feature_mapping import feature_mapping_sql
+
+    rows = [
+        # fired content-vertical rule with NULL ev → item '' in both
+        ("open", "category", "x", "category", None, "game", None),
+        # fired toolbar rule with NULL ev
+        ("click", "toolbar", "share", "zzz", None, "shopping", None),
+        # NULLs in condition columns → rule simply not fired, both engines
+        (None, "tab", None, None, None, None, None),
+        ("add", "tab", "toolbar", None, None, "all", None),
+        # partner IN-list with NULL ev → not fired in both
+        ("open", "home", "link", "source", None, "all", None),
+        # all-null row → Others fallback
+        (None, None, None, None, None, None, None),
+    ]
+    cols = ["m", "o", "v", "ek", "ev", "vert", "se"]
+    df = spark.createDataFrame(
+        rows, ", ".join(f"{c} string" for c in cols)
+    )
+    got = {
+        tuple("" if x is None else x for x in r[:7]): (
+            list(r.map.feature), r.map.vertical
+        )
+        for r in df.select(
+            *cols, feature_mapping(*[F.col(c) for c in cols]).alias("map")
+        ).collect()
+    }
+
+    fm = feature_mapping_sql(
+        event_method="m", event_object="o", event_value="v",
+        extra_key="ek", extra_value="ev", event_vertical="vert",
+        settings_search_engine="se",
+    )
+    lists = ", ".join(f"{sql} AS l_{n.lower()}" for n, sql in fm.items())
+    cascade = " ".join(
+        f"WHEN len(l_{n.lower()}) > 0 THEN l_{n.lower()}" for n in fm
+    )
+    vert_case = " ".join(
+        f"WHEN len(l_{n.lower()}) > 0 THEN '{n}'" for n in fm
+    )
+    values = ", ".join(
+        "(" + ", ".join("NULL" if x is None else f"'{x}'" for x in r) + ")"
+        for r in rows
+    )
+    con = duckdb.connect()
+    out = con.execute(
+        f"""
+        WITH t(m, o, v, ek, ev, vert, se) AS (VALUES {values}),
+        l AS (SELECT *, {lists} FROM t)
+        SELECT COALESCE(m,''), COALESCE(o,''), COALESCE(v,''),
+               COALESCE(ek,''), COALESCE(ev,''), COALESCE(vert,''),
+               COALESCE(se,''),
+               CASE {cascade} ELSE ['feature: others'] END,
+               CASE {vert_case} ELSE 'Others' END
+        FROM l
+        """
+    ).fetchall()
+    con.close()
+    want = {tuple(r[:7]): (list(r[7]), r[8]) for r in out}
+    assert got == want
