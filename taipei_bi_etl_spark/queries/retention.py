@@ -117,6 +117,36 @@ GROUP BY os, country, cohort_name, cohort_date
 """
 
 
+_PIVOT_COLS = (
+    "daily_cohort_size",
+    *[f"d{n}_retained_users" for n in _DAY_POINTS],
+    "weekly_cohort_size",
+    *[f"w{n}_retained_users" for n in _WEEK_POINTS],
+    "monthly_cohort_size",
+    *[f"m{n}_retained_users" for n in _MONTH_POINTS],
+)
+
+
+def _user_day_dims(ev: DataFrame) -> DataFrame:
+    """(user_id, os, country, cohort_name, day) projection with the
+    deterministic modular user dims."""
+    os_c = F.element_at(
+        F.array(*[F.lit(x) for x in _OSES]),
+        (F.col("user_id") % len(_OSES) + 1).cast("int"),
+    )
+    cc_c = F.element_at(
+        F.array(*[F.lit(x) for x in _COUNTRIES]),
+        (F.col("user_id") % len(_COUNTRIES) + 1).cast("int"),
+    )
+    return ev.select(
+        "user_id",
+        os_c.alias("os"),
+        cc_c.alias("country"),
+        F.col("event_type").alias("cohort_name"),
+        F.to_date("ts").alias("day"),
+    )
+
+
 @query(
     "cohort_retention_full",
     oracle=_full_retention_oracle(),
@@ -149,25 +179,15 @@ def cohort_retention_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 112-day window filters land BEFORE the explode, so the state the
     second shuffle carries is the retention calendar, not raw events.
     """
-    as_of = F.lit(AS_OF).cast("date")
+    return _full_pivot(spark, sf_dir, AS_OF)
+
+
+def _full_pivot(spark: SparkSession, sf_dir: str, as_of_str: str) -> DataFrame:
+    as_of = F.lit(as_of_str).cast("date")
     lo = F.date_sub(as_of, WINDOW_DAYS)
     ev = read_table(spark, sf_dir, "events")
-    os_c = F.element_at(
-        F.array(*[F.lit(x) for x in _OSES]),
-        (F.col("user_id") % len(_OSES) + 1).cast("int"),
-    )
-    cc_c = F.element_at(
-        F.array(*[F.lit(x) for x in _COUNTRIES]),
-        (F.col("user_id") % len(_COUNTRIES) + 1).cast("int"),
-    )
     per_user = (
-        ev.select(
-            "user_id",
-            os_c.alias("os"),
-            cc_c.alias("country"),
-            F.col("event_type").alias("cohort_name"),
-            F.to_date("ts").alias("day"),
-        )
+        _user_day_dims(ev)
         .groupBy("user_id", "os", "country", "cohort_name")
         .agg(
             F.min("day").alias("cohort_date"),
@@ -237,17 +257,175 @@ def cohort_retention_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("Feature").alias("cohort_level"),
             "cohort_name",
             "cohort_date",
-            F.lit(AS_OF).cast("date").alias("execution_date"),
-            *[
-                c
-                for c in [
-                    "daily_cohort_size",
-                    *[f"d{n}_retained_users" for n in _DAY_POINTS],
-                    "weekly_cohort_size",
-                    *[f"w{n}_retained_users" for n in _WEEK_POINTS],
-                    "monthly_cohort_size",
-                    *[f"m{n}_retained_users" for n in _MONTH_POINTS],
-                ]
-            ],
+            F.lit(as_of_str).cast("date").alias("execution_date"),
+            *_PIVOT_COLS,
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (IVM) maintenance of the retention pivot — VERDICT r03 #5.
+# ---------------------------------------------------------------------------
+
+AS_OF_PREV = "2024-01-29"  # AS_OF - 1 day
+
+
+@query(
+    "cohort_retention_incremental",
+    oracle=_full_retention_oracle(),
+    tags=("A5", "ivm", "streaming", "extension"),
+)
+def cohort_retention_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL incremental pattern
+    (`sql/mango_feature_cohort_date.sql:20-35` merges yesterday's
+    cohort table with today's new users;
+    `sql/mango_cohort_retained_users.sql:30-33` appends today's
+    occurrences) applied as true delta maintenance of the 22-aggregate
+    pivot — the `ivm.py` Δ-join idea specialized to retention.
+
+    Key invariant that makes the pivot delta-maintainable: a cell
+    (cohort c, offset n) counts distinct users occurring at day c+n,
+    and since c ≥ T−112 implies every occurrence day c+n ≥ T−112, the
+    window clip never removes occurrences from in-window cohorts —
+    cells are FROZEN once written.  Moving the execution date T−1 → T
+    therefore only (a) drops cohorts that age past T−112, (b) adds the
+    c = T cohort, and (c) increments cells touched by day-T events:
+    the day-offset cell n = T−c always (calendar days are distinct per
+    user), the week/month cells only when day T opens a NEW week/month
+    bucket for that user — decided against the user's prior-day state,
+    exactly the append-only occurrence table the reference maintains.
+
+    This query materializes yesterday's state with the full path (the
+    simulation of the warehouse's T−1 artifacts), applies the day-T
+    delta, and returns the updated pivot; its oracle is the FULL
+    recompute at T, so the driver gate hash-proves
+    incremental == full — the IVM equivalence, not a weaker rows-only
+    check.
+
+    Scale: the delta side touches ONE day of events joined against the
+    bounded per-user window state (≤113 days/user), then a cohort-key
+    merge against yesterday's pivot — cost ∝ |day T|, flat as history
+    grows (tools/retention_ivm_stress.py measures this).
+    """
+    t = F.lit(AS_OF).cast("date")
+    t1 = F.lit(AS_OF_PREV).cast("date")
+    lo_t = F.date_sub(t, WINDOW_DAYS)
+    ud = _user_day_dims(read_table(spark, sf_dir, "events"))
+
+    # --- yesterday's per-user state (the occurrence/cohort tables):
+    # full-history cohort min through T-1 + in-window distinct days
+    prior = (
+        ud.filter(F.col("day") <= t1)
+        .groupBy("user_id", "os", "country", "cohort_name")
+        .agg(
+            F.min("day").alias("prior_cohort"),
+            F.collect_set(
+                F.when(F.col("day") >= lo_t, F.col("day"))
+            ).alias("prior_days"),
+        )
+    )
+
+    # --- today's deduped activity
+    today = ud.filter(F.col("day") == t).select(
+        "user_id", "os", "country", "cohort_name"
+    ).distinct()
+
+    # --- yesterday's materialized pivot
+    prev = _full_pivot(spark, sf_dir, AS_OF_PREV)
+    return retention_delta_update(today, prior, prev, AS_OF)
+
+
+def retention_delta_update(
+    today: DataFrame,
+    prior: DataFrame,
+    prev_pivot: DataFrame,
+    as_of_str: str,
+) -> DataFrame:
+    """Apply one day's retention delta: ``today`` is the deduped day-T
+    activity (user_id, os, country, cohort_name), ``prior`` the
+    maintained per-user state (… prior_cohort, prior_days — the
+    cohort/occurrence tables), ``prev_pivot`` yesterday's materialized
+    pivot.  Pure frame-in/frame-out so the IVM stress harness can time
+    the delta against pre-materialized state
+    (tools/retention_ivm_stress.py)."""
+    t = F.lit(as_of_str).cast("date")
+    lo_t = F.date_sub(t, WINDOW_DAYS)
+    keys = ["user_id", "os", "country", "cohort_name"]
+    j = (
+        today.join(prior, keys, "left")
+        .withColumn("cohort_date", F.coalesce("prior_cohort", t))
+        .filter(F.col("cohort_date") >= lo_t)
+        .withColumn("n", F.datediff(t, F.col("cohort_date")))
+        .withColumn("wb", F.floor(F.col("n") / 7).cast("int"))
+        .withColumn("mb", F.floor(F.col("n") / 28).cast("int"))
+    )
+    prior_wbs = F.array_distinct(
+        F.transform(
+            F.coalesce("prior_days", F.array()),
+            lambda d: F.floor(F.datediff(d, F.col("cohort_date")) / 7).cast(
+                "int"
+            ),
+        )
+    )
+    prior_mbs = F.array_distinct(
+        F.transform(
+            F.coalesce("prior_days", F.array()),
+            lambda d: F.floor(F.datediff(d, F.col("cohort_date")) / 28).cast(
+                "int"
+            ),
+        )
+    )
+    j = j.withColumn(
+        "new_week", ~F.array_contains(prior_wbs, F.col("wb"))
+    ).withColumn("new_month", ~F.array_contains(prior_mbs, F.col("mb")))
+
+    def dcnt(cond, alias):
+        return F.count(F.when(cond, 1)).alias(alias)
+
+    gkeys = ["os", "country", "cohort_name", "cohort_date"]
+    delta_aggs = [dcnt(F.col("n") == 0, "daily_cohort_size")]
+    delta_aggs += [
+        dcnt(F.col("n") == n, f"d{n}_retained_users") for n in _DAY_POINTS
+    ]
+    delta_aggs += [
+        dcnt(F.col("new_week") & (F.col("wb") == 0), "weekly_cohort_size")
+    ]
+    delta_aggs += [
+        dcnt(F.col("new_week") & (F.col("wb") == n), f"w{n}_retained_users")
+        for n in _WEEK_POINTS
+    ]
+    delta_aggs += [
+        dcnt(F.col("new_month") & (F.col("mb") == 0), "monthly_cohort_size")
+    ]
+    delta_aggs += [
+        dcnt(F.col("new_month") & (F.col("mb") == n), f"m{n}_retained_users")
+        for n in _MONTH_POINTS
+    ]
+    delta = j.groupBy(*gkeys).agg(*delta_aggs)
+
+    prev = prev_pivot.filter(F.col("cohort_date") >= lo_t).drop(
+        "execution_date", "measure_type", "cohort_level"
+    )
+    p = prev.select(
+        *gkeys, *[F.col(c).alias(f"p_{c}") for c in _PIVOT_COLS]
+    )
+    d = delta.select(
+        *gkeys, *[F.col(c).alias(f"q_{c}") for c in _PIVOT_COLS]
+    )
+    merged = p.join(d, gkeys, "full_outer")
+    return merged.select(
+        "os",
+        "country",
+        F.lit("feature").alias("measure_type"),
+        F.lit("Feature").alias("cohort_level"),
+        "cohort_name",
+        "cohort_date",
+        F.lit(as_of_str).cast("date").alias("execution_date"),
+        *[
+            (
+                F.coalesce(F.col(f"p_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"q_{c}"), F.lit(0))
+            ).alias(c)
+            for c in _PIVOT_COLS
+        ],
     )
