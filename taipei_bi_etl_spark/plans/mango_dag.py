@@ -732,11 +732,17 @@ def roi_from(
     else:
         level = F.lit("Network").alias("cohort_level")
         name = F.col("network_name").alias("cohort_name")
+    # Inputs are rounded to 6 decimals BEFORE the percentile (mirrored
+    # in the DuckDB oracles): several RFE metrics are division-derived
+    # doubles, and interpolating raw quotients then rounding the result
+    # leaves the hash one ulp from flapping; interpolating 6-decimal
+    # rationals is stable in both engines (BACKLOG "verified-fragile",
+    # VERDICT r03 #6).
     pct_aggs = []
     for m in _RFE_METRICS:
         for p, tag in ((0.25, "25p"), (0.5, "50p"), (0.75, "75p")):
             pct_aggs.append(
-                F.expr(f"percentile({m}, {p})").alias(f"{m}_{tag}")
+                F.expr(f"percentile(round({m}, 6), {p})").alias(f"{m}_{tag}")
             )
     rfe_pct = rfe.select(
         "os", "country", level, name, *_RFE_METRICS

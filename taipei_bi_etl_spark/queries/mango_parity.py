@@ -1072,8 +1072,10 @@ def mango_rfe_28d_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _roi_oracle() -> str:
     from taipei_bi_etl_spark.plans.mango_dag import _RFE_METRICS
 
+    # ROUND-6 inputs before the percentile — mirrors roi_from, see the
+    # float-fragility note there (VERDICT r03 #6)
     pct_cols = ",\n         ".join(
-        f"quantile_cont({m}, {p}) AS {m}_{tag}"
+        f"quantile_cont(ROUND({m}, 6), {p}) AS {m}_{tag}"
         for m in _RFE_METRICS
         for p, tag in ((0.25, "25p"), (0.5, "50p"), (0.75, "75p"))
     )
@@ -1089,8 +1091,15 @@ def _roi_oracle() -> str:
         f"CAST(SUM({num}) AS DOUBLE) / NULLIF(SUM({den}), 0) AS {out}"
         for num, out, den in rr_specs
     )
+    # pct outputs ROUND 8, not 6: with ROUND-6 inputs the quartile
+    # interpolation lands EXACTLY on the quarter-micro grid (k·2.5e-7 —
+    # ≤8 decimals), so rounding at 8 snaps both engines to the same
+    # grid point no matter how their interpolation formulas or
+    # half-rules differ; rounding the same value at 6 is a coin flip
+    # whenever the grid point is an exact half at digit 7 (measured:
+    # stickiness_50p 0.1016665 → Spark 0.101666, DuckDB 0.101667).
     out_pct = ",\n       ".join(
-        f"COALESCE(ROUND({m}_{tag}, 6), -1.0) AS {m}_{tag}"
+        f"COALESCE(ROUND({m}_{tag}, 8), -1.0) AS {m}_{tag}"
         for m in _RFE_METRICS
         for tag in ("25p", "50p", "75p")
     )
@@ -1165,6 +1174,38 @@ LEFT JOIN au_avg USING (os, country, cohort_level, cohort_name)
 """
 
 
+def _roi_presentation(roi: DataFrame) -> DataFrame:
+    """Shared NULL-sentinel + rounding projection for both ROI
+    snapshots.  Percentile columns ROUND 8 (with ROUND-6 inputs the
+    quartile interpolation lands exactly on the quarter-micro grid,
+    k·2.5e-7, so rounding at 8 snaps both engines to the same grid
+    point — rounding at 6 coin-flips on exact digit-7 halves; see
+    `_roi_oracle`); ratio/average columns stay ROUND 6."""
+    from taipei_bi_etl_spark.plans.mango_dag import _RFE_METRICS
+
+    keys = ["os", "country", "cohort_level", "cohort_name"]
+    pct_cols = [
+        f"{m}_{tag}" for m in _RFE_METRICS for tag in ("25p", "50p", "75p")
+    ]
+    r6_cols = [
+        f"d{n}_retention" for n in (1, 3, 7, 14, 28, 56, 84)
+    ] + [f"w{n}_retention" for n in (1, 2, 4, 8, 12)] + [
+        f"m{n}_retention" for n in (1, 2, 3)
+    ] + ["new_aDAU", "aDAU", "new_aWAU", "aWAU", "new_aMAU", "aMAU"]
+    return roi.select(
+        *keys,
+        *[
+            F.coalesce(F.round(F.col(c), 8), F.lit(-1.0)).alias(c)
+            for c in pct_cols
+        ],
+        *[
+            F.coalesce(F.round(F.col(c), 6), F.lit(-1.0)).alias(c)
+            for c in r6_cols
+        ],
+        "execution_date",
+    )
+
+
 @query(
     "mango_feature_roi_snapshot",
     oracle=_roi_oracle(),
@@ -1227,28 +1268,7 @@ def mango_feature_roi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("mau"),
     )
     roi = roi_from(rfe28, retained, au, AS_OF, "feature").drop("day")
-    keys = ["os", "country", "cohort_level", "cohort_name"]
-    float_cols = [
-        f"{m}_{tag}"
-        for m in _RFE_METRICS
-        for tag in ("25p", "50p", "75p")
-    ]
-    float_cols += [
-        f"d{n}_retention" for n in (1, 3, 7, 14, 28, 56, 84)
-    ] + [f"w{n}_retention" for n in (1, 2, 4, 8, 12)] + [
-        f"m{n}_retention" for n in (1, 2, 3)
-    ]
-    float_cols += [
-        "new_aDAU", "aDAU", "new_aWAU", "aWAU", "new_aMAU", "aMAU"
-    ]
-    return roi.select(
-        *keys,
-        *[
-            F.coalesce(F.round(F.col(c), 6), F.lit(-1.0)).alias(c)
-            for c in float_cols
-        ],
-        "execution_date",
-    )
+    return _roi_presentation(roi)
 
 
 def _channel_roi_oracle() -> str:
@@ -1321,24 +1341,7 @@ def mango_channel_roi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("mau"),
     )
     roi = roi_from(rfe28, retained, au, AS_OF, "channel").drop("day")
-    keys = ["os", "country", "cohort_level", "cohort_name"]
-    float_cols = [
-        f"{m}_{tag}" for m in _RFE_METRICS for tag in ("25p", "50p", "75p")
-    ]
-    float_cols += [
-        f"d{n}_retention" for n in (1, 3, 7, 14, 28, 56, 84)
-    ] + [f"w{n}_retention" for n in (1, 2, 4, 8, 12)] + [
-        f"m{n}_retention" for n in (1, 2, 3)
-    ]
-    float_cols += ["new_aDAU", "aDAU", "new_aWAU", "aWAU", "new_aMAU", "aMAU"]
-    return roi.select(
-        *keys,
-        *[
-            F.coalesce(F.round(F.col(c), 6), F.lit(-1.0)).alias(c)
-            for c in float_cols
-        ],
-        "execution_date",
-    )
+    return _roi_presentation(roi)
 
 
 @query(
