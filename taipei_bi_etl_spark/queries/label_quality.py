@@ -377,3 +377,82 @@ def knn_label_consistency_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("same").cast("long").alias("k_same"),
         (F.sum("same") * 2 < K_NN).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed consistency screen — the full-corpus curation pass
+# (VERDICT r03 #7): mirror of `ann_ivf_topk` at the label-quality
+# surface.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_label_consistency_ivf",
+    oracle=None,
+    tags=("similarity", "curation", "extension", "iterative"),
+)
+def knn_label_consistency_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consistency screen a curation pipeline actually runs over a
+    FULL corpus: candidates from the trained IVF coarse quantizer
+    (`clustering._fit_centroids`, seeded k-means) — every vector is
+    assigned to its nearest cell and probes its N_PROBE nearest cells —
+    then the exact 64-dim re-rank and neighborhood-majority flags of
+    `knn_label_consistency` over the bounded candidates.
+
+    Rows-only: the trained centroids are float learned state (the
+    k-means rows-only argument, COVERAGE.md); correctness is gated by
+    tests/test_clustering.py's flag-agreement test vs the exact
+    all-pairs screen (≥0.9 agreement, ≥0.99 coverage).
+
+    Scale: the only join key is the cell id (cardinality N_CLUSTERS —
+    raise it with corpus size; candidate volume per vector is
+    N_PROBE·avg-cell, never |V|); candidates are id-only pairs, the
+    embeddings equi-join back for the re-rank (AQE decides broadcast).
+    """
+    from taipei_bi_etl_spark.queries.clustering import (
+        N_PROBE,
+        _fit_centroids,
+        _nearest_cells,
+    )
+
+    centroids = _fit_centroids(spark, sf_dir)
+    corpus = _corpus_with_norm(spark, sf_dir)
+    assigned = corpus.select(
+        F.col("vec_id").alias("nbr_id"),
+        _nearest_cells(F.col("emb"), centroids, 1)[0].alias("cell"),
+    )
+    probing = corpus.select(
+        "vec_id",
+        F.explode(
+            _nearest_cells(F.col("emb"), centroids, N_PROBE)
+        ).alias("cell"),
+    )
+    cand = probing.join(assigned, "cell").filter(
+        F.col("vec_id") != F.col("nbr_id")
+    )
+    ea = corpus.select(
+        "vec_id", "label", F.col("emb").alias("ea"), F.col("norm").alias("na")
+    )
+    eb = corpus.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("emb").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    ranked = (
+        cand.join(ea, "vec_id")
+        .join(eb, "nbr_id")
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_NN)
+        .select(
+            "vec_id", "label",
+            (F.col("nbr_label") == F.col("label")).cast("int").alias("same"),
+        )
+    )
+    return ranked.groupBy("vec_id", "label").agg(
+        F.sum("same").cast("long").alias("k_same"),
+        (F.sum("same") * 2 < K_NN).alias("flagged"),
+    )

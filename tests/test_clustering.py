@@ -190,3 +190,27 @@ def test_star_components_equal_min_label(spark):
     # chain collapses to root 0, hub to 100, pair to 200
     roots = {c for _, c in got_star}
     assert roots == {0, 100, 200}
+
+
+def test_knn_label_consistency_ivf_agrees_with_exact(spark):
+    """VERDICT r03 #7 gate: the IVF-bucketed consistency screen must
+    cover ≥99% of the vectors the exact kernel scores and agree on the
+    `flagged` verdict for ≥90% of them."""
+    from taipei_bi_etl_spark.queries.label_quality import (
+        knn_label_consistency,
+        knn_label_consistency_ivf,
+    )
+    from tests.conftest import SF_DIR
+
+    exact = {
+        r.vec_id: r.flagged
+        for r in knn_label_consistency(spark, SF_DIR).collect()
+    }
+    ivf = {
+        r.vec_id: r.flagged
+        for r in knn_label_consistency_ivf(spark, SF_DIR).collect()
+    }
+    common = set(exact) & set(ivf)
+    assert len(common) >= 0.99 * len(exact)
+    agree = sum(1 for v in common if exact[v] == ivf[v])
+    assert agree >= 0.9 * len(common)
