@@ -147,6 +147,9 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
             continue
         best = None
         for _ in range(2):
+            # drop persisted frames between passes so a long stress
+            # session doesn't accumulate caches (r03 ADVICE #3)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0

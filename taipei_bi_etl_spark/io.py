@@ -496,9 +496,24 @@ def cached_extract(
     Scale: the cache IS the raw zone — one extract per (source, date)
     ever, any number of downstream reads, each a plain parquet scan
     with partition pruning.
+
+    LOCAL-FILESYSTEM, SINGLE-WRITER ONLY (r03 ADVICE #4): the
+    hit-test/staging/promote steps are ``os.path`` + ``os.rename``, so
+    a hadoop-scheme ``cache_path`` (``s3://``, ``hdfs://``, ``gs://``)
+    would silently probe and write a literal local directory — rejected
+    up front below.  Concurrent callers are not coordinated (two
+    writers can race rmtree/rename); for a shared multi-writer cache
+    use ``write_audit_publish``'s committed-marker protocol on a
+    distributed filesystem instead.
     """
     import shutil
 
+    if "://" in cache_path:
+        raise ValueError(
+            f"cached_extract requires a bare local filesystem path, got "
+            f"{cache_path!r}; use write_audit_publish for distributed "
+            "filesystems"
+        )
     path = cache_path if date is None else os.path.join(
         cache_path, f"date={date}"
     )

@@ -276,7 +276,7 @@ SELECT source,
        CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
          AS n_tokens_kept,
        CAST(SUM(CASE WHEN keep THEN 0 ELSE n_tokens END) * 1000000
-            // SUM(n_tokens) AS BIGINT) AS removed_ppm
+            // NULLIF(SUM(n_tokens), 0) AS BIGINT) AS removed_ppm
 FROM kept
 GROUP BY source
 """
@@ -322,12 +322,18 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
         .cast("long")
         .alias("n_tokens_kept"),
+        # try_divide + NULLIF twin (r03 ADVICE #5): a source whose
+        # documents are all empty has zero tokens — report NULL ppm
+        # instead of DIVIDE_BY_ZERO in either engine.  Values are
+        # non-negative, so DuckDB's truncating integer // equals floor.
         F.floor(
-            F.sum(
-                F.when(F.col("keep"), 0).otherwise(F.col("n_tokens"))
+            F.try_divide(
+                F.sum(
+                    F.when(F.col("keep"), 0).otherwise(F.col("n_tokens"))
+                )
+                * 1_000_000,
+                F.sum("n_tokens"),
             )
-            * 1_000_000
-            / F.sum("n_tokens")
         )
         .cast("long")
         .alias("removed_ppm"),

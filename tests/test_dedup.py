@@ -177,3 +177,37 @@ def test_incremental_dedup_equals_full_rerun(spark):
     assert set(old_pairs) & set(inc) == set()
     merged = {**old_pairs, **inc}
     assert merged == full
+
+
+def test_dedup_impact_report_zero_token_source(spark, tmp_path):
+    """r03 ADVICE #5 regression: a source whose documents are ALL empty
+    (zero tokens) must report NULL removed_ppm in both engines instead
+    of raising DIVIDE_BY_ZERO (Spark 4 ANSI / DuckDB integer //)."""
+    import duckdb
+
+    from taipei_bi_etl_spark.queries.profiling import (
+        _DEDUP_IMPACT_ORACLE,
+        dedup_impact_report,
+    )
+    from tests.oracle_utils import compare
+
+    rows = [
+        (1, "a b c", "en", "web", 5),
+        (2, "a b c", "en", "web", 5),      # exact dup → removed
+        (3, "   ", "en", "empty_src", 3),  # whitespace-only
+        (4, "", "en", "empty_src", 0),     # empty
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = dedup_impact_report(spark, str(tmp_path))
+    got = {r.source: r.removed_ppm for r in out.collect()}
+    assert got["empty_src"] is None
+    assert got["web"] == 500_000
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    compare(out, con, _DEDUP_IMPACT_ORACLE)
+    con.close()

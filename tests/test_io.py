@@ -436,3 +436,16 @@ def test_cached_extract_runs_once_and_self_heals(spark, tmp_path):
     os.makedirs(broken)
     d = cached_extract(spark, base, extract, date="2024-01-03")
     assert d.count() == 5 and calls["n"] == 3
+
+
+def test_cached_extract_rejects_remote_schemes(spark):
+    """r03 ADVICE #4: a hadoop-scheme cache_path would silently write a
+    literal local directory — reject it up front."""
+    import pytest
+
+    from taipei_bi_etl_spark.io import cached_extract
+
+    for bad in ("s3://bucket/cache", "hdfs://nn/cache", "gs://b/c",
+                "file:///tmp/cache"):
+        with pytest.raises(ValueError, match="bare local filesystem"):
+            cached_extract(spark, bad, lambda: None)

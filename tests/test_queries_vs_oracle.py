@@ -16,6 +16,10 @@ CASES = sorted(REGISTRY)
 
 @pytest.mark.parametrize("name", CASES)
 def test_query_matches_oracle(spark, duck, name):
+    # registry queries persist() subtrees they cannot unpersist before
+    # their action — drop the previous query's leftovers so a full
+    # 200+-query session doesn't accumulate caches (r03 ADVICE #3)
+    spark.catalog.clearCache()
     spec = REGISTRY[name]
     sdf = spec.fn(spark, SF_DIR)
     if spec.oracle is None:

@@ -59,6 +59,7 @@ def main() -> None:
     rows = []
     for name in sorted(REGISTRY):
         try:
+            spark.catalog.clearCache()  # r03 ADVICE #3: no cache pile-up
             df = REGISTRY[name].fn(spark, SF_DIR)
             a = audit(_plan(df))
             rows.append((name, a))
@@ -73,6 +74,14 @@ def main() -> None:
         "the count — reuse is the win.  Read together with SCALE.md's "
         "narrative ledger; a query whose exchange count regresses shows "
         "up as a diff here.",
+        "",
+        "Note on the deep mango parity snapshots "
+        "(`mango_feature_roi_snapshot`, `mango_channel_roi_snapshot`, "
+        "`mango_active_user_snapshot`, …): their exchange counts are "
+        "large because each snapshot replicates the WHOLE 18-table DAG "
+        "as one query for cross-engine hashing; the production path "
+        "(`plans/mango_dag.py`) materializes the DAG table-by-table, so "
+        "no single production job carries that many exchanges.",
         "",
         "| query | exchanges | broadcast joins | parquet scans | heap top-k |",
         "|---|---|---|---|---|",
