@@ -100,4 +100,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     label_quality,
     profiling,
     tar_ingest,
+    curation2,
 )
