@@ -469,3 +469,44 @@ def test_no_row_python_udf_in_headline_plans(spark):
             continue
         plan = _plan(spec.fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, (name, plan[:1500])
+
+
+def test_chunk_sliding_windows_is_shuffle_free(spark):
+    """The RAG chunker is scan -> project -> generate: per-doc fan-out
+    with zero Exchange; any shuffle appearing here is a regression."""
+    plan = _plan(REGISTRY["chunk_sliding_windows"].fn(spark, SF_DIR))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan[:2000]
+
+
+def test_hamming_topk_broadcasts_queries_not_corpus(spark):
+    """Binary-quantization ANN must broadcast ONLY the bounded query
+    side: exactly one BroadcastExchange, and the query filter
+    (vec_id < NQ_HAM) must be pushed into its parquet scan — a second
+    broadcast (or none) means the corpus is on the wrong side."""
+    plan = _plan(REGISTRY["ann_hamming_topk"].fn(spark, SF_DIR))
+    # formatted explain may repeat the tree in an AQE "Initial Plan"
+    # section — audit the final tree only (everything before node (1))
+    tree = plan.split("(1) Scan", 1)[0]
+    assert tree.count("BroadcastExchange") == 1, plan[:3000]
+    assert re.search(r"PushedFilters:.*LessThan\(vec_id,8\)", plan), plan[:3000]
+
+
+def test_int8_quantize_broadcasts_dim_stats(spark):
+    """Scalar quantization joins the per-dimension (min,max) stats
+    frame back to the exploded corpus: the stats side is bounded by
+    dimensionality (64 rows), so it must be the broadcast build side,
+    and the final per-vector rollup must have a partial (map-side)
+    aggregate before its Exchange."""
+    plan = _plan(REGISTRY["embedding_int8_quantize"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan, plan[:3000]
+    assert re.search(r"partial_(sum|count|min|max)", plan) or (
+        "Partial" in plan
+    ), plan[:3000]
+
+
+def test_pack_context_windows_has_no_global_window(spark):
+    """The two-pass bucketed prefix sum must never fall back to a
+    single-partition global window: no `Exchange SinglePartition`
+    (the 100 TB collapse) anywhere in the plan."""
+    plan = _plan(REGISTRY["pack_context_windows"].fn(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan[:3000]
