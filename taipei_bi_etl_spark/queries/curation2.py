@@ -215,6 +215,195 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# N-gram containment dedup (doc-subsumption: excerpts / quote supersets).
+# ---------------------------------------------------------------------------
+
+CONTAIN_T = 0.9
+
+_CONTAIN_ORACLE = f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tok FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment,
+       CASE WHEN sa.n < sb.n THEN doc_a
+            WHEN sb.n < sa.n THEN doc_b
+            ELSE LEAST(doc_a, doc_b) END AS contained_doc
+FROM pair_inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) >= {CONTAIN_T}
+"""
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=_CONTAIN_ORACLE,
+    tags=("dedup", "curation", "extension"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-coefficient near-dup pairs: C = |A∩B| / min(|A|,|B|)
+    ≥ {CONTAIN_T} over 3-gram shingle sets — the asymmetric measure
+    that catches a short document SUBSUMED by a longer one (excerpts,
+    quote supersets, boilerplate wrappers), which Jaccard structurally
+    misses when lengths differ (J = inter/union shrinks as the longer
+    doc grows; C does not).  Emits the contained side explicitly — the
+    doc a curation pipeline drops.
+
+    Scale: identical machinery to `dedup_ngram_jaccard` — hashed-
+    shingle inverted index (8-byte shuffle keys), candidates meet only
+    inside shingle buckets, `cap_document_frequency` guards the
+    quadratic bucket; only the final scoring expression differs.  Both
+    engines evaluate the identical division + ROUND, the proven
+    jaccard pattern.
+    """
+    from taipei_bi_etl_spark.queries.dedup import (
+        cap_document_frequency,
+        shingle_hash_array,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), r"\s+")
+    sh = d.select(
+        "doc_id", F.explode(shingle_hash_array(tok)).alias("shingle")
+    ).persist()
+    sh = cap_document_frequency(sh, None)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    containment = F.col("inter").cast("double") / F.least("na", "nb")
+    contained = (
+        F.when(F.col("na") < F.col("nb"), F.col("doc_a"))
+        .when(F.col("nb") < F.col("na"), F.col("doc_b"))
+        .otherwise(F.least("doc_a", "doc_b"))
+    )
+    return (
+        pair_inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(containment >= CONTAIN_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(containment, 6).alias("containment"),
+            contained.alias("contained_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source leakage report (near-dup pairs spanning corpus sources).
+# ---------------------------------------------------------------------------
+
+_LEAK_ORACLE = f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tok FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+), tagged AS (
+  SELECT LEAST(da.source, db.source) AS source_x,
+         GREATEST(da.source, db.source) AS source_y,
+         doc_a, doc_b
+  FROM pairs
+  JOIN documents da ON da.doc_id = doc_a
+  JOIN documents db ON db.doc_id = doc_b
+)
+SELECT source_x, source_y,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN source_x <> source_y THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cross,
+       MIN(doc_a) AS example_doc_a,
+       MIN(doc_b) AS example_doc_b
+FROM tagged GROUP BY source_x, source_y
+"""
+
+
+@query(
+    "dedup_cross_source_leakage",
+    oracle=_LEAK_ORACLE,
+    tags=("dedup", "curation", "profiling", "extension"),
+)
+def dedup_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage report: near-dup pairs (3-gram Jaccard ≥
+    0.8, the `dedup_ngram_jaccard` machinery) tagged with BOTH
+    documents' sources and rolled up per unordered source pair — the
+    diagnostic a curation pipeline runs to find one source
+    re-publishing another's content (and the train-side complement of
+    benchmark decontamination: leakage ACROSS corpus slices rather
+    than into eval sets).
+
+    Scale: pair volume is the bucketed near-dup set (tiny vs corpus);
+    the source tags join on doc_id against a two-column projection of
+    the corpus; the rollup is map-side combinable on a key bounded by
+    |sources|².
+    """
+    from taipei_bi_etl_spark.queries.pipeline import ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), r"\s+")
+    pairs = ngram_jaccard_pairs(
+        d.select("doc_id", tok.alias("tok")), threshold=0.8
+    ).select("doc_a", "doc_b")
+    src = d.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    return tagged.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("source_x") != F.col("source_y"), 1).otherwise(0)
+        ).cast("long").alias("n_cross"),
+        F.min("doc_a").alias("example_doc_a"),
+        F.min("doc_b").alias("example_doc_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Binary (sign-bit) quantization + Hamming-distance ANN.
 # ---------------------------------------------------------------------------
 
