@@ -10,7 +10,8 @@ the deep mango snapshot oracles exhaust a shared in-process connection
 and cascade false-reds; stderr captured, caches cleared between
 queries.
 
-Usage: python tools/scale_sweep.py   (~25-40 min; prints one JSON line)
+Usage: python tools/scale_sweep.py [--only a,b,c]
+       (full registry ~25-40 min; prints one JSON line)
 """
 
 from __future__ import annotations
@@ -39,6 +40,13 @@ def main() -> None:
     from taipei_bi_etl_spark.session import get_spark
     from tests.oracle_utils import compare
 
+    only = None
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        arg = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
+        only = set(arg.split("=", 1)[-1].split(","))
+    names = sorted(n for n in REGISTRY if only is None or n in only)
+
     spark = get_spark(
         app_name="scale_sweep", shuffle_partitions=32,
     )
@@ -46,7 +54,7 @@ def main() -> None:
     fails: list[tuple[str, str]] = []
     rows_only = 0
     t0 = time.time()
-    for name in sorted(REGISTRY):
+    for name in names:
         spark.catalog.clearCache()
         spec = REGISTRY[name]
         try:
@@ -72,7 +80,7 @@ def main() -> None:
         print(f". {name}", file=sys.stderr, flush=True)
     out = {
         "sweep_sf": 0.1,
-        "queries": len(REGISTRY),
+        "queries": len(names),
         "rows_only": rows_only,
         "fails": fails,
         "elapsed_sec": round(time.time() - t0, 1),
