@@ -176,3 +176,141 @@ def test_survivor_quality_matches_union_find(spark, docs_pdf):
         for r in dedup_survivor_quality(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Synthetic long-doc corpora: the testdata's longest document is 99
+# tokens, so the multi-chunk branch of the sliding chunker (n > WIN)
+# and multi-window document spans in the packer are NEVER exercised by
+# the oracle gate on real data.  These tests build corpora that hit
+# every branch: empty/whitespace docs, 1-token docs, exact boundary
+# lengths (WIN-1 / WIN / WIN+1), and docs spanning several windows.
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, lengths) -> str:
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i, n in enumerate(lengths):
+        text = " ".join(f"t{rng.randrange(50)}" for _ in range(n))
+        rows.append((i, text, "en", "synth", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+BOUNDARY_LENGTHS = [0, 1, 63, 64, 65, 99, 127, 128, 129, 200, 400, 513, 600]
+
+
+def test_chunk_sliding_long_docs_all_branches(spark, tmp_path):
+    from taipei_bi_etl_spark.queries.curation2 import chunk_sliding_windows
+
+    sf = _write_docs(spark, tmp_path, BOUNDARY_LENGTHS)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    want = set()
+    for _, row in docs.iterrows():
+        toks = row["text"].split()
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = (n - WIN + STRIDE - 1) // STRIDE + 1 if n > WIN else 1
+        for ci in range(n_chunks):
+            seg = toks[ci * STRIDE : ci * STRIDE + min(WIN, n - ci * STRIDE)]
+            md5 = hashlib.md5(" ".join(seg).encode()).hexdigest()
+            want.add((int(row["doc_id"]), ci, len(seg), md5))
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_md5"])
+        for r in chunk_sliding_windows(spark, sf).collect()
+    }
+    assert got == want
+    # the corpus genuinely exercised the multi-chunk branch
+    assert max(ci for _, ci, _, _ in want) >= 8
+
+
+def test_pack_context_windows_long_docs(spark, tmp_path):
+    from taipei_bi_etl_spark.queries.curation2 import pack_context_windows
+
+    sf = _write_docs(spark, tmp_path, BOUNDARY_LENGTHS)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    want: dict[int, list] = {}
+    off = 0
+    for _, row in docs.sort_values("doc_id").iterrows():
+        n = len(row["text"].split())
+        if n == 0:
+            continue
+        did = int(row["doc_id"])
+        for k in range(off // CTX, (off + n - 1) // CTX + 1):
+            tok = min(off + n, (k + 1) * CTX) - max(off, k * CTX)
+            agg = want.setdefault(k, [0, 0, did, did])
+            agg[0] += 1
+            agg[1] += tok
+            agg[2] = min(agg[2], did)
+            agg[3] = max(agg[3], did)
+        off += n
+    got = {
+        r["chunk_id"]: [r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"]]
+        for r in pack_context_windows(spark, sf).collect()
+    }
+    assert got == want
+    # a single doc (600 tokens) spans at least two windows somewhere
+    assert any(v[0] == 1 for v in want.values()) or len(want) > 1
+
+
+def test_pack_context_windows_empty_corpus(spark, tmp_path):
+    from taipei_bi_etl_spark.queries.curation2 import pack_context_windows
+
+    sf = _write_docs(spark, tmp_path, [0, 0])
+    assert pack_context_windows(spark, sf).count() == 0
+
+
+def test_containment_dominates_jaccard(spark, tmp_path):
+    """Structural invariant: C = inter/min >= J = inter/union for every
+    pair, and a pair passing the Jaccard gate at C's threshold must
+    also pass containment — checked on a corpus with genuine subsumed
+    docs (a short doc whose text is a prefix of a long one)."""
+    import random
+
+    from taipei_bi_etl_spark.queries.curation2 import (
+        CONTAIN_T,
+        dedup_ngram_containment,
+    )
+    from taipei_bi_etl_spark.queries.pipeline import ngram_jaccard_pairs
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    long_toks = [f"w{rng.randrange(30)}" for _ in range(120)]
+    rows = [
+        (0, " ".join(long_toks), "en", "synth", 0),
+        (1, " ".join(long_toks[:30]), "en", "synth", 0),  # prefix excerpt
+        (2, " ".join(long_toks), "en", "synth", 0),  # exact dup of 0
+        (3, " ".join(f"u{i}" for i in range(40)), "en", "synth", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["contained_doc"])
+        for r in dedup_ngram_containment(spark, str(tmp_path)).collect()
+    }
+    # excerpt (1 ⊂ 0) found with containment 1.0, invisible to Jaccard
+    assert cont[(0, 1)][0] == 1.0 and cont[(0, 1)][1] == 1
+    # exact dup pair: containment 1.0, contained side = min doc_id
+    assert cont[(0, 2)][0] == 1.0 and cont[(0, 2)][1] == 0
+    d = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(
+            d.select("doc_id", F.split("text", r"\s+").alias("tok")),
+            threshold=CONTAIN_T,
+        ).collect()
+    }
+    # J >= t implies C >= t: the Jaccard pair set is a subset
+    assert jac <= set(cont)
+    assert (0, 1) not in jac  # and the excerpt is the strict gain
