@@ -134,6 +134,49 @@ FROM x GROUP BY k
 """
 
 
+def _context_offsets(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """(doc_id, n, off) for every non-empty document, where ``off`` is
+    the exclusive running token total in doc_id order — computed with
+    the two-pass bucketed prefix sum (the `assign_dense_ids` pattern,
+    io.py:366, adapted to weighted offsets): doc_ids cut into P
+    fixed-width buckets (deterministic arithmetic on the key — no
+    range-partitioner sampling), pass 1 collects per-bucket token
+    totals (P rows to the driver) and folds exclusive prefix offsets,
+    pass 2 adds the broadcast bucket base to a PER-BUCKET window
+    cumsum.  Returns None for an empty corpus."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != "")
+        ).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    n_buckets = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        return None
+    width = int(max_id) // n_buckets + 1
+    d = d.withColumn("bkt", (F.col("doc_id") / width).cast("int"))
+    totals = d.groupBy("bkt").agg(F.sum("n").alias("tot")).collect()
+    base, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["bkt"]):
+        base[int(r["bkt"])] = acc
+        acc += int(r["tot"])
+    base_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(base.items()) for x in kv]
+        ),
+        F.col("bkt"),
+    )
+    w = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return d.select(
+        "doc_id",
+        "n",
+        (base_col + F.coalesce(F.sum("n").over(w), F.lit(0))).alias("off"),
+    )
+
+
 @query(
     "pack_context_windows",
     oracle=_CTX_ORACLE,
@@ -159,41 +202,13 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its own length), and the aggregate is map-side combinable on
     chunk_id.
     """
-    d = read_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(
-            F.filter(F.split("text", r"\s+"), lambda t: t != "")
-        ).cast("long").alias("n"),
-    ).filter(F.col("n") > 0)
-    n_buckets = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
-    max_id = d.agg(F.max("doc_id")).collect()[0][0]
-    if max_id is None:
+    o = _context_offsets(spark, sf_dir)
+    if o is None:
         return spark.createDataFrame(
             [],
             "chunk_id long, n_docs long, n_tokens long, "
             "first_doc long, last_doc long",
         )
-    width = int(max_id) // n_buckets + 1
-    d = d.withColumn("bkt", (F.col("doc_id") / width).cast("int"))
-    totals = d.groupBy("bkt").agg(F.sum("n").alias("tot")).collect()
-    base, acc = {}, 0
-    for r in sorted(totals, key=lambda r: r["bkt"]):
-        base[int(r["bkt"])] = acc
-        acc += int(r["tot"])
-    base_col = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in sorted(base.items()) for x in kv]
-        ),
-        F.col("bkt"),
-    )
-    w = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    o = d.select(
-        "doc_id",
-        "n",
-        (base_col + F.coalesce(F.sum("n").over(w), F.lit(0))).alias("off"),
-    )
     x = o.select(
         "doc_id", "n", "off",
         F.explode(
@@ -211,6 +226,106 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(occupancy).cast("long").alias("n_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-window document-boundary segments (attention-mask metadata).
+# ---------------------------------------------------------------------------
+
+_MASK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS n
+  FROM documents
+), o AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS off
+  FROM d
+), x AS (
+  SELECT doc_id, n, off,
+         unnest(range(off // {CTX}, (off + n - 1) // {CTX} + 1)) AS k
+  FROM o WHERE n > 0
+), seg AS (
+  SELECT CAST(k AS BIGINT) AS chunk_id, doc_id,
+         GREATEST(off, k * {CTX}) - k * {CTX} AS seg_start,
+         LEAST(off + n, (k + 1) * {CTX}) - GREATEST(off, k * {CTX})
+           AS seg_len
+  FROM x
+)
+SELECT chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       string_agg(seg_start || ':' || doc_id || ':' || seg_len, ','
+                  ORDER BY seg_start) AS boundaries
+FROM seg GROUP BY chunk_id
+"""
+
+
+@query(
+    "pack_window_boundaries",
+    oracle=_MASK_ORACLE,
+    tags=("curation", "packing", "extension"),
+)
+def pack_window_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary segments per packed context window — the
+    attention-mask metadata packed pretraining needs so cross-document
+    attention can be blocked inside a window: for each {CTX}-token
+    window, the ordered (start:doc:len) segment list.  Completes the
+    packing family: `pack_context_windows` gives the occupancy
+    accounting, this gives the masks.
+
+    Oracle checks the EXACT serialized segment list (start, doc, len,
+    order) per window — integers and strings only.  The Spark side
+    sorts (seg_start, doc_id, seg_len) structs before joining, so the
+    output is deterministic under any partitioning; the oracle's
+    string_agg orders by the same key.
+
+    Scale: same two-pass bucketed prefix sum as the packer (no global
+    window — `_context_offsets`); the per-window rollup groups ≤
+    {CTX}+1 segments per key, map-side combinable; segment lists are
+    bounded by the window size, never by corpus size.
+    """
+    o = _context_offsets(spark, sf_dir)
+    if o is None:
+        return spark.createDataFrame(
+            [], "chunk_id long, n_segments long, boundaries string"
+        )
+    x = o.select(
+        "doc_id", "n", "off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / CTX),
+                F.floor((F.col("off") + F.col("n") - 1) / CTX),
+            )
+        ).alias("k"),
+    )
+    seg_start = F.greatest(F.col("off"), F.col("k") * CTX) - F.col("k") * CTX
+    seg_len = F.least(
+        F.col("off") + F.col("n"), (F.col("k") + 1) * CTX
+    ) - F.greatest(F.col("off"), F.col("k") * CTX)
+    segs = x.select(
+        F.col("k").cast("long").alias("chunk_id"),
+        F.struct(
+            seg_start.cast("long").alias("s"),
+            F.col("doc_id").alias("d"),
+            seg_len.cast("long").alias("l"),
+        ).alias("seg"),
+    )
+    return segs.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("seg")),
+                lambda s: F.concat_ws(
+                    ":", s["s"].cast("string"), s["d"].cast("string"),
+                    s["l"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("boundaries"),
     )
 
 

@@ -314,3 +314,36 @@ def test_containment_dominates_jaccard(spark, tmp_path):
     # J >= t implies C >= t: the Jaccard pair set is a subset
     assert jac <= set(cont)
     assert (0, 1) not in jac  # and the excerpt is the strict gain
+
+
+def test_pack_window_boundaries_matches_python(spark, tmp_path):
+    from taipei_bi_etl_spark.queries.curation2 import pack_window_boundaries
+
+    sf = _write_docs(spark, tmp_path, BOUNDARY_LENGTHS)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    segs: dict[int, list] = {}
+    off = 0
+    for _, row in docs.sort_values("doc_id").iterrows():
+        n = len(row["text"].split())
+        if n == 0:
+            continue
+        did = int(row["doc_id"])
+        for k in range(off // CTX, (off + n - 1) // CTX + 1):
+            s = max(off, k * CTX) - k * CTX
+            ln = min(off + n, (k + 1) * CTX) - max(off, k * CTX)
+            segs.setdefault(k, []).append((s, did, ln))
+        off += n
+    want = {
+        k: (len(v), ",".join(f"{s}:{d}:{l}" for s, d, l in sorted(v)))
+        for k, v in segs.items()
+    }
+    got = {
+        r["chunk_id"]: (r["n_segments"], r["boundaries"])
+        for r in pack_window_boundaries(spark, sf).collect()
+    }
+    assert got == want
+    # segment lengths tile each full window exactly
+    full = [k for k in want if k != max(want)]
+    assert full and all(
+        sum(l for _, _, l in segs[k]) == CTX for k in full
+    )
