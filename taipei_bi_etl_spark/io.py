@@ -532,3 +532,34 @@ def cached_extract(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     os.rename(staging, path)
     return spark.read.format(fmt).load(path)
+
+
+def read_unsplittable_text(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "json",
+    target_partitions: int | None = None,
+    schema: str | None = None,
+) -> DataFrame:
+    """Read whole-file-compressed text sources (``.jsonl.gz``,
+    ``.csv.gz`` …) and restore parallelism.
+
+    Gzip (and zstd-without-seekable-frames) is UNSPLITTABLE: Spark
+    assigns ONE task per file regardless of size, so a 10 GB
+    ``.jsonl.gz`` becomes one 10 GB task and a single straggler core —
+    the classic 100 TB ingest trap (splittable formats and bounded
+    file sizes are the upstream fix; this helper is the downstream
+    one).  Reads the files as-is, then immediately round-robin
+    ``repartition``s so everything AFTER the decode runs wide; the one
+    repartition shuffle is the documented price of the codec.
+
+    ``fmt`` is any DataFrameReader format (``json``, ``csv``, ``text``);
+    pass an explicit ``schema`` to skip the inference pass (inference
+    re-reads — and re-decompresses — every file).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.format(fmt).load(path)
+    n = target_partitions or spark.sparkContext.defaultParallelism
+    return df.repartition(n)
