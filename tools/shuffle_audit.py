@@ -52,10 +52,51 @@ def audit(plan: str) -> dict:
 
 
 def main() -> None:
+    """``python tools/shuffle_audit.py [--only a,b,c]`` — with --only,
+    audits just the named queries and SPLICES their rows into the
+    existing SHUFFLES.md (alphabetical position preserved) instead of
+    regenerating all ~220 plans (~20 min)."""
     from taipei_bi_etl_spark.queries import REGISTRY
     from taipei_bi_etl_spark.session import get_spark
 
+    only = None
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        arg = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
+        only = set(arg.split("=", 1)[-1].split(","))
+
     spark = get_spark(app_name="shuffle_audit", shuffle_partitions=8)
+
+    if only:
+        md = Path(_REPO, "SHUFFLES.md")
+        lines = md.read_text().splitlines()
+        for name in sorted(only):
+            spark.catalog.clearCache()
+            a = audit(_plan(REGISTRY[name].fn(spark, SF_DIR)))
+            row = (
+                f"| {name} | {a['exchanges']} | {a['broadcasts']} "
+                f"| {a['scans']} | {'✓' if a['heap_topk'] else ''} |"
+            )
+            lines = [
+                ln for ln in lines if not ln.startswith(f"| {name} ")
+            ]
+            at = next(
+                (
+                    j
+                    for j, ln in enumerate(lines)
+                    if ln.startswith("| ")
+                    and not ln.startswith("|---")
+                    and ln.split("|")[1].strip() > name
+                    and ln.split("|")[1].strip() != "query"
+                ),
+                len(lines),
+            )
+            lines.insert(at, row)
+        md.write_text("\n".join(lines) + "\n")
+        print(f"SHUFFLES.md updated ({len(only)} rows spliced)")
+        spark.stop()
+        return
+
     rows = []
     for name in sorted(REGISTRY):
         try:
