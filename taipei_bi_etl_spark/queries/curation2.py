@@ -149,7 +149,14 @@ def _context_offsets(spark: SparkSession, sf_dir: str) -> DataFrame | None:
         F.size(
             F.filter(F.split("text", r"\s+"), lambda t: t != "")
         ).cast("long").alias("n"),
-    ).filter(F.col("n") > 0)
+    )
+    return _offsets_from(spark, d)
+
+
+def _offsets_from(spark: SparkSession, d: DataFrame) -> DataFrame | None:
+    """Frame-parameterized core of `_context_offsets`: ``d`` is any
+    (doc_id, n) frame; same two-pass bucketed prefix sum."""
+    d = d.filter(F.col("n") > 0)
     n_buckets = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
     max_id = d.agg(F.max("doc_id")).collect()[0][0]
     if max_id is None:
@@ -203,6 +210,198 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_id.
     """
     o = _context_offsets(spark, sf_dir)
+    if o is None:
+        return spark.createDataFrame(
+            [],
+            "chunk_id long, n_docs long, n_tokens long, "
+            "first_doc long, last_doc long",
+        )
+    x = o.select(
+        "doc_id", "n", "off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / CTX),
+                F.floor((F.col("off") + F.col("n") - 1) / CTX),
+            )
+        ).alias("k"),
+    )
+    occupancy = F.least(
+        F.col("off") + F.col("n"), (F.col("k") + 1) * CTX
+    ) - F.greatest(F.col("off"), F.col("k") * CTX)
+    return x.groupBy(F.col("k").cast("long").alias("chunk_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(occupancy).cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: gates → near-dup components → quality survivor → packed
+# context windows (the full pretraining-data pipeline as ONE query).
+# ---------------------------------------------------------------------------
+
+
+def _packed_oracle() -> str:
+    from taipei_bi_etl_spark.queries.curation import (
+        _STOP,
+        KEEP_LANGS,
+        MAX_STOPWORD_RATIO,
+        MIN_TOKENS,
+    )
+    from taipei_bi_etl_spark.queries.dedup import JACCARD_T
+
+    return f"""
+WITH RECURSIVE gated AS (
+  SELECT doc_id, text
+  FROM documents
+  WHERE lang IN {KEEP_LANGS!r}
+    AND len(string_split_regex(text, '\\s+')) >= {MIN_TOKENS}
+    AND len(list_filter(string_split_regex(text, '\\s+'),
+            t -> t IN {_STOP!r})) * 1.0
+        / len(string_split_regex(text, '\\s+')) <= {MAX_STOPWORD_RATIO}
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tok FROM gated)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_T}
+), reach(node, root) AS (
+  SELECT d, d FROM (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs) t(d)
+  UNION
+  SELECT e.b, r.root
+  FROM reach r
+  JOIN (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs) e ON e.a = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(root) AS component_id FROM reach GROUP BY node
+), surv AS (
+  SELECT s.doc_id
+  FROM (SELECT c.component_id, c.doc_id, strlen(g.text) AS n_chars
+        FROM comp c JOIN gated g USING (doc_id)) s
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY component_id ORDER BY n_chars DESC, doc_id) = 1
+), kept AS (
+  SELECT g.doc_id,
+         len(list_filter(string_split_regex(g.text, '\\s+'), t -> t <> ''))
+           AS n
+  FROM gated g LEFT JOIN comp c USING (doc_id)
+  WHERE c.doc_id IS NULL OR g.doc_id IN (SELECT doc_id FROM surv)
+), o AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS off
+  FROM kept
+), x AS (
+  SELECT doc_id, n, off,
+         unnest(range(off // {CTX}, (off + n - 1) // {CTX} + 1)) AS k
+  FROM o WHERE n > 0
+)
+SELECT CAST(k AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(off + n, (k + 1) * {CTX})
+                - GREATEST(off, k * {CTX})) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM x GROUP BY k
+"""
+
+
+@query(
+    "curation_end_to_end_packed",
+    oracle=_packed_oracle(),
+    tags=("curation", "dedup", "packing", "composed", "extension"),
+)
+def curation_end_to_end_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data pipeline as ONE oracled query:
+
+      documents → quality gate (length + stopword ratio + lang)
+                → near-dup pairs (exact 3-gram Jaccard, inverted index)
+                → connected components (min-label propagation)
+                → QUALITY survivor per cluster (longest doc, tie → min)
+                → concat-and-chunk into {CTX}-token context windows
+
+    Compared to `curation_end_to_end` (min-id survivor → per-source
+    token budget), this composes the r04 operators into the shape a
+    pretraining run actually materializes: the packed-window
+    accounting of the curated corpus.  There is deliberately NO exact-
+    dedup stage: exact duplicates have Jaccard 1.0, land in the same
+    component, and the survivor policy resolves them (tie → min id) —
+    one fewer corpus shuffle than v1's digest pass.
+
+    Scale: gates are map-side and run FIRST so pair generation sees
+    only the gated corpus; components run over the pair list (tiny);
+    the survivor window is per-component; the packing offset is the
+    two-pass bucketed prefix sum (`_offsets_from` — no global window);
+    ``kept`` is persisted so the offset passes don't re-run the
+    component iteration.
+    """
+    from taipei_bi_etl_spark.queries.clustering import min_label_components
+    from taipei_bi_etl_spark.queries.curation import (
+        _STOP,
+        KEEP_LANGS,
+        MAX_STOPWORD_RATIO,
+        MIN_TOKENS,
+    )
+    from taipei_bi_etl_spark.queries.pipeline import ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), r"\s+")
+    n_tok = F.size(tok)
+    stop = F.array(*[F.lit(s) for s in _STOP])
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop, t)))
+    gated = d.filter(
+        F.col("lang").isin(*KEEP_LANGS)
+        & (n_tok >= MIN_TOKENS)
+        & (n_stop * 1.0 / n_tok <= MAX_STOPWORD_RATIO)
+    ).select("doc_id", "text")
+
+    from taipei_bi_etl_spark.queries.dedup import JACCARD_T
+
+    pairs = ngram_jaccard_pairs(
+        gated.select("doc_id", F.split(F.col("text"), r"\s+").alias("tok")),
+        threshold=JACCARD_T,
+    ).select("doc_a", "doc_b")
+    comp = min_label_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+    scored = comp.join(
+        gated.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    surv = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    kept = (
+        gated.join(comp, "doc_id", "left")
+        .join(surv.withColumn("is_surv", F.lit(True)), "doc_id", "left")
+        .filter(F.col("component_id").isNull() | F.col("is_surv"))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", r"\s+"), lambda t: t != "")
+            ).cast("long").alias("n"),
+        )
+        .persist()
+    )
+    o = _offsets_from(spark, kept)
     if o is None:
         return spark.createDataFrame(
             [],
