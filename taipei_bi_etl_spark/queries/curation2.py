@@ -623,6 +623,71 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DROP_CONTAINED_ORACLE = f"""
+WITH cpairs AS ({_CONTAIN_ORACLE}
+), dropped AS (
+  SELECT DISTINCT contained_doc AS doc_id FROM cpairs
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN x.doc_id IS NULL
+                THEN len(list_filter(string_split_regex(d.text, '\\s+'),
+                         t -> t <> '')) ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM documents d LEFT JOIN dropped x ON x.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@query(
+    "dedup_drop_contained",
+    oracle=_DROP_CONTAINED_ORACLE,
+    tags=("dedup", "curation", "extension"),
+)
+def dedup_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based curation pass: any document ≥{CONTAIN_T}
+    contained in another is dropped (excerpts, quote supersets,
+    boilerplate wrappers vanish; their containers stay).  Unlike the
+    component-based survivor policies, containment names its victim
+    directly — no connected components, no cluster window: one
+    distinct over `dedup_ngram_containment`'s ``contained_doc`` column
+    and an anti-flag join.  Emits per-source kept/dropped accounting
+    with the surviving token budget.
+
+    Scale: the pair machinery is the bucketed inverted index; the
+    dropped set is |pairs|-bounded (tiny vs corpus) and joins the
+    corpus on doc_id — AQE broadcasts it when genuinely small.
+    """
+    dropped = (
+        dedup_ngram_containment(spark, sf_dir)
+        .select(F.col("contained_doc").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != "")
+        ).cast("long").alias("n_tok"),
+    )
+    return (
+        d.join(dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("is_dropped"), 1).otherwise(0)
+            ).cast("long").alias("n_dropped"),
+            F.sum(
+                F.when(F.col("is_dropped").isNull(), F.col("n_tok")).otherwise(0)
+            ).cast("long").alias("tokens_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-source leakage report (near-dup pairs spanning corpus sources).
 # ---------------------------------------------------------------------------
