@@ -237,6 +237,132 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe packing: windows never mix train/val/test splits.
+# ---------------------------------------------------------------------------
+
+
+def _split_pack_oracle() -> str:
+    from taipei_bi_etl_spark.queries.curation import _SPLIT_B1, _SPLIT_P1
+    from taipei_bi_etl_spark.queries.dedup import _poly_sql
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN {_poly_sql("text", _SPLIT_B1, _SPLIT_P1)} % 100 < 80
+              THEN 'train'
+              WHEN {_poly_sql("text", _SPLIT_B1, _SPLIT_P1)} % 100 < 90
+              THEN 'val' ELSE 'test' END AS split,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS n
+  FROM documents
+), o AS (
+  SELECT doc_id, split, n,
+         CAST(COALESCE(SUM(n) OVER (PARTITION BY split ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS off
+  FROM d WHERE n > 0
+), x AS (
+  SELECT doc_id, split, n, off,
+         unnest(range(off // {CTX}, (off + n - 1) // {CTX} + 1)) AS k
+  FROM o
+)
+SELECT split, CAST(k AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(off + n, (k + 1) * {CTX})
+                - GREATEST(off, k * {CTX})) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM x GROUP BY split, k
+"""
+
+
+@query(
+    "pack_split_isolated",
+    oracle=_split_pack_oracle(),
+    tags=("curation", "packing", "extension"),
+)
+def pack_split_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe context packing: documents are assigned their
+    content-addressed train/val/test split (the `corpus_hash_split`
+    hash — stable under re-partitioning and re-ingestion), then each
+    split packs into its OWN {CTX}-token window stream — no window
+    ever mixes splits, so a packed eval batch can never see a training
+    document fragment (the packing-time complement of the leakage-safe
+    corpus split).
+
+    Scale: same two-pass bucketed prefix sum as `pack_context_windows`
+    but grouped — per-(split, bucket) token totals (≤ 3·P rows to the
+    driver) fold into per-split exclusive offsets, and the window
+    cumsum partitions on (split, bucket).  Still no global window
+    anywhere; the split hash is a map-side expression.
+    """
+    from taipei_bi_etl_spark.queries.curation import _SPLIT_B1, _SPLIT_P1
+    from taipei_bi_etl_spark.queries.text import _char_array, poly_hash
+
+    b1 = poly_hash(_char_array(F.col("text")), _SPLIT_B1, _SPLIT_P1) % 100
+    split = (
+        F.when(b1 < 80, "train").when(b1 < 90, "val").otherwise("test")
+    )
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        split.alias("split"),
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != "")
+        ).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    n_buckets = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        return spark.createDataFrame(
+            [],
+            "split string, chunk_id long, n_docs long, n_tokens long, "
+            "first_doc long, last_doc long",
+        )
+    width = int(max_id) // n_buckets + 1
+    d = d.withColumn("bkt", (F.col("doc_id") / width).cast("int"))
+    totals = d.groupBy("split", "bkt").agg(F.sum("n").alias("tot")).collect()
+    base: dict[str, int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(totals, key=lambda r: (r["split"], r["bkt"])):
+        key = f"{r['split']}:{r['bkt']}"
+        base[key] = acc.get(r["split"], 0)
+        acc[r["split"]] = base[key] + int(r["tot"])
+    base_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(base.items()) for x in kv]
+        ),
+        F.concat_ws(":", F.col("split"), F.col("bkt").cast("string")),
+    )
+    w = Window.partitionBy("split", "bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    o = d.select(
+        "doc_id", "split", "n",
+        (base_col + F.coalesce(F.sum("n").over(w), F.lit(0))).alias("off"),
+    )
+    x = o.select(
+        "doc_id", "split", "n", "off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / CTX),
+                F.floor((F.col("off") + F.col("n") - 1) / CTX),
+            )
+        ).alias("k"),
+    )
+    occupancy = F.least(
+        F.col("off") + F.col("n"), (F.col("k") + 1) * CTX
+    ) - F.greatest(F.col("off"), F.col("k") * CTX)
+    return x.groupBy(
+        "split", F.col("k").cast("long").alias("chunk_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(occupancy).cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end: gates → near-dup components → quality survivor → packed
 # context windows (the full pretraining-data pipeline as ONE query).
 # ---------------------------------------------------------------------------
