@@ -237,6 +237,110 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental (IVM) maintenance of the packed-window accounting.
+# ---------------------------------------------------------------------------
+
+HIST_FRACTION = 4  # history = doc_id < max_id*4//5; delta = the rest
+
+
+@query(
+    "pack_context_windows_incremental",
+    oracle=_CTX_ORACLE,
+    tags=("curation", "packing", "ivm", "extension"),
+)
+def pack_context_windows_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta maintenance of `pack_context_windows` for an append-only
+    corpus (the `cohort_retention_incremental` pattern applied to
+    packing).  Key invariant: the token stream concatenates in doc_id
+    order, so appended documents NEVER move an existing document's
+    offset — yesterday's window accounting is frozen except for the
+    single partial window at the stream's tail.  The delta update is:
+    (1) read yesterday's accounting + one scalar (total tokens T so
+    far), (2) pack ONLY the new documents starting at offset T, (3)
+    merge — the boundary chunk_id appears on both sides and merges by
+    summing docs/tokens (min first / max last).
+
+    This query materializes "yesterday" with the full path (the
+    simulation of the stored artifacts — production reads them from
+    the sink), applies the delta, and returns the merged accounting;
+    its oracle is the FULL recompute (`_CTX_ORACLE`), so the driver
+    gate hash-proves incremental == full.
+
+    Scale: the delta side scans only the appended documents plus one
+    scalar — cost ∝ |delta|, flat as the corpus grows; both sides use
+    the bucketed prefix sum (no global window).
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != "")
+        ).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        return spark.createDataFrame(
+            [],
+            "chunk_id long, n_docs long, n_tokens long, "
+            "first_doc long, last_doc long",
+        )
+    cut = int(max_id) * HIST_FRACTION // (HIST_FRACTION + 1)
+
+    def windows(off_frame: DataFrame) -> DataFrame:
+        x = off_frame.select(
+            "doc_id", "n", "off",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("off") / CTX),
+                    F.floor((F.col("off") + F.col("n") - 1) / CTX),
+                )
+            ).alias("k"),
+        )
+        occ = F.least(
+            F.col("off") + F.col("n"), (F.col("k") + 1) * CTX
+        ) - F.greatest(F.col("off"), F.col("k") * CTX)
+        return x.groupBy(F.col("k").cast("long").alias("chunk_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(occ).cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+
+    # --- yesterday's artifacts (stand-in for the stored sink):
+    hist = d.filter(F.col("doc_id") < cut)
+    hist_off = _offsets_from(spark, hist)
+    empty = spark.createDataFrame(
+        [],
+        "chunk_id long, n_docs long, n_tokens long, "
+        "first_doc long, last_doc long",
+    )
+    hist_acc = empty if hist_off is None else windows(hist_off)
+    total = hist.agg(F.sum("n")).collect()[0][0] or 0
+
+    # --- the delta path: ONLY new docs, offsets continuing at T
+    delta = d.filter(F.col("doc_id") >= cut)
+    delta_off = _offsets_from(spark, delta)
+    if delta_off is None:
+        return hist_acc
+    delta_acc = windows(
+        delta_off.withColumn("off", F.col("off") + F.lit(int(total)))
+    )
+
+    # --- merge: only the boundary chunk exists on both sides
+    return (
+        hist_acc.unionByName(delta_acc)
+        .groupBy("chunk_id")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("first_doc").alias("first_doc"),
+            F.max("last_doc").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Leakage-safe packing: windows never mix train/val/test splits.
 # ---------------------------------------------------------------------------
 
