@@ -758,6 +758,104 @@ def pack_window_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_window_boundaries_incremental",
+    oracle=_MASK_ORACLE,
+    tags=("curation", "packing", "ivm", "extension"),
+)
+def pack_window_boundaries_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta maintenance of `pack_window_boundaries` — the
+    attention-mask twin of `pack_context_windows_incremental`, same
+    invariant: appended documents never move an existing offset, so
+    every stored window's segment list is frozen except the single
+    partial window at the tail.  The delta path computes segments for
+    ONLY the new documents (offsets continuing at the stored total-
+    token scalar), unions them with yesterday's segment table, and
+    re-aggregates — only the boundary chunk_id actually merges (its
+    history segments all start before the delta's, so the sorted
+    serialization is identical to the full recompute's).
+
+    Yesterday's artifacts are materialized in-query (the stand-in
+    pattern — production reads the segment table from the sink); the
+    oracle is the FULL recompute (`_MASK_ORACLE`), hash-proving
+    incremental == full.  Scale: delta side ∝ |new docs|; the
+    re-aggregate touches per-window segment lists bounded by the
+    window size.
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != "")
+        ).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        return spark.createDataFrame(
+            [], "chunk_id long, n_segments long, boundaries string"
+        )
+    cut = int(max_id) * HIST_FRACTION // (HIST_FRACTION + 1)
+
+    def segments(off_frame: DataFrame) -> DataFrame:
+        x = off_frame.select(
+            "doc_id", "n", "off",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("off") / CTX),
+                    F.floor((F.col("off") + F.col("n") - 1) / CTX),
+                )
+            ).alias("k"),
+        )
+        seg_start = (
+            F.greatest(F.col("off"), F.col("k") * CTX) - F.col("k") * CTX
+        )
+        seg_len = F.least(
+            F.col("off") + F.col("n"), (F.col("k") + 1) * CTX
+        ) - F.greatest(F.col("off"), F.col("k") * CTX)
+        return x.select(
+            F.col("k").cast("long").alias("chunk_id"),
+            F.struct(
+                seg_start.cast("long").alias("s"),
+                F.col("doc_id").alias("d"),
+                seg_len.cast("long").alias("l"),
+            ).alias("seg"),
+        )
+
+    hist = d.filter(F.col("doc_id") < cut)
+    hist_off = _offsets_from(spark, hist)
+    total = hist.agg(F.sum("n")).collect()[0][0] or 0
+    delta_off = _offsets_from(spark, d.filter(F.col("doc_id") >= cut))
+
+    parts = []
+    if hist_off is not None:
+        parts.append(segments(hist_off))
+    if delta_off is not None:
+        parts.append(
+            segments(delta_off.withColumn("off", F.col("off") + F.lit(int(total))))
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "chunk_id long, n_segments long, boundaries string"
+        )
+    segs = parts[0]
+    for p in parts[1:]:
+        segs = segs.unionByName(p)
+    return segs.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("seg")),
+                lambda s: F.concat_ws(
+                    ":", s["s"].cast("string"), s["d"].cast("string"),
+                    s["l"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("boundaries"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram containment dedup (doc-subsumption: excerpts / quote supersets).
 # ---------------------------------------------------------------------------
