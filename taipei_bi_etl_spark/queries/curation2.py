@@ -1,7 +1,17 @@
-"""Round-4 curation extensions: scalar (int8) embedding quantization,
-GPT-style fixed-context-window packing, and quality-aware duplicate
-survivor selection — three operators a production training-data
-pipeline runs between dedup and tokenized shards.
+"""Round-4 curation extensions — the operators a production
+training-data pipeline runs between dedup and tokenized shards:
+
+* quantization: int8 scalar codes; binary sign-bit fingerprints with
+  Hamming-distance ANN (`ann_hamming_topk`)
+* packing: fixed context windows (`pack_context_windows`), their
+  attention-mask segment lists (`pack_window_boundaries`), both with
+  IVM twins hash-proven equal to the full recompute, and leakage-safe
+  per-split packing (`pack_split_isolated`)
+* chunking: overlapping sliding windows with md5 content oracles
+* dedup policy: quality-aware survivor selection, containment
+  (subsumption) pairs, drop-contained curation, cross-source leakage
+* the capstone `curation_end_to_end_packed`: gates → components →
+  survivor → packed windows as ONE oracled query
 
 Reference parity: extends the BASELINE north-star families (SURVEY
 §7.1 step 8); the reference itself has no embedding/packing surface —
