@@ -1,0 +1,201 @@
+"""Stored-state incremental-view maintenance for the packed-window
+accounting — the PRODUCTION form of
+``queries.curation2.pack_context_windows_incremental``.
+
+The registered query proves the IVM algebra in-plan (both "yesterday"
+and "delta" are simulated inside one query so the driver can hash it
+against the full-recompute oracle).  This module is the other half the
+reference's architecture actually runs: state lives in a parquet SINK
+between runs (the reference keeps accumulated state in date-partitioned
+BigQuery tables and re-derives each day against it —
+``tasks/bigquery.py:182-195`` cleanup + append; SURVEY §2.9), and each
+append-only batch updates it at cost ∝ |batch|.
+
+State layout (versioned-commit protocol — a minimal file-based analog
+of a Delta/Iceberg commit log, documented tradeoff in
+:func:`io.write_audit_publish`):
+
+    state_dir/
+      v000001/accounting/   per-window rows (chunk_id, n_docs,
+                            n_tokens, first_doc, last_doc)
+      v000001/meta/         1 row: total_tokens, max_doc_id
+      v000001/_COMMITTED    empty marker, written LAST
+      v000002/...
+
+Readers resolve the highest ``_COMMITTED`` version; a crash mid-write
+leaves an uncommitted directory that the retry simply overwrites —
+every step is idempotent, and history versions double as rollback
+points (production would garbage-collect old versions).
+
+Correctness invariant (why the delta is exact): the token stream
+concatenates in ``doc_id`` order, so an append-only batch (all new
+doc_ids strictly greater than the stored ``max_doc_id``) never moves an
+existing document's offset.  Only the boundary window at the stream
+tail appears on both sides, and it merges by summing docs/tokens
+(min first_doc / max last_doc).  The append-only contract is CHECKED,
+not assumed — a violating batch raises before any write.
+
+Scale: each append scans only the new batch (bucketed prefix sum — no
+global window), reads back the prior accounting (∝ windows, which is
+corpus_tokens/CTX — itself big at 100 TB, but the merge is a single
+map-side-combinable groupBy on chunk_id; a production sink would
+partition accounting by chunk_id range so the merge co-locates), and
+writes one new version.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.queries.curation2 import (
+    _offsets_from,
+    _windows_from,
+)
+
+ACC_SCHEMA = (
+    "chunk_id long, n_docs long, n_tokens long, "
+    "first_doc long, last_doc long"
+)
+META_SCHEMA = "total_tokens long, max_doc_id long"
+
+
+def _doc_lengths(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, n) with the packer's tokenization."""
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != "")
+        ).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+
+
+def _version_dir(state_dir: str, v: int) -> str:
+    return os.path.join(state_dir, f"v{v:06d}")
+
+
+def latest_version(state_dir: str) -> int:
+    """Highest committed version, or 0 if the store is empty."""
+    if not os.path.isdir(state_dir):
+        return 0
+    best = 0
+    for name in os.listdir(state_dir):
+        if not name.startswith("v"):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        if v > best and os.path.exists(
+            os.path.join(state_dir, name, "_COMMITTED")
+        ):
+            best = v
+    return best
+
+
+def read_state(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> tuple[DataFrame, int, int, int]:
+    """(accounting, total_tokens, max_doc_id, version) of the latest —
+    or an explicitly pinned — committed version."""
+    v = latest_version(state_dir) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed state under {state_dir}")
+    vdir = _version_dir(state_dir, v)
+    if not os.path.exists(os.path.join(vdir, "_COMMITTED")):
+        raise FileNotFoundError(f"version {v} not committed: {vdir}")
+    acc = spark.read.schema(ACC_SCHEMA).parquet(os.path.join(vdir, "accounting"))
+    meta = (
+        spark.read.schema(META_SCHEMA)
+        .parquet(os.path.join(vdir, "meta"))
+        .collect()[0]
+    )
+    return acc, int(meta["total_tokens"]), int(meta["max_doc_id"]), v
+
+
+def _commit(
+    spark: SparkSession,
+    state_dir: str,
+    v: int,
+    acc: DataFrame,
+    total_tokens: int,
+    max_doc_id: int,
+) -> int:
+    """Write version ``v`` (overwriting any uncommitted leftovers from
+    a crashed attempt), marker last."""
+    import shutil
+
+    vdir = _version_dir(state_dir, v)
+    if os.path.isdir(vdir):  # crashed previous attempt — retry wins
+        shutil.rmtree(vdir)
+    acc.write.mode("overwrite").parquet(os.path.join(vdir, "accounting"))
+    spark.createDataFrame(
+        [(int(total_tokens), int(max_doc_id))], META_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(vdir, "meta"))
+    with open(os.path.join(vdir, "_COMMITTED"), "w"):
+        pass
+    return v
+
+
+def pack_state_init(
+    spark: SparkSession, docs: DataFrame, state_dir: str
+) -> int:
+    """Full pack of ``docs`` (doc_id, text, ...) into a fresh v1 state.
+    Returns the committed version (always 1)."""
+    d = _doc_lengths(docs)
+    off = _offsets_from(spark, d)
+    if off is None:
+        acc = spark.createDataFrame([], ACC_SCHEMA)
+        return _commit(spark, state_dir, 1, acc, 0, -1)
+    agg = d.agg(
+        F.sum("n").alias("t"), F.max("doc_id").alias("m")
+    ).collect()[0]
+    return _commit(
+        spark, state_dir, 1, _windows_from(off), int(agg["t"]), int(agg["m"])
+    )
+
+
+def pack_state_append(
+    spark: SparkSession, new_docs: DataFrame, state_dir: str
+) -> int:
+    """Merge an append-only batch into the stored accounting — cost
+    ∝ |batch| on the compute side.  Returns the new committed version.
+    Raises ``ValueError`` if the batch violates the append-only
+    contract (any new doc_id ≤ stored max_doc_id)."""
+    acc, total, max_id, v = read_state(spark, state_dir)
+    d = _doc_lengths(new_docs)
+    stats = d.agg(
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.sum("n").alias("t"),
+    ).collect()[0]
+    if stats["lo"] is None:  # empty batch — state unchanged, new version
+        return _commit(spark, state_dir, v + 1, acc, total, max_id)
+    if int(stats["lo"]) <= max_id:
+        raise ValueError(
+            f"append-only contract violated: batch min doc_id "
+            f"{stats['lo']} <= stored max_doc_id {max_id}"
+        )
+    delta_off = _offsets_from(spark, d).withColumn(
+        "off", F.col("off") + F.lit(int(total))
+    )
+    merged = (
+        acc.unionByName(_windows_from(delta_off))
+        .groupBy("chunk_id")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("first_doc").alias("first_doc"),
+            F.max("last_doc").alias("last_doc"),
+        )
+    )
+    return _commit(
+        spark,
+        state_dir,
+        v + 1,
+        merged,
+        total + int(stats["t"]),
+        max(max_id, int(stats["hi"])),
+    )

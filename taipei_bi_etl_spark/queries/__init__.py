@@ -101,4 +101,6 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     profiling,
     tar_ingest,
     curation2,
+    dsir,
+    curation3,
 )

@@ -194,6 +194,32 @@ def _offsets_from(spark: SparkSession, d: DataFrame) -> DataFrame | None:
     )
 
 
+def _windows_from(off_frame: DataFrame) -> DataFrame:
+    """(doc_id, n, off) → per-window accounting (chunk_id, n_docs,
+    n_tokens, first_doc, last_doc).  Shared by the full packer, its
+    in-plan IVM twin below, and the stored-state IVM
+    (`taipei_bi_etl_spark.ivm_store`) so all three agree by
+    construction."""
+    x = off_frame.select(
+        "doc_id", "n", "off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / CTX),
+                F.floor((F.col("off") + F.col("n") - 1) / CTX),
+            )
+        ).alias("k"),
+    )
+    occupancy = F.least(
+        F.col("off") + F.col("n"), (F.col("k") + 1) * CTX
+    ) - F.greatest(F.col("off"), F.col("k") * CTX)
+    return x.groupBy(F.col("k").cast("long").alias("chunk_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(occupancy).cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 @query(
     "pack_context_windows",
     oracle=_CTX_ORACLE,
@@ -226,24 +252,7 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_id long, n_docs long, n_tokens long, "
             "first_doc long, last_doc long",
         )
-    x = o.select(
-        "doc_id", "n", "off",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("off") / CTX),
-                F.floor((F.col("off") + F.col("n") - 1) / CTX),
-            )
-        ).alias("k"),
-    )
-    occupancy = F.least(
-        F.col("off") + F.col("n"), (F.col("k") + 1) * CTX
-    ) - F.greatest(F.col("off"), F.col("k") * CTX)
-    return x.groupBy(F.col("k").cast("long").alias("chunk_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(occupancy).cast("long").alias("n_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
+    return _windows_from(o)
 
 
 # ---------------------------------------------------------------------------
@@ -297,26 +306,6 @@ def pack_context_windows_incremental(
         )
     cut = int(max_id) * HIST_FRACTION // (HIST_FRACTION + 1)
 
-    def windows(off_frame: DataFrame) -> DataFrame:
-        x = off_frame.select(
-            "doc_id", "n", "off",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("off") / CTX),
-                    F.floor((F.col("off") + F.col("n") - 1) / CTX),
-                )
-            ).alias("k"),
-        )
-        occ = F.least(
-            F.col("off") + F.col("n"), (F.col("k") + 1) * CTX
-        ) - F.greatest(F.col("off"), F.col("k") * CTX)
-        return x.groupBy(F.col("k").cast("long").alias("chunk_id")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(occ).cast("long").alias("n_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-
     # --- yesterday's artifacts (stand-in for the stored sink):
     hist = d.filter(F.col("doc_id") < cut)
     hist_off = _offsets_from(spark, hist)
@@ -325,7 +314,7 @@ def pack_context_windows_incremental(
         "chunk_id long, n_docs long, n_tokens long, "
         "first_doc long, last_doc long",
     )
-    hist_acc = empty if hist_off is None else windows(hist_off)
+    hist_acc = empty if hist_off is None else _windows_from(hist_off)
     total = hist.agg(F.sum("n")).collect()[0][0] or 0
 
     # --- the delta path: ONLY new docs, offsets continuing at T
@@ -333,7 +322,7 @@ def pack_context_windows_incremental(
     delta_off = _offsets_from(spark, delta)
     if delta_off is None:
         return hist_acc
-    delta_acc = windows(
+    delta_acc = _windows_from(
         delta_off.withColumn("off", F.col("off") + F.lit(int(total)))
     )
 
