@@ -103,4 +103,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     curation2,
     dsir,
     curation3,
+    curation4,
 )

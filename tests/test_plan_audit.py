@@ -510,3 +510,23 @@ def test_pack_context_windows_has_no_global_window(spark):
     (the 100 TB collapse) anywhere in the plan."""
     plan = _plan(REGISTRY["pack_context_windows"].fn(spark, SF_DIR))
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_text_dedup_tokens_is_shuffle_free(spark):
+    """The order-preserving first-occurrence rewrite is ONE array
+    expression in the scan projection — any Exchange or Generate
+    (explode) in its plan is a regression to the shuffle form only
+    genuinely long documents need."""
+    plan = _plan(REGISTRY["text_dedup_tokens"].fn(spark, SF_DIR))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan[:2000]
+    assert "Generate" not in plan, plan[:2000]
+
+
+def test_vocab_coverage_broadcasts_vocab_and_heaps_topk(spark):
+    """The top-K vocabulary is K rows by construction: the cut must be
+    a TakeOrderedAndProject (never a global sort) and the probe join
+    must broadcast the vocab side (a 100 TB corpus never shuffles
+    against a 16-row vocabulary)."""
+    plan = _plan(REGISTRY["vocab_coverage_report"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
