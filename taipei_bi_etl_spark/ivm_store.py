@@ -1,6 +1,7 @@
-"""Stored-state incremental-view maintenance for the packed-window
-accounting — the PRODUCTION form of
-``queries.curation2.pack_context_windows_incremental``.
+"""Stored-state incremental-view maintenance — the PRODUCTION form of
+the in-plan IVM queries: packed-window accounting
+(``queries.curation2.pack_context_windows_incremental``) and the
+retention pivot (``queries.retention.cohort_retention_incremental``).
 
 The registered query proves the IVM algebra in-plan (both "yesterday"
 and "delta" are simulated inside one query so the driver can hash it
@@ -199,3 +200,159 @@ def pack_state_append(
         total + int(stats["t"]),
         max(max_id, int(stats["hi"])),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored-state retention IVM: the daily pivot as a maintained table.
+# ---------------------------------------------------------------------------
+
+RET_USER_SCHEMA = (
+    "user_id long, os string, country string, cohort_name string, "
+    "prior_cohort date, prior_days array<date>"
+)
+RET_META_SCHEMA = "as_of string"
+_RET_KEYS = ["user_id", "os", "country", "cohort_name"]
+
+
+def _ret_commit(
+    spark: SparkSession,
+    state_dir: str,
+    v: int,
+    user_state: DataFrame,
+    pivot: DataFrame,
+    as_of: str,
+) -> int:
+    """Write retention-state version ``v`` (idempotent on retry),
+    marker last — same protocol as the packing store."""
+    import shutil
+
+    vdir = _version_dir(state_dir, v)
+    if os.path.isdir(vdir):  # crashed previous attempt — retry wins
+        shutil.rmtree(vdir)
+    user_state.write.mode("overwrite").parquet(
+        os.path.join(vdir, "user_state")
+    )
+    pivot.write.mode("overwrite").parquet(os.path.join(vdir, "pivot"))
+    spark.createDataFrame([(as_of,)], RET_META_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(vdir, "meta"))
+    with open(os.path.join(vdir, "_COMMITTED"), "w"):
+        pass
+    return v
+
+
+def read_retention_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame, str, int]:
+    """(user_state, pivot, as_of, version) of the latest committed
+    retention-state version."""
+    v = latest_version(state_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed state under {state_dir}")
+    vdir = _version_dir(state_dir, v)
+    user_state = spark.read.schema(RET_USER_SCHEMA).parquet(
+        os.path.join(vdir, "user_state")
+    )
+    pivot = spark.read.parquet(os.path.join(vdir, "pivot"))
+    as_of = spark.read.schema(RET_META_SCHEMA).parquet(
+        os.path.join(vdir, "meta")
+    ).collect()[0]["as_of"]
+    return user_state, pivot, as_of, v
+
+
+def retention_state_init(
+    spark: SparkSession, events: DataFrame, state_dir: str, as_of: str
+) -> int:
+    """Full recompute of the retention pivot at ``as_of`` plus the
+    per-user cohort/occurrence state, committed as v1 — the warehouse
+    bootstrap the reference's dated BigQuery tables represent
+    (`sql/mango_feature_cohort_date.sql:20-35`,
+    `sql/mango_cohort_retained_users.sql:30-33`)."""
+    from taipei_bi_etl_spark.queries.retention import (
+        WINDOW_DAYS,
+        _pivot_from_events,
+        _user_day_dims,
+    )
+
+    t = F.lit(as_of).cast("date")
+    lo = F.date_sub(t, WINDOW_DAYS)
+    ud = _user_day_dims(events).filter(F.col("day") <= t)
+    user_state = ud.groupBy(*_RET_KEYS).agg(
+        F.min("day").alias("prior_cohort"),
+        F.collect_set(
+            F.when(F.col("day") >= lo, F.col("day"))
+        ).alias("prior_days"),
+    )
+    pivot = _pivot_from_events(events, as_of)
+    return _ret_commit(spark, state_dir, 1, user_state, pivot, as_of)
+
+
+def retention_state_advance(
+    spark: SparkSession, day_events: DataFrame, state_dir: str
+) -> int:
+    """Advance the stored pivot by exactly ONE day: ``day_events`` must
+    contain only events on ``stored as_of + 1 day`` (CHECKED — a batch
+    on any other day raises before any write).  Cost ∝ |day batch|:
+    the delta path touches one day of events against the bounded
+    per-user window state, then a cohort-key merge into the stored
+    pivot — `queries.retention.retention_delta_update` is the shared
+    body, so the in-plan driver-gated query and this store agree by
+    construction.  Returns the new committed version."""
+    import datetime as _dt
+
+    from taipei_bi_etl_spark.queries.retention import (
+        WINDOW_DAYS,
+        _user_day_dims,
+        retention_delta_update,
+    )
+
+    user_state, pivot, as_of, v = read_retention_state(spark, state_dir)
+    t_date = _dt.date.fromisoformat(as_of) + _dt.timedelta(days=1)
+    t_str = t_date.isoformat()
+
+    ud = _user_day_dims(day_events)
+    days = [r["day"] for r in ud.select("day").distinct().collect()]
+    bad = [d for d in days if d != t_date]
+    if bad:
+        raise ValueError(
+            f"one-day-advance contract violated: batch contains days "
+            f"{sorted(bad)}, expected only {t_str} (stored as_of {as_of})"
+        )
+
+    t = F.lit(t_str).cast("date")
+    lo_t = F.date_sub(t, WINDOW_DAYS)
+    today = ud.select(*_RET_KEYS).distinct()
+
+    # prior state re-clipped to the NEW window (drops exactly the day
+    # that aged out) — the delta update sees the same frame the in-plan
+    # query builds from scratch.
+    prior = user_state.select(
+        *_RET_KEYS,
+        "prior_cohort",
+        F.filter(
+            "prior_days", lambda d: d >= lo_t
+        ).alias("prior_days"),
+    )
+    new_pivot = retention_delta_update(today, prior, pivot, t_str)
+
+    seen = today.withColumn("seen", F.lit(1))
+    new_state = (
+        user_state.join(seen, _RET_KEYS, "full_outer")
+        .select(
+            *_RET_KEYS,
+            F.coalesce(
+                "prior_cohort", F.when(F.col("seen") == 1, t)
+            ).alias("prior_cohort"),
+            F.filter(
+                F.when(
+                    F.col("seen") == 1,
+                    F.array_union(
+                        F.coalesce("prior_days", F.array().cast("array<date>")),
+                        F.array(t),
+                    ),
+                ).otherwise(F.coalesce("prior_days", F.array().cast("array<date>"))),
+                lambda d: d >= lo_t,
+            ).alias("prior_days"),
+        )
+    )
+    return _ret_commit(spark, state_dir, v + 1, new_state, new_pivot, t_str)

@@ -183,9 +183,15 @@ def cohort_retention_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _full_pivot(spark: SparkSession, sf_dir: str, as_of_str: str) -> DataFrame:
+    return _pivot_from_events(read_table(spark, sf_dir, "events"), as_of_str)
+
+
+def _pivot_from_events(ev: DataFrame, as_of_str: str) -> DataFrame:
+    """The full 22-aggregate pivot from an arbitrary events frame —
+    shared by the sf_dir-reading queries above and the stored-state IVM
+    (`taipei_bi_etl_spark.ivm_store`) so both derive from one body."""
     as_of = F.lit(as_of_str).cast("date")
     lo = F.date_sub(as_of, WINDOW_DAYS)
-    ev = read_table(spark, sf_dir, "events")
     per_user = (
         _user_day_dims(ev)
         .groupBy("user_id", "os", "country", "cohort_name")

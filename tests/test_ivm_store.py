@@ -114,3 +114,67 @@ def test_empty_init_then_append(spark, docs, tmp_path):
     ivm_store.pack_state_append(spark, docs, state)
     rows, total, _, _ = _state_rows(spark, state)
     assert rows == _full_accounting(spark, docs)
+
+
+# ---------------------------------------------------------------------------
+# Stored-state retention IVM: daily advances == full recompute.
+# ---------------------------------------------------------------------------
+
+
+def _pivot_rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        [tuple(r[c] for c in cols) for r in df.collect()]
+    )
+
+
+@pytest.fixture()
+def events(spark):
+    return read_table(spark, SF_DIR, "events")
+
+
+def test_retention_daily_advances_equal_full(spark, events, tmp_path):
+    from taipei_bi_etl_spark.queries.retention import _pivot_from_events
+
+    state = str(tmp_path / "ret")
+    day = F.to_date("ts")
+    assert ivm_store.retention_state_init(
+        spark, events.filter(day <= F.lit("2024-01-27")), state, "2024-01-27"
+    ) == 1
+    for i, d in enumerate(("2024-01-28", "2024-01-29", "2024-01-30")):
+        assert ivm_store.retention_state_advance(
+            spark, events.filter(day == F.lit(d)), state
+        ) == i + 2
+    _, pivot, as_of, v = ivm_store.read_retention_state(spark, state)
+    assert (as_of, v) == ("2024-01-30", 4)
+    want = _pivot_from_events(events, "2024-01-30")
+    assert _pivot_rows(pivot) == _pivot_rows(want)
+
+
+def test_retention_one_day_contract_enforced(spark, events, tmp_path):
+    state = str(tmp_path / "ret")
+    day = F.to_date("ts")
+    ivm_store.retention_state_init(
+        spark, events.filter(day <= F.lit("2024-01-28")), state, "2024-01-28"
+    )
+    with pytest.raises(ValueError, match="one-day-advance"):
+        ivm_store.retention_state_advance(
+            spark, events.filter(day == F.lit("2024-01-30")), state
+        )
+
+
+def test_retention_crash_retry_is_idempotent(spark, events, tmp_path):
+    state = str(tmp_path / "ret")
+    day = F.to_date("ts")
+    ivm_store.retention_state_init(
+        spark, events.filter(day <= F.lit("2024-01-29")), state, "2024-01-29"
+    )
+    batch = events.filter(day == F.lit("2024-01-30"))
+    ivm_store.retention_state_advance(spark, batch, state)
+    _, pivot, as_of, v = ivm_store.read_retention_state(spark, state)
+    want = _pivot_rows(pivot)
+    os.remove(os.path.join(state, "v000002", "_COMMITTED"))
+    assert ivm_store.latest_version(state) == 1
+    assert ivm_store.retention_state_advance(spark, batch, state) == 2
+    _, pivot2, as_of2, _ = ivm_store.read_retention_state(spark, state)
+    assert (_pivot_rows(pivot2), as_of2) == (want, "2024-01-30")
