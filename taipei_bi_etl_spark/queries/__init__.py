@@ -104,4 +104,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     dsir,
     curation3,
     curation4,
+    ml_eval,
 )
