@@ -109,3 +109,40 @@ def test_auc_identity_on_known_case(spark):
     assert _auc_exact([(1, 0), (2, 1), (2, 0), (3, 1)]) == (
         2, 2, 7, 875000,
     )
+
+
+def test_auc_equals_pairwise_probability():
+    """Property (hypothesis): the tie-averaged rank statistic equals
+    the pairwise definition  AUC = [#(pos>neg) + ½·#(pos=neg)] /
+    (n_pos·n_neg)  on arbitrary score/label multisets."""
+    from hypothesis import given, strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(-5, 5), st.integers(0, 1)),
+            min_size=2,
+            max_size=60,
+        )
+    )
+    def check(pairs):
+        n_pos, n_neg, u2, auc = _auc_exact(pairs)
+        if n_pos == 0 or n_neg == 0:
+            assert auc == -1
+            return
+        wins = halves = 0
+        for sp, yp in pairs:
+            if yp != 1:
+                continue
+            for sn, yn in pairs:
+                if yn != 0:
+                    continue
+                if sp > sn:
+                    wins += 1
+                elif sp == sn:
+                    halves += 1
+        assert u2 == 2 * wins + halves
+        assert auc == (2 * wins + halves) * 1_000_000 // (
+            2 * n_pos * n_neg
+        )
+
+    check()
