@@ -23,10 +23,21 @@ of a Delta/Iceberg commit log, documented tradeoff in
       v000001/_COMMITTED    empty marker, written LAST
       v000002/...
 
-Readers resolve the highest ``_COMMITTED`` version; a crash mid-write
-leaves an uncommitted directory that the retry simply overwrites —
-every step is idempotent, and history versions double as rollback
-points (production would garbage-collect old versions).
+Readers resolve the highest ``_COMMITTED`` version.  Crash-recovery
+semantics, precisely (single writer assumed — two concurrent writers
+could race ``rmtree``/version numbers, the same caveat as
+``io.write_audit_publish``):
+
+* crash BEFORE the marker → the version dir is invisible to readers
+  and a blind retry of the same batch overwrites it.  Idempotent.
+* crash AFTER the marker but before the orchestrator records success
+  → the retry's contract check (append-only / one-day-advance) sees
+  the already-advanced state and RAISES instead of double-applying.
+  Fail-closed exactly-once: the orchestrator reconciles by reading the
+  committed meta (pytest pins both behaviours).
+
+History versions double as rollback points (production would
+garbage-collect old versions).
 
 Correctness invariant (why the delta is exact): the token stream
 concatenates in ``doc_id`` order, so an append-only batch (all new

@@ -14,8 +14,11 @@ Cross-engine determinism notes:
 * `corpus_diversity_profile` reports type-token ratios as exact
   integer micros (``distinct*1e6 div total``) — no float division.
 * `training_shuffle_order` uses the Knuth multiplicative hash
-  ``(doc_id * 2654435761) mod 2^32`` — exact BIGINT arithmetic in both
-  engines (production would swap in xxhash64; the plan is identical).
+  ``((doc_id mod 2^32) * 1327217885) mod 2^32`` — the 31-bit constant
+  with a pre-reduction keeps the product inside int64 for ANY doc_id
+  (the 32-bit constant overflows at doc_id ≈ 3.47e9: Spark wraps
+  silently, DuckDB raises).  Production would swap in xxhash64; the
+  plan is identical.
 """
 
 from __future__ import annotations
@@ -32,7 +35,6 @@ from taipei_bi_etl_spark.queries.text import (
     PII_IP,
     PII_PHONE,
     _char_array,
-    pii_scrub,
     poly_hash,
 )
 
@@ -51,18 +53,21 @@ _INJECT_SQL = (
 _REDACT_ORACLE = f"""
 WITH injected AS (
   SELECT doc_id, source, {_INJECT_SQL} AS raw FROM documents
-), scrubbed AS (
+), staged AS (
   SELECT doc_id, source, raw,
          regexp_replace(
-           regexp_replace(
-             regexp_replace(raw, '{PII_EMAIL}', '<EMAIL>', 'g'),
-             '{PII_IP}', '<IP>', 'g'),
-           '{PII_PHONE}', '<PHONE>', 'g') AS clean
+           regexp_replace(raw, '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IP}', '<IP>', 'g') AS mid
   FROM injected
+), scrubbed AS (
+  SELECT doc_id, source, raw, mid,
+         regexp_replace(mid, '{PII_PHONE}', '<PHONE>', 'g') AS clean
+  FROM staged
 )
 SELECT doc_id, md5(clean) AS redacted_md5,
        CAST(len(regexp_extract_all(raw, '{PII_EMAIL}'))
-            + len(regexp_extract_all(raw, '{PII_IP}')) AS BIGINT)
+            + len(regexp_extract_all(raw, '{PII_IP}'))
+            + len(regexp_extract_all(mid, '{PII_PHONE}')) AS BIGINT)
          AS n_hits,
        CAST(len(clean) - len(replace(replace(replace(clean,
               '<EMAIL>', ''), '<IP>', ''), '<PHONE>', '')) AS BIGINT)
@@ -85,7 +90,13 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = read_table(spark, sf_dir, "documents")
     raw = F.expr(_INJECT_SQL)
-    clean = pii_scrub(raw)
+    # staged spelling of pii_scrub (email → IP → phone) so each class
+    # can be COUNTED at the stage its rewrite actually sees — phones
+    # must be counted post-email/IP, not on raw.
+    mid = F.regexp_replace(
+        F.regexp_replace(raw, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+    )
+    clean = F.regexp_replace(mid, PII_PHONE, "<PHONE>")
     placeholder = F.length(clean) - F.length(
         F.replace(
             F.replace(
@@ -103,6 +114,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.regexp_count(raw, F.lit(PII_EMAIL))
             + F.regexp_count(raw, F.lit(PII_IP))
+            + F.regexp_count(mid, F.lit(PII_PHONE))
         ).cast("long").alias("n_hits"),
         placeholder.cast("long").alias("placeholder_chars"),
     )
@@ -112,11 +124,10 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus diversity: type-token ratios per source.
 # ---------------------------------------------------------------------------
 
-_POLY_DUCK = (
-    "list_reduce(list_transform(list_filter(string_split(w, ''),"
-    " c -> c <> ''), c -> ascii(c)::BIGINT),"
-    " (acc, x) -> (acc * 31 + x) % 1000000007)"
-)
+# One definition of the per-token hash fragment — imported from dsir,
+# not re-declared, so the two "identical by construction" hash
+# families can never drift apart.
+from taipei_bi_etl_spark.queries.dsir import _POLY_DUCK  # noqa: E402
 
 _DIVERSITY_ORACLE = f"""
 WITH tokd AS (
@@ -176,7 +187,10 @@ def corpus_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     tok = F.filter(F.split("text", r"\s+"), lambda t: t != "")
     hs = F.transform(tok, lambda t: poly_hash(_char_array(t)))
-    n1 = F.size(hs) - 1
+    # greatest(…, 0): a zero-token document yields size-1 = -1, and
+    # slice rejects negative lengths at runtime (the oracle's
+    # `CASE WHEN len(hs) >= 2` guard, Spark-side).
+    n1 = F.greatest(F.size(hs) - 1, F.lit(0))
     bg = F.zip_with(
         F.slice(hs, 1, n1),
         F.slice(hs, 2, n1),
@@ -217,7 +231,13 @@ def corpus_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_SHARDS = 64
-_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, Knuth 6.4
+#: floor(2^31 / φ) — the 31-bit Knuth multiplicative constant.  The
+#: 32-bit constant (2654435761) is NOT usable here: (doc_id % 2^32) *
+#: 2654435761 exceeds int64 for large ids, which Spark silently WRAPS
+#: (negative shards) while DuckDB raises — reducing doc_id mod 2^32
+#: first and multiplying by the 31-bit constant keeps the product
+#: ≤ (2^32−1)·1327217885 < 2^63 in both engines, exactly.
+_KNUTH31 = 1327217885
 _MOD32 = 4294967296
 
 
@@ -225,7 +245,9 @@ _MOD32 = 4294967296
     "training_shuffle_order",
     oracle=f"""
 WITH h AS (
-  SELECT doc_id, (doc_id * {_KNUTH}) % {_MOD32} AS hv FROM documents
+  SELECT doc_id,
+         ((doc_id % {_MOD32}) * {_KNUTH31}) % {_MOD32} AS hv
+  FROM documents
 )
 SELECT doc_id,
        CAST(hv % {N_SHARDS} AS INT) AS shard,
@@ -239,7 +261,7 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training: every document gets a
     pseudo-random (shard, position) — the read order a trainer consumes
     — reproducible across runs and engines (multiplicative hashing, no
-    RNG state).
+    RNG state; overflow-safe BIGINT arithmetic, see ``_KNUTH31``).
 
     Scale shape: the hash is map-side arithmetic; ordering happens ONLY
     inside each of the ``N_SHARDS`` partitions (a partitioned window —
@@ -251,7 +273,7 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     h = d.select(
         "doc_id",
-        ((F.col("doc_id") * _KNUTH) % _MOD32).alias("hv"),
+        (((F.col("doc_id") % _MOD32) * _KNUTH31) % _MOD32).alias("hv"),
     )
     w = Window.partitionBy(F.col("hv") % N_SHARDS).orderBy("hv", "doc_id")
     return h.select(

@@ -213,7 +213,10 @@ def text_dedup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = F.filter(
         tok, lambda t, i: F.array_position(tok, t) == i + F.lit(1)
     )
-    return d.select(
+    # Zero-token documents produce no unnest rows in the oracle, so
+    # they must be dropped here too — otherwise Spark emits a phantom
+    # (kept=0, md5('')) row the oracle-verified semantics don't have.
+    return d.filter(F.size(tok) > 0).select(
         "doc_id",
         F.size(kept).cast("long").alias("kept"),
         F.md5(F.concat_ws(" ", kept)).alias("dedup_md5"),

@@ -70,8 +70,9 @@ _POLY_DUCK = (
 _DSIR_ORACLE = f"""
 WITH tokd AS (
   SELECT doc_id, source,
-         list_transform(string_split_regex(text, '\\s+'),
-                        w -> {_POLY_DUCK}) AS hs
+         list_transform(
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+           w -> {_POLY_DUCK}) AS hs
   FROM documents
 ), hashed AS (
   SELECT doc_id, source,
@@ -138,7 +139,10 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial rows per task and (doc_id, partial-sum) pairs.
     """
     d = read_table(spark, sf_dir, "documents")
-    tok = F.split(F.col("text"), r"\s+")
+    # Empty tokens MUST be filtered: an empty-string token crashes the
+    # oracle's list_reduce (no initial value) while Spark's F.aggregate
+    # silently hashes it to 0 — an asymmetric failure, not just drift.
+    tok = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     hashed = d.select(
         "doc_id", "source", F.explode(_buckets(tok)).alias("b")
     )

@@ -32,7 +32,11 @@ from taipei_bi_etl_spark.queries.text2 import (
     quality_classifier_linear,
 )
 
-_KNUTH = 2654435761
+# 31-bit Knuth constant + mod-2^32 pre-reduction: the 32-bit constant
+# overflows int64 for doc_id ≥ ~3.47e9 (Spark wraps silently, DuckDB
+# raises) — same fix as curation3.training_shuffle_order.
+_KNUTH31 = 1327217885
+_MOD32 = 4294967296
 
 #: Deterministic noisy ground truth on the classifier's PER-TOKEN
 #: margin (micros, ±500e6): noise is uniform-ish in ±498e6 from doc_id
@@ -44,7 +48,7 @@ _KNUTH = 2654435761
 #: came out positive).
 _LABEL_SQL = (
     f"CASE WHEN total_weight * 1000000 // n_tokens "
-    f"+ ((doc_id * {_KNUTH}) % 997 - 498) * 200000 >= 0 "
+    f"+ (((doc_id % {_MOD32}) * {_KNUTH31}) % 997 - 498) * 200000 >= 0 "
     "THEN 1 ELSE 0 END"
 )
 
@@ -66,7 +70,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(
             f"CAST(CASE WHEN total_weight * 1000000 DIV n_tokens"
-            f" + ((doc_id * {_KNUTH}) % 997 - 498) * 200000 >= 0"
+            f" + (((doc_id % {_MOD32}) * {_KNUTH31}) % 997 - 498) * 200000 >= 0"
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("y"),
     )

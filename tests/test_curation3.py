@@ -45,7 +45,7 @@ def test_dsir_matches_python(spark, docs_pdf):
     cr: Counter = Counter()
     doc_feats: dict[int, list[int]] = {}
     for _, r in docs_pdf.iterrows():
-        hs = [_poly(w) for w in re.split(r"\s+", r["text"])]
+        hs = [_poly(w) for w in re.split(r"\s+", r["text"]) if w]
         feats = [h % B_BUCKETS for h in hs] + [
             ((a * _BIGRAM_MIX + b) % MOD) % B_BUCKETS
             for a, b in zip(hs, hs[1:])
@@ -93,10 +93,13 @@ def test_pii_redact_matches_python_re(spark, docs_pdf):
             f"{r['text']} contact u{did}@mail{did % 7}.com"
             f" from 10.{did % 256}.0.99 call +1 (555) 010-{1000 + did % 9000}"
         )
-        clean = re.sub(PII_EMAIL, "<EMAIL>", raw)
-        clean = re.sub(PII_IP, "<IP>", clean)
-        clean = re.sub(PII_PHONE, "<PHONE>", clean)
-        hits = len(re.findall(PII_EMAIL, raw)) + len(re.findall(PII_IP, raw))
+        mid = re.sub(PII_IP, "<IP>", re.sub(PII_EMAIL, "<EMAIL>", raw))
+        clean = re.sub(PII_PHONE, "<PHONE>", mid)
+        hits = (
+            len(re.findall(PII_EMAIL, raw))
+            + len(re.findall(PII_IP, raw))
+            + len(re.findall(PII_PHONE, mid))
+        )
         stripped = (
             clean.replace("<EMAIL>", "")
             .replace("<IP>", "")
@@ -154,7 +157,7 @@ def test_training_shuffle_matches_python(spark, docs_pdf):
 
     rows = []
     for did in docs_pdf["doc_id"]:
-        hv = (int(did) * KNUTH) % 4294967296
+        hv = ((int(did) % 4294967296) * 1327217885) % 4294967296
         rows.append((hv % N_SHARDS, hv, int(did)))
     want = {}
     for shard in set(s for s, _, _ in rows):

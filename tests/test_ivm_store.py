@@ -178,3 +178,27 @@ def test_retention_crash_retry_is_idempotent(spark, events, tmp_path):
     assert ivm_store.retention_state_advance(spark, batch, state) == 2
     _, pivot2, as_of2, _ = ivm_store.read_retention_state(spark, state)
     assert (_pivot_rows(pivot2), as_of2) == (want, "2024-01-30")
+
+
+def test_pack_double_apply_fails_closed(spark, docs, tmp_path):
+    """Crash AFTER the commit marker: re-applying the same batch must
+    raise (append-only check), never double-count — the fail-closed
+    half of the recovery contract."""
+    state = str(tmp_path / "state")
+    b0, b1 = _batches(docs, [25])
+    ivm_store.pack_state_init(spark, b0, state)
+    ivm_store.pack_state_append(spark, b1, state)  # committed OK
+    with pytest.raises(ValueError, match="append-only"):
+        ivm_store.pack_state_append(spark, b1, state)
+
+
+def test_retention_double_apply_fails_closed(spark, events, tmp_path):
+    state = str(tmp_path / "ret")
+    day = F.to_date("ts")
+    ivm_store.retention_state_init(
+        spark, events.filter(day <= F.lit("2024-01-29")), state, "2024-01-29"
+    )
+    batch = events.filter(day == F.lit("2024-01-30"))
+    ivm_store.retention_state_advance(spark, batch, state)  # committed OK
+    with pytest.raises(ValueError, match="one-day-advance"):
+        ivm_store.retention_state_advance(spark, batch, state)

@@ -33,7 +33,7 @@ def scored_pdf() -> list[tuple]:
             tw += ((h % N_BUCKETS) + 1) * KNUTH % 1001 - 500
         # int() truncates toward zero like Spark DIV / DuckDB int //
         sm = int(tw * 1_000_000 / len(toks))
-        y = 1 if sm + ((r["doc_id"] * KNUTH) % 997 - 498) * 200_000 >= 0 else 0
+        y = 1 if sm + ((int(r["doc_id"]) % 4294967296) * 1327217885 % 997 - 498) * 200_000 >= 0 else 0
         out.append((int(r["doc_id"]), r["source"], sm, y))
     return out
 
