@@ -204,10 +204,17 @@ def main() -> None:
         if a.startswith("--only"):
             only = a.split("=", 1)[1] if "=" in a else None
     if only is None and "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1]
+        i = sys.argv.index("--only")
+        if i + 1 >= len(sys.argv):
+            sys.exit("usage: stress.py [K] [--only a,b,c] [--keep]")
+        only = sys.argv[i + 1]
         args = [a for a in args if a != only]
     if only:
-        STRESS_QUERIES[:] = [q for q in STRESS_QUERIES if q in only.split(",")]
+        names = only.split(",")
+        unknown = [n for n in names if n not in STRESS_QUERIES]
+        if unknown:
+            sys.exit(f"--only: not in STRESS_QUERIES: {unknown}")
+        STRESS_QUERIES[:] = [q for q in STRESS_QUERIES if q in names]
     k = int(args[0]) if args else 10
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = f"/tmp/spark_stress_{k}x"

@@ -90,6 +90,25 @@ def ngram_jaccard_pairs(
     3-word strings).  ``df_cap`` drops stop-shingles shared by more than
     K docs before the self-join — the quadratic-bucket guard at corpus
     scale (join volume ∝ Σ df(shingle)²)."""
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        ngram_pair_overlap(toks, df_cap)
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def ngram_pair_overlap(
+    toks: DataFrame, df_cap: int | None = None
+) -> DataFrame:
+    """Shared inverted-index machinery for every set-overlap dedup
+    measure: (doc_id, tok) → (doc_a, doc_b, inter, na, nb) for all
+    pairs sharing ≥1 shingle.  Jaccard (`ngram_jaccard_pairs`) and
+    containment (`curation2.dedup_ngram_containment`) differ only in
+    the scoring expression they put on top — one definition of the
+    index/cap/self-join, so a fix lands in both."""
     from taipei_bi_etl_spark.queries.dedup import (
         cap_document_frequency,
         shingle_hash_array,
@@ -102,9 +121,9 @@ def ngram_jaccard_pairs(
     sh = toks.select(
         "doc_id", F.explode(shingle_hash_array(F.col("tok"))).alias("shingle")
     ).persist()
-    # cap BEFORE sizes: similarity is then exact Jaccard over the capped
-    # shingle universe (stop-shingles excluded from BOTH intersection and
-    # union — identical docs stay at 1.0, like stopword removal).
+    # cap BEFORE sizes: similarity is then exact over the capped shingle
+    # universe (stop-shingles excluded from BOTH intersection and sizes
+    # — identical docs stay at 1.0, like stopword removal).
     sh = cap_document_frequency(sh, df_cap)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -119,12 +138,8 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        pair_inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return pair_inter.join(F.broadcast(sa), "doc_a").join(
+        F.broadcast(sb), "doc_b"
     )
 
 

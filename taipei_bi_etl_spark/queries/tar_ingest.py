@@ -52,8 +52,14 @@ def _fixture_dir(sf_dir: str) -> str:
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source"],
     )
+    # Key on CONTENT (total text chars), not just (path, row count):
+    # a regenerated testdata table with the same cardinality must not
+    # serve a stale fixture — same rule as bpe_pins' SUM(length(text)).
+    import pyarrow.compute as pc
+
+    n_text = pc.sum(pc.utf8_length(t["text"])).as_py() or 0
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{t.num_rows}:v1".encode()
+        f"{os.path.abspath(sf_dir)}:{t.num_rows}:{n_text}:v1".encode()
     ).hexdigest()[:16]
     out = os.path.join(tempfile.gettempdir(), f"taipei_tar_fixture_{key}")
     if os.path.isdir(out):
@@ -193,7 +199,9 @@ def tar_shard_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % N_SHARDS).alias("shard_id"),
-        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+        # format_string pads to 8 but NEVER truncates (lpad truncates ids
+        # longer than 8 digits — key corruption at >=1e8 doc_ids)
+        F.format_string("%08d", F.col("doc_id")).alias("key"),
         F.encode("text", "UTF-8").alias("txt"),
         F.encode("lang", "UTF-8").alias("lang"),
         F.encode("source", "UTF-8").alias("src"),

@@ -58,7 +58,13 @@ _MEMBER_SCHEMA = T.StructType(
 def _split_key(name: str) -> tuple[str, str]:
     """WebDataset key rule: the sample key is the member path up to the
     FIRST dot of the basename (so ``a/b/000123.seg.png`` → key
-    ``a/b/000123``, ext ``seg.png``)."""
+    ``a/b/000123``, ext ``seg.png``).
+
+    This is the DOCUMENTED REFERENCE of the rule; ``read_tar_members``
+    carries a by-value copy inside its worker closure (self-contained
+    closures are mandatory — see the module docstring gotcha), and
+    ``tests/test_tar_shards.py::test_split_key_closure_copy_agrees``
+    pins the two against each other so they cannot drift."""
     head, base = posixpath.split(name)
     stem, _, ext = base.partition(".")
     return (posixpath.join(head, stem) if head else stem), ext

@@ -136,3 +136,31 @@ def test_write_tar_shards_roundtrip(spark, tmp_path):
         assert r.shard == f"shard-{i % 3:05d}.tar"
         assert bytes(r.parts["txt"]) == f"text-{i}".encode()
         assert bytes(r.parts["meta"]) == f"m{i}".encode()
+
+
+def test_split_key_closure_copy_agrees(spark, tmp_path):
+    """read_tar_members' worker-side split_key is a by-value COPY of
+    _split_key (self-contained-closure requirement); pin the two
+    implementations against each other on the tricky shapes — first
+    dot splits, multi-dot extensions, nested member paths."""
+    import io
+    import tarfile
+
+    names = [
+        "000123.txt",
+        "000123.seg.png",
+        "a/b/000456.meta.json.gz",
+        "plain",
+    ]
+    t = tmp_path / "drift.tar"
+    with tarfile.open(t, "w") as tf:
+        for n in names:
+            data = n.encode()
+            info = tarfile.TarInfo(name=n)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    got = {
+        r.member: (r.key, r.ext)
+        for r in read_tar_members(spark, str(t)).collect()
+    }
+    assert got == {n: _split_key(n) for n in names}
