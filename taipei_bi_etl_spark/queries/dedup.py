@@ -50,10 +50,14 @@ def shingle_array(tok: Column) -> Column:
     Implemented as zip_with over shifted slices — ~10x faster than
     transform(sequence, element_at) which pays ANSI bounds checks and
     index materialization per element."""
+    # greatest(…, 0): slice REJECTS negative lengths, and while the
+    # when(n >= 3) guard below lazily skips the zipped branch, the
+    # clamp keeps the slices valid under any future non-lazy rewrite.
     n = F.size(tok)
-    a = F.slice(tok, 1, n - 2)
-    b = F.slice(tok, 2, n - 2)
-    c = F.slice(tok, 3, n - 2)
+    n2 = F.greatest(n - 2, F.lit(0))
+    a = F.slice(tok, 1, n2)
+    b = F.slice(tok, 2, n2)
+    c = F.slice(tok, 3, n2)
     zipped = F.zip_with(
         a,
         F.zip_with(b, c, lambda x, y: F.concat(x, F.lit(" "), y)),
@@ -77,7 +81,9 @@ def ngram_hash_array(tok: Column, n: int) -> Column:
     """
     th = F.transform(tok, lambda t: F.xxhash64(t))
     sz = F.size(th)
-    m = sz - (n - 1)
+    # clamp: slice rejects negative lengths; the when(sz >= n) guard
+    # below lazily skips the branch, but keep the slices valid anyway
+    m = F.greatest(sz - (n - 1), F.lit(0))
     shifted = [F.slice(th, i + 1, m) for i in range(n)]
     combined = reduce(
         lambda acc, nxt: F.zip_with(acc, nxt, lambda x, y: F.xxhash64(x, y)),

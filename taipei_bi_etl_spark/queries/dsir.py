@@ -113,11 +113,12 @@ FROM top
 
 def _buckets(tok: Column) -> Column:
     """Per-doc feature-bucket array: unigram buckets ++ bigram buckets
-    from per-token hashes (``slice`` with length ``size-1`` yields []
-    for 1-token docs, so no short-doc guard is needed)."""
+    from per-token hashes.  ``greatest(size-1, 0)``: with the filtered
+    tokenizer a zero-token document reaches here, and slice rejects
+    negative lengths at runtime."""
     hs = F.transform(tok, lambda t: poly_hash(_char_array(t), base=_BASE))
     uni = F.transform(hs, lambda h: h % B_BUCKETS)
-    n1 = F.size(hs) - 1
+    n1 = F.greatest(F.size(hs) - 1, F.lit(0))
     bi = F.zip_with(
         F.slice(hs, 1, n1),
         F.slice(hs, 2, n1),

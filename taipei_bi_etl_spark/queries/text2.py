@@ -181,10 +181,10 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = read_table(spark, sf_dir, "documents")
     tok = F.filter(_tokens(), lambda t: t != "")
-    sz = F.size(tok)
+    sz1 = F.greatest(F.size(tok) - 1, F.lit(0))  # slice rejects negatives
     bigrams = F.zip_with(
-        F.slice(tok, 1, sz - 1),
-        F.slice(tok, 2, sz - 1),
+        F.slice(tok, 1, sz1),
+        F.slice(tok, 2, sz1),
         lambda a, b: F.concat_ws(_SEP, a, b),
     )
     doc_bg = (

@@ -169,3 +169,32 @@ def test_training_shuffle_matches_python(spark, docs_pdf):
         for r in training_shuffle_order(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_degenerate_docs_never_crash_slices(spark):
+    """The three size-derived slice sites (dedup.shingle_array, text2
+    bigrams, dsir._buckets) must clamp to [] on 0/1/2-token documents
+    — Spark's slice REJECTS negative lengths at runtime, and filtered
+    tokenizers make zero-token docs reachable."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.dedup import shingle_array
+    from taipei_bi_etl_spark.queries.dsir import _buckets
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "one two"),
+         (4, "one two three")],
+        "doc_id long, text string",
+    )
+    tok = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    out = {
+        r["doc_id"]: (r["ns"], r["nb"])
+        for r in df.select(
+            "doc_id",
+            F.size(shingle_array(tok)).alias("ns"),
+            F.size(_buckets(tok)).alias("nb"),
+        ).collect()
+    }
+    # shingles: empty below 3 tokens, 1 at exactly 3;
+    # dsir buckets: unigrams + bigrams = n + max(n-1, 0)
+    assert out == {0: (0, 0), 1: (0, 0), 2: (0, 1), 3: (0, 3), 4: (1, 5)}
