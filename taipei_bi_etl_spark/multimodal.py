@@ -82,7 +82,10 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('binaryFile')`` — same downstream schema."""
     from taipei_bi_etl_spark.io import read_table
 
-    d = read_table(spark, sf_dir, "documents")
+    # NULL text encodes to a NULL payload — not a media row.
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -95,7 +98,11 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("fake/v1").alias("format"),
             (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
             (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
-            F.length("text").cast("long").alias("n_bytes"),
+            # octet_length of the PAYLOAD — length(text) is the CHAR
+            # count, which silently diverges on multi-byte text
+            F.octet_length(F.encode("text", "utf-8"))
+            .cast("long")
+            .alias("n_bytes"),
         ).alias("meta"),
     )
 

@@ -231,7 +231,8 @@ PAD_BUCKET = 32
 
 _PADDING_ORACLE = f"""
 WITH lens AS (
-  SELECT source, CAST(len({_TOK_DUCK}) AS BIGINT) AS n FROM documents
+  SELECT source, CAST(len({_TOK_DUCK}) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT source,
        CAST((n - 1) // {PAD_BUCKET} AS INT) AS bucket,
@@ -264,7 +265,9 @@ def sequence_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a `size(split(...))` — no explode, no intermediate array kept),
     then one hash aggregate on the bounded (source, bucket) key.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # NULL length has no bucket
+    )
     n = F.size(_tok()).cast("long")
     lens = d.select("source", n.alias("n"))
     bucket = F.expr(f"CAST((n - 1) DIV {PAD_BUCKET} AS INT)")

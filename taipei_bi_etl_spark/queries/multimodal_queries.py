@@ -33,6 +33,8 @@ WITH media AS (
          ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
          text
   FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) = length(text)
 ), feat AS (
   SELECT media_id, kind,
          CAST(round(
@@ -57,7 +59,15 @@ FROM feat GROUP BY kind
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary payload + typed metadata → Arrow-batched feature vectors
     (mapInPandas) → per-kind rollup of the first histogram bucket."""
-    feats = extract_features(synthesize_media(spark, sf_dir))
+    # The SQL twin buckets CHARACTERS via ascii(); the Python decoder
+    # buckets payload BYTES — equal only for ASCII seeds, so both
+    # engines restrict to ASCII rows (the documented oracle
+    # re-expression precondition, now enforced instead of assumed).
+    media = synthesize_media(spark, sf_dir).filter(
+        F.octet_length("payload")
+        == F.length(F.decode(F.col("payload"), "UTF-8"))
+    )
+    feats = extract_features(media)
     per_media = feats.select(
         "kind",
         F.round(F.element_at("features", 1) * 1_000_000, 0)

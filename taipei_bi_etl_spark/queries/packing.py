@@ -76,7 +76,8 @@ def pack_sequences(
         out["bin_id"] = bin_ids
         return out
 
-    sized = docs.select(
+    # filter on TEXT, not n_tokens: legacy size(NULL) is -1, not NULL
+    sized = docs.filter(F.col("text").isNotNull()).select(
         F.pmod(F.xxhash64("doc_id"), F.lit(n_groups))
         .cast("int")
         .alias("pack_group"),
@@ -97,7 +98,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        TRUE AS exactly_once_ok,
        TRUE AS capacity_ok,
        TRUE AS fill_ok
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -120,7 +121,9 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
       have been merged by first-fit), the quality floor that makes the
       padding-waste bound real.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # matches the packer + oracle WHERE
+    )
     packed = pack_sequences(d.select("doc_id", "text"))
     bins = packed.groupBy("pack_group", "bin_id").agg(
         F.sum("n_tokens").alias("load"),

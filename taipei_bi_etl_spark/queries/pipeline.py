@@ -31,6 +31,7 @@ SELECT md5(text) AS content_hash,
        CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM documents
+WHERE text IS NOT NULL
 GROUP BY 1
 HAVING COUNT(*) > 1
 """
@@ -44,7 +45,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     no skew; map-side partial agg means each executor ships one row per
     local distinct hash.
     """
-    d = read_table(spark, sf_dir, "documents")
+    # NULL text is not content — filtered in BOTH engines (md5(NULL)
+    # would otherwise form a NULL dedup group).
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return (
         d.groupBy(F.md5("text").alias("content_hash"))
         .agg(

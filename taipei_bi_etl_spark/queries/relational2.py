@@ -55,7 +55,7 @@ def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OUTER_EXPLODE_ORACLE = """
 WITH m AS (
   SELECT doc_id, lang, regexp_extract_all(text, 'quer[a-z]*') AS hits
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -75,7 +75,12 @@ def explode_outer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode_outer keeps parent rows whose array is empty (J8) — the
     BigQuery LEFT JOIN UNNEST semantic; COUNT(hit) vs COUNT(*) shows the
     preserved null rows."""
-    d = read_table(spark, sf_dir, "documents")
+    # NULL text: Spark's explode_outer preserves the parent row for a
+    # NULL array, DuckDB's unnest drops it (len(NULL) CASE is NULL) —
+    # filter both sides; the J8 semantic under test is EMPTY arrays.
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return (
         d.select(
             "doc_id",

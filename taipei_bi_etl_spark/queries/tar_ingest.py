@@ -84,6 +84,10 @@ def _fixture_dir(sf_dir: str) -> str:
         tf.addfile(info, io.BytesIO(payload))
 
     for doc_id, text, lang, source in docs:
+        if text is None or lang is None or source is None:
+            # a tar member cannot carry NULL — such docs are excluded
+            # from the WebDataset (and from the oracle's WHERE)
+            continue
         tf = tars[doc_id % N_SHARDS]
         k = f"{doc_id:08d}"
         add(tf, f"{k}.txt", text.encode("utf-8"))
@@ -118,6 +122,7 @@ SELECT doc_id,
        md5(lang) AS lang_md5,
        md5(source) AS src_md5
 FROM documents
+WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
 """
 
 
@@ -165,6 +170,7 @@ SELECT doc_id,
        md5(lang) AS lang_md5,
        md5(source) AS src_md5
 FROM documents
+WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
 """
 
 
@@ -196,7 +202,11 @@ def tar_shard_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_tar_shards,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()  # tar members cannot carry NULL
+    ).select(
         "doc_id",
         (F.col("doc_id") % N_SHARDS).alias("shard_id"),
         # format_string pads to 8 but NEVER truncates (lpad truncates ids

@@ -77,7 +77,7 @@ WITH scored AS (
          {_score_sql('en')} AS s_en, {_score_sql('es')} AS s_es,
          {_score_sql('fr')} AS s_fr, {_score_sql('de')} AS s_de,
          {_score_sql('zh')} AS s_zh
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), pred AS (
   SELECT lang,
          CASE
@@ -103,7 +103,11 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     On real corpora swap the marker lists for char-n-gram profiles —
     the plan shape (map-side scoring, tiny rollup) is unchanged.
     """
-    d = read_table(spark, sf_dir, "documents")
+    # NULL text scores NULL in Spark but falls to the CASE ELSE arm in
+    # DuckDB — undefined input, filtered in BOTH engines.
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     tok = _tokens()
     langs = list(LANG_MARKERS)
     def marker_count(words: tuple[str, ...]) -> Column:

@@ -27,7 +27,7 @@ SELECT source, doc_id, CAST(rn AS INT) AS sample_rank
 FROM (
   SELECT source, doc_id,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 WHERE rn <= {SAMPLE_K}
 """
@@ -51,7 +51,12 @@ def stratified_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap (the TakeOrderedAndProject pattern, per group) if |sources| is
     small and strata are 100 TB-sized; semantics are unchanged.
     """
-    d = read_table(spark, sf_dir, "documents")
+    # md5(NULL) is NULL, and the engines DISAGREE on default NULL
+    # ordering (Spark windows: NULLS FIRST asc; DuckDB: NULLS LAST) —
+    # contentless docs are not sampling candidates, filter both sides.
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Hostile-corpus sweep: re-run the oracled registry against a DOCTORED
+documents table — empty text, whitespace-only, 1/2-token docs, NULL
+text/lang, multi-byte unicode, a 1 200-token long doc, and a source
+consisting ONLY of degenerate docs (empty-aggregation paths).  The
+sf corpora are benign word-soup (10–99 ASCII tokens, no nulls), so this
+is the adversarial twin of tools/scale_sweep.py: it catches the classes
+the gate corpora structurally cannot — negative slice lengths,
+engine-asymmetric empty-list folds, unnest-vs-projection row drops,
+byte-vs-char length oracles, divide-by-zero on empty groups.
+
+Exclusions (documented, not silent): BPE-family queries pin their
+oracles to SUM(length(text)) of the REAL corpus (bpe_pins.py) — a
+doctored corpus flips the pin by design.
+
+A failure here is either a real latent bug (fix it) or a documented
+precondition (add it to the query docstring + this file's SKIP list
+with the reason).
+
+Usage: python tools/hostile_corpus_sweep.py [--only a,b,c]
+       (~10 min full; prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SRC = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+#: queries whose oracles are pinned to the REAL corpus content.
+SKIP = {
+    "bpe_train_merges": "oracle pinned to real-corpus SUM(length(text))",
+    "bpe_encode_apply": "oracle pinned to real-corpus SUM(length(text))",
+    "token_count_bpe": "BPE subword budget uses the pinned merge table",
+}
+
+#: the doctored rows.  doc_id continues past the real corpus; n_chars
+#: mirrors len(text) like the generator does (NULL text → NULL).
+HOSTILE_DOCS = [
+    # (text, lang, source) — source 'srchostile' has ONLY degenerate docs
+    ("", "en", "srchostile"),
+    ("   ", "en", "srchostile"),
+    ("\t\n ", "fr", "srchostile"),
+    (None, "en", "srchostile"),
+    ("solo", "en", "srchostile"),
+    ("two tokens", "de", "srchostile"),
+    ("naïve café 日本語 текст 🚀 emoji", "ja", "srchostile"),
+    # degenerates sprinkled into an EXISTING source (mixed-group paths)
+    ("", "en", "src0"),
+    ("one", "en", "src0"),
+    ("naïve naïve naïve café", "en", "src1"),
+    (None, None, "src2"),
+    (" ".join(f"w{i % 37}" for i in range(1200)), "en", "src3"),
+]
+
+
+def build_hostile_dir() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(tempfile.gettempdir(), "taipei_hostile_sf")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(
+                os.path.join(SRC, f"{t}.parquet"),
+                os.path.join(out, f"{t}.parquet"),
+            )
+    base = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    start = max(x for x in base["doc_id"].to_pylist()) + 1
+    rows = {
+        "doc_id": [start + i for i in range(len(HOSTILE_DOCS))],
+        "text": [r[0] for r in HOSTILE_DOCS],
+        "lang": [r[1] for r in HOSTILE_DOCS],
+        "source": [r[2] for r in HOSTILE_DOCS],
+        "n_chars": [
+            len(r[0]) if r[0] is not None else None for r in HOSTILE_DOCS
+        ],
+    }
+    extra = pa.table(rows, schema=base.schema)
+    pq.write_table(
+        pa.concat_tables([base, extra]),
+        os.path.join(out, "documents.parquet"),
+    )
+    return out
+
+
+def main() -> None:
+    import duckdb
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(_REPO, "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    from pyspark.sql import SparkSession
+
+    from tests.oracle_utils import compare
+
+    only = None
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        if i + 1 >= len(sys.argv):
+            sys.exit("usage: hostile_corpus_sweep.py [--only a,b,c]")
+        only = set(sys.argv[i + 1].split(","))
+
+    sf_dir = build_hostile_dir()
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    q, o = m.queries(), m.oracle_sql()
+    names = sorted(n for n in q if n in o and n not in SKIP)
+    if only:
+        names = [n for n in names if n in only]
+    fails, skipped = [], sorted(set(q) & set(SKIP))
+    t0 = time.time()
+    for i, name in enumerate(names):
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        try:
+            compare(q[name](spark, sf_dir), con, o[name])
+        except Exception as e:
+            fails.append({"q": name, "err": str(e)[:200]})
+            print(f"FAIL {name}: {str(e)[:160]}", flush=True)
+        con.close()
+        spark.catalog.clearCache()
+        if i % 25 == 0:
+            print(f"{i}/{len(names)} {time.time() - t0:.0f}s", flush=True)
+    print(
+        json.dumps(
+            {
+                "hostile_sweep": True,
+                "queries": len(names),
+                "skipped_pinned": skipped,
+                "fails": fails,
+                "elapsed_sec": round(time.time() - t0, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
