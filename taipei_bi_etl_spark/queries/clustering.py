@@ -512,6 +512,7 @@ pts AS (
     SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
     FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 dists AS (
     SELECT a.vec_id AS i, b.vec_id AS j,
@@ -562,10 +563,16 @@ def kcenter_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     `least(mind, dist(x, new_center))` update with the 64-int center
     inlined as a literal (broadcast by the plan).  k rounds = k scans,
     no pairwise materialization, no shuffle at all.
-    """
-    from taipei_bi_etl_spark.io import read_table
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    Domain bound: distances are int64 MICROS fixed-point — squared
+    per-coordinate deltas sum over 64 dims, so coordinates must stay
+    within |x| ≲ 150 (unit-scale embeddings are far inside).  Beyond
+    that, move the accumulator to DECIMAL(38,0) (the SCALE.md
+    integer-width escalation rule).
+    """
+    from taipei_bi_etl_spark.queries.emb_common import read_embeddings
+
+    emb = read_embeddings(spark, sf_dir)  # zip_with needs all 64 dims
     to_micros = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long")
     )
@@ -629,6 +636,7 @@ p AS (
          CAST(floor(list_inner_product(embedding::DOUBLE[], {r(rows[1])})
                     / {eps}) AS BIGINT) + {off} AS cy
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 cells AS (
   SELECT cx, cy, cx * {2 * off} + cy AS cell, COUNT(*) AS n
@@ -702,8 +710,10 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taipei_bi_etl_spark.io import read_table
     from taipei_bi_etl_spark.queries.similarity import as_double, dot
 
+    from taipei_bi_etl_spark.queries.emb_common import read_embeddings
+
     rows = _dbscan_proj_rows()
-    e = read_table(spark, sf_dir, "embeddings")
+    e = read_embeddings(spark, sf_dir)  # dot() needs all 64 dims
     emb = as_double("embedding")
     proj = [
         dot(emb, F.array(*[F.lit(float(s)) for s in row])) for row in rows

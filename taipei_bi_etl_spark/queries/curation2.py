@@ -1060,6 +1060,7 @@ WITH dims AS (
          unnest(embedding::DOUBLE[]) AS val,
          generate_subscripts(embedding::DOUBLE[], 1) AS dim
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ), fp AS (
   SELECT vec_id,
          CAST(SUM(CASE WHEN dim <= 32 AND val > 0
@@ -1110,7 +1111,9 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole block join (any pair within Hamming r shares one of
     r+1 exact 16-bit blocks) to bucket candidates instead of scanning.
     """
-    e = read_table(spark, sf_dir, "embeddings")
+    from taipei_bi_etl_spark.queries.emb_common import read_embeddings
+
+    e = read_embeddings(spark, sf_dir)  # element_at needs all 64 dims
     ind = (
         "IF(element_at(embedding, CAST({i} + 1 AS INT)) > 0D, "
         "shiftleft(CAST(1 AS BIGINT), {i} - {base}), CAST(0 AS BIGINT))"

@@ -32,6 +32,7 @@ e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS emb,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0 AND label IS NOT NULL
 )
 """
 
@@ -73,7 +74,10 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ann_jl_shortlist_topk`'s 16-dim pass or the IVF cells and keep
     this ranking stage as-is.
     """
-    corpus = _corpus_with_norm(spark, sf_dir)
+    # unlabeled vectors cannot be label-screened (oracle WHERE twin)
+    corpus = _corpus_with_norm(spark, sf_dir).filter(
+        F.col("label").isNotNull()
+    )
     a = corpus.select(
         F.col("vec_id"), F.col("label"),
         F.col("emb").alias("ea"), F.col("norm").alias("na"),
@@ -219,6 +223,7 @@ WITH e AS (
          [{proj}] AS p,
          {corpus_sigs}
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0 AND label IS NOT NULL
 ), pn AS (
   SELECT *, sqrt(list_inner_product(p, p)) AS pnrm FROM e
 ), shortlist AS (
@@ -288,7 +293,12 @@ def knn_label_consistency_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     planes = _hyperplanes()
-    e = read_table(spark, sf_dir, "embeddings")
+    from taipei_bi_etl_spark.queries.emb_common import read_embeddings
+
+    # cosine family; unlabeled vectors cannot be label-screened
+    e = read_embeddings(spark, sf_dir, direction=True).filter(
+        F.col("label").isNotNull()
+    )
     emb = as_double("embedding")
     rows = _jl_rows()
     proj = F.array(

@@ -175,6 +175,7 @@ SELECT e.vec_id,
                                 x -> CAST(x AS DOUBLE) * x))) * 1000000)
             AS BIGINT) AS l2_micros
 FROM embeddings e
+WHERE embedding IS NOT NULL AND len(embedding) = 64
 """
 
 
@@ -200,7 +201,11 @@ def arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from taipei_bi_etl_spark.io import read_table
 
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from taipei_bi_etl_spark.queries.emb_common import read_embeddings
+
+    # the numpy kernel flattens to (n, 64) — NULL/ragged rows must not
+    # reach the worker (emb_common gate, mirrored in the oracle WHERE)
+    emb = read_embeddings(spark, sf_dir).select("vec_id", "embedding")
 
     def norms(batches):
         for batch in batches:

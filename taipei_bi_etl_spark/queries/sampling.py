@@ -102,7 +102,7 @@ WITH ranked AS (
          (ROW_NUMBER() OVER (
             PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
           ) - 1) % {K_FOLDS} AS fold
-  FROM embeddings
+  FROM embeddings WHERE label IS NOT NULL
 )
 SELECT label, CAST(fold AS INT) AS fold,
        CAST(COUNT(*) AS BIGINT) AS n_vecs
@@ -132,7 +132,10 @@ def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = read_table(spark, sf_dir, "embeddings")
+    # an unlabeled vector cannot be stratified — filtered both sides
+    e = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
     w = Window.partitionBy("label").orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
     )

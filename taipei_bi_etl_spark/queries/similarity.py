@@ -26,6 +26,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries.emb_common import (
+    VALID_DIR_SQL,
+    VALID_SQL,
+    read_embeddings,
+)
 from taipei_bi_etl_spark.queries import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors in the demo queries
@@ -54,7 +59,9 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
 
 
 def _corpus_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings")
+    # every consumer normalizes by the norm — zero/NULL/wrong-dim
+    # vectors are filtered (emb_common gate, mirrored in the oracles)
+    e = read_embeddings(spark, sf_dir, direction=True)
     emb = as_double("embedding")
     return e.select(
         "vec_id", "label", emb.alias("emb"), l2_norm(emb).alias("norm")
@@ -70,7 +77,7 @@ _TOPK_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), q AS (
   SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
   WHERE vec_id < {N_QUERIES}
@@ -128,7 +135,7 @@ _NEARDUP_ORACLE = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine_sim
@@ -225,7 +232,7 @@ def _lsh_oracle() -> str:
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), sigs AS (
   SELECT vec_id, emb, nrm, {corpus_sigs} FROM e
 ), q AS (
@@ -330,7 +337,7 @@ def _lsh_pair_oracle() -> str:
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), sigs AS (
   SELECT vec_id, emb, nrm, {corpus_sigs} FROM e
 )
@@ -459,7 +466,7 @@ WITH p AS (
              + "]), 6)"
              for row in _jl_rows()
          )}] AS proj
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
 )
 SELECT vec_id,
        CAST(generate_subscripts(proj, 1) - 1 AS INT) AS dim,
@@ -493,7 +500,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected coordinate — so the result is canonicalizable by any
     row-hashing comparator (array columns are not; see VERDICT r01).
     """
-    e = read_table(spark, sf_dir, "embeddings")
+    e = read_embeddings(spark, sf_dir)  # NULL/wrong-dim rows filtered
     emb = as_double("embedding")
     rows = _jl_rows()
     proj = F.array(
@@ -531,7 +538,7 @@ WITH e AS (
            AS nrm,
          [{", ".join("list_inner_product(embedding::DOUBLE[], " + _jl_sql_row(r) + ")" for r in _jl_rows())}]
            AS p
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0
 ), pn AS (
   SELECT vec_id, emb, nrm, p, sqrt(list_inner_product(p, p)) AS pnrm FROM e
 ), q AS (

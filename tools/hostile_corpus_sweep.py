@@ -68,6 +68,41 @@ HOSTILE_DOCS = [
 ]
 
 
+def _hostile_embeddings(out: str) -> None:
+    """Append adversarial embedding rows: NULL vector, all-zero vector
+    (no direction — breaks naive cosine), wrong dimensionality, NULL
+    label, huge-magnitude values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    start = max(base["vec_id"].to_pylist()) + 1
+    dim = len(base["embedding"][0])
+    extra_rows = [
+        (start + 0, None, 1),
+        (start + 1, [0.0] * dim, 2),
+        (start + 2, [1.0, 2.0, 3.0], 3),
+        (start + 3, [0.5] * dim, None),
+        # magnitude 100: non-unit scale without breaking the int64
+        # micros fixed-point distance domain (kcenter squares micros:
+        # |x| beyond ~150 per coordinate at 64 dims overflows — a
+        # DOCUMENTED domain bound, not a target of this sweep)
+        (start + 4, [100.0] * dim, 4),
+    ]
+    extra = pa.table(
+        {
+            "vec_id": [r[0] for r in extra_rows],
+            "embedding": [r[1] for r in extra_rows],
+            "label": [r[2] for r in extra_rows],
+        },
+        schema=base.schema,
+    )
+    pq.write_table(
+        pa.concat_tables([base, extra]),
+        os.path.join(out, "embeddings.parquet"),
+    )
+
+
 def build_hostile_dir() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -77,11 +112,12 @@ def build_hostile_dir() -> str:
         shutil.rmtree(out)
     os.makedirs(out)
     for t in TABLES:
-        if t != "documents":
+        if t not in ("documents", "embeddings"):
             shutil.copy(
                 os.path.join(SRC, f"{t}.parquet"),
                 os.path.join(out, f"{t}.parquet"),
             )
+    _hostile_embeddings(out)
     base = pq.read_table(os.path.join(SRC, "documents.parquet"))
     start = max(x for x in base["doc_id"].to_pylist()) + 1
     rows = {
