@@ -107,10 +107,9 @@ def build_hostile_dir() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = os.path.join(tempfile.gettempdir(), "taipei_hostile_sf")
-    if os.path.isdir(out):
-        shutil.rmtree(out)
-    os.makedirs(out)
+    # unique per run: a SHARED dir raced concurrent sweeps (one run's
+    # rebuild swapped the tables under another mid-flight — observed)
+    out = tempfile.mkdtemp(prefix="taipei_hostile_sf_")
     for t in TABLES:
         if t not in ("documents", "embeddings"):
             shutil.copy(
