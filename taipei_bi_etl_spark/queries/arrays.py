@@ -15,7 +15,8 @@ from taipei_bi_etl_spark.queries import query
 
 _OVERLAP_ORACLE = """
 WITH d AS (
-    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+    FROM events WHERE event_type IS NOT NULL
 ), ca AS (
     SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_types
     FROM d GROUP BY user_id, day
@@ -63,7 +64,11 @@ def array_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders smaller than events) on user_id.  No explode-back: the
     arrays never leave the aggregated cardinality.
     """
-    e = read_table(spark, sf_dir, "events")
+    # collect_set SKIPS NULLs while the oracle's DISTINCT keeps them —
+    # the set is over TYPED events in both engines (observed divergence)
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     sets = (
         e.select("user_id", F.to_date("ts").alias("day"), "event_type")
         .groupBy("user_id", "day")

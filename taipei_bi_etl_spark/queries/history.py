@@ -24,16 +24,24 @@ from taipei_bi_etl_spark.queries import query
 # intervals [valid_from, valid_to), open interval flagged current.
 # ---------------------------------------------------------------------------
 
+# Malformed/NULL props yield a NULL attribute (the Spark
+# get_json_object semantics) — the event still advances the SCD2
+# timeline; DuckDB's json_extract_string would ERROR without the guard.
 _SCD2_ORACLE = """
 WITH src AS (
     SELECT user_id, ts, event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS attr_k
+           CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS INT)
+             AS attr_k
     FROM events
+), src2 AS (
+    -- only attribute-carrying events update the dimension (SCD rule)
+    SELECT * FROM src WHERE attr_k IS NOT NULL
 ), marked AS (
     SELECT user_id, ts, event_id, attr_k,
            CASE WHEN LAG(attr_k) OVER w IS DISTINCT FROM attr_k
                 THEN 1 ELSE 0 END AS changed
-    FROM src
+    FROM src2
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), changes AS (
     SELECT user_id, ts, attr_k,
@@ -67,6 +75,8 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("attr_k"),
+    ).filter(  # only attribute-carrying events update the dimension
+        F.col("attr_k").isNotNull()
     )
     marked = src.withColumn(
         "changed",
@@ -226,13 +236,18 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIT_ORACLE = """
 WITH src AS (
     SELECT user_id, ts, event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS attr_k
+           CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS INT)
+             AS attr_k
     FROM events
+), src2 AS (
+    -- only attribute-carrying events update the dimension (SCD rule)
+    SELECT * FROM src WHERE attr_k IS NOT NULL
 ), marked AS (
     SELECT user_id, ts, event_id, attr_k,
            CASE WHEN LAG(attr_k) OVER w IS DISTINCT FROM attr_k
                 THEN 1 ELSE 0 END AS changed
-    FROM src
+    FROM src2
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), iv AS (
     SELECT user_id, attr_k, ts AS f,
@@ -277,6 +292,8 @@ def pit_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("attr_k"),
+    ).filter(  # only attribute-carrying events update the dimension
+        F.col("attr_k").isNotNull()
     )
     changes = (
         src.withColumn(

@@ -195,13 +195,20 @@ def cogrouped_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VARIANT semi-structured type — parse once, extract typed fields.
 # ---------------------------------------------------------------------------
 
+# Malformed props parse to NULL (the try_parse_json semantics) and the
+# row still counts toward n; untyped events have no rollup group.
 _VARIANT_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(props->>'k' AS BIGINT) END AS k
+  FROM events WHERE event_type IS NOT NULL
+)
 SELECT event_type,
-       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
-       CAST(COUNT(*) FILTER (
-            WHERE CAST(props->>'k' AS BIGINT) > 50) AS BIGINT) AS n_high,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(COUNT(*) FILTER (WHERE k > 50) AS BIGINT) AS n_high,
        CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY event_type
+FROM g GROUP BY event_type
 """
 
 
@@ -223,8 +230,12 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parses, and extraction stays inside codegen.  The rollup then
     aggregates normally — parse → extract → aggregate, one shuffle.
     """
-    e = read_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    # try_parse_json: malformed props become NULL variants instead of
+    # failing the scan (parse_json throws) — the oracle's json_valid CASE
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "bigint")
     return (
         e.select("event_type", k.alias("k"))

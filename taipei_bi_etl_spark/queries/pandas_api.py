@@ -190,6 +190,8 @@ WITH v AS (
            CAST(floor(value * 1000000) AS BIGINT) AS v_micros,
            CAST(length(props) AS BIGINT) AS w
     FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+      AND props IS NOT NULL
 )
 SELECT event_type,
        CAST(SUM(v_micros * w) AS BIGINT) AS weighted_sum,
@@ -227,7 +229,13 @@ def pandas_grouped_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     def tsum(w: pd.Series) -> int:
         return int(w.astype("int64").sum())
 
-    ev = read_table(spark, sf_dir, "events")
+    # NULLs cannot reach the int64 numpy kernel (NaN astype crashes);
+    # oracle WHERE twin
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("props").isNotNull()
+    )
     v = ev.select(
         "event_type",
         F.floor(F.col("value") * 1000000).cast("long").alias("v_micros"),

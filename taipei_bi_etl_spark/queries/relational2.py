@@ -109,10 +109,10 @@ WITH per_type AS (
   SELECT user_id, CAST(ts AS DATE) AS day, event_type,
          COUNT(*) AS n,
          COUNT(DISTINCT CONCAT(CAST(CAST(ts AS DATE) AS VARCHAR), '|', event_type)) AS type_day_keys
-  FROM events GROUP BY 1, 2, 3
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2, 3
 ), totals AS (
   SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS day_total
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT p.user_id, p.day, p.event_type,
        CAST(p.n AS BIGINT) AS n,
@@ -128,7 +128,13 @@ def composite_key_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with its coarser total (J2/J6); includes COUNT DISTINCT of a
     concat expression (A4).  Both aggregates hash-partition on user_id
     prefixes, so AQE keeps the join co-partitioned."""
-    ev = read_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    # typed rollup: NULL event_type would also make the A4 CONCAT key
+    # diverge (Spark concat is NULL-propagating, DuckDB's skips NULLs)
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
     per_type = ev.groupBy("user_id", "day", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(

@@ -88,7 +88,7 @@ WITH days AS (
          {cc_sql} AS country,
          event_type AS cohort_name,
          CAST(ts AS DATE) AS day
-  FROM events
+  FROM events WHERE event_type IS NOT NULL
 ), cohort AS (
   SELECT user_id, os, country, cohort_name, MIN(day) AS cohort_date
   FROM days GROUP BY 1, 2, 3, 4
@@ -138,7 +138,9 @@ def _user_day_dims(ev: DataFrame) -> DataFrame:
         F.array(*[F.lit(x) for x in _COUNTRIES]),
         (F.col("user_id") % len(_COUNTRIES) + 1).cast("int"),
     )
-    return ev.select(
+    # a cohort needs a NAME: untyped events join no cohort (oracle
+    # WHERE twin; also shared by ivm_store.retention_state_*)
+    return ev.filter(F.col("event_type").isNotNull()).select(
         "user_id",
         os_c.alias("os"),
         cc_c.alias("country"),

@@ -121,7 +121,7 @@ WITH seq AS (
     SELECT event_type,
            LEAD(event_type) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS next_type
-    FROM events
+    FROM events WHERE event_type IS NOT NULL
 )
 SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
 FROM seq WHERE next_type IS NOT NULL
@@ -141,7 +141,10 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation collapses map-side — AQE coalesces the final
     exchange to a handful of partitions.
     """
-    ev = read_table(spark, sf_dir, "events")
+    # untyped events cannot transition (oracle WHERE twin)
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )

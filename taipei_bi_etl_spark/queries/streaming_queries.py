@@ -70,7 +70,7 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
-FROM events GROUP BY 1, 2
+FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -78,7 +78,16 @@ FROM events GROUP BY 1, 2
 def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day window + watermark on the streaming runtime — the
     streaming analog of the reference's day-partitioned tables."""
-    return run_available_now(daily_type_rollup(stream_events(spark, sf_dir)))
+    from pyspark.sql import functions as F
+
+    # untyped events have no rollup group (oracle WHERE twin)
+    return run_available_now(
+        daily_type_rollup(
+            stream_events(spark, sf_dir).filter(
+                F.col("event_type").isNotNull()
+            )
+        )
+    )
 
 
 @query("streaming_stateful_rfe", oracle=None, tags=("streaming", "extension"))

@@ -325,7 +325,9 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-FROM events GROUP BY event_type
+FROM events
+WHERE event_type IS NOT NULL AND props IS NOT NULL AND json_valid(props)
+GROUP BY event_type
 """
 
 
@@ -333,7 +335,13 @@ FROM events GROUP BY event_type
 def json_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract a typed value from a JSON props column and aggregate (F18 +
     A1/A2).  get_json_object stays JVM-side; no Python."""
-    ev = read_table(spark, sf_dir, "events")
+    # parseable-JSON precondition, mirrored: DuckDB json_extract ERRORS
+    # on malformed props where Spark's get_json_object returns NULL —
+    # get_json_object(props, '$') IS NOT NULL is the json_valid twin
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.get_json_object("props", "$").isNotNull()
+    )
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

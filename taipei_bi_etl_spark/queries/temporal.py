@@ -231,10 +231,10 @@ WITH b AS (
     SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hour_bucket, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-    FROM events GROUP BY 1, 2
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), bounds AS (SELECT MIN(hour_bucket) AS mn, MAX(hour_bucket) AS mx FROM b),
    hours AS (SELECT UNNEST(generate_series(mn, mx)) AS hour_bucket FROM bounds),
-   types AS (SELECT DISTINCT event_type FROM events)
+   types AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL)
 SELECT hours.hour_bucket, types.event_type,
        COALESCE(b.n, 0) AS n,
        COALESCE(b.value_cents, 0) AS value_cents
@@ -258,7 +258,10 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``date_trunc`` truncates in the *session* timezone, so a raw hour
     column would shift under a non-UTC driver.
     """
-    ev = read_table(spark, sf_dir, "events")
+    # the grid needs typed, valued series (oracle WHERE twin)
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
     b = (
         ev.groupBy(
             F.floor(FN.unix_ms("ts") / F.lit(3600000)).alias("hour_bucket"),

@@ -29,6 +29,7 @@ WITH t AS (
            ts, event_id,
            CAST(round(value * 100) AS BIGINT) AS cents
     FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
 ), w AS (
     SELECT *,
            ROW_NUMBER() OVER (PARTITION BY event_type, bucket
@@ -65,7 +66,10 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     — partial state is 4 longs per (type, bucket), mergeable across any
     partition split.
     """
-    e = read_table(spark, sf_dir, "events")
+    # OHLC needs a typed series and a value (oracle WHERE twin)
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
     cents = F.round(F.col("value") * 100, 0).cast("long")
     ordkey = F.struct(F.col("ts"), F.col("event_id"))
     return (
@@ -94,9 +98,11 @@ ACTIVITY_MINUTES = 30  # each event opens a 30-minute activity interval
 
 _CONCURRENCY_ORACLE = f"""
 WITH pts AS (
-    SELECT event_type, ts AS t, 1 AS delta FROM events
+    SELECT event_type, ts AS t, 1 AS delta
+    FROM events WHERE event_type IS NOT NULL
     UNION ALL
-    SELECT event_type, ts + INTERVAL {ACTIVITY_MINUTES} MINUTE, -1 FROM events
+    SELECT event_type, ts + INTERVAL {ACTIVITY_MINUTES} MINUTE, -1
+    FROM events WHERE event_type IS NOT NULL
 ), c AS (
     SELECT event_type, t,
            SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
@@ -134,7 +140,10 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned prefix sum documented for token_budget_sample
     (per-range partials + broadcast offsets), plan shape unchanged.
     """
-    e = read_table(spark, sf_dir, "events")
+    # untyped events have no concurrency series (oracle WHERE twin)
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     starts = e.select(
         "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
     )

@@ -24,15 +24,25 @@ from taipei_bi_etl_spark.queries import query
 # LOCF gap-fill — carry the last observed hourly sum forward.
 # ---------------------------------------------------------------------------
 
+def _typed_valued_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with the timeseries-family preconditions applied: an
+    event_type (the series key) and a value (the metric).  Untyped or
+    valueless events cannot join a typed metric series — filtered in
+    BOTH engines (each oracle carries the matching WHERE)."""
+    return read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+
+
 _LOCF_ORACLE = """
 WITH b AS (
     SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hour_bucket,
            event_type,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-    FROM events GROUP BY 1, 2
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), bounds AS (SELECT MIN(hour_bucket) AS mn, MAX(hour_bucket) AS mx FROM b),
    hours AS (SELECT UNNEST(generate_series(mn, mx)) AS hour_bucket FROM bounds),
-   types AS (SELECT DISTINCT event_type FROM events),
+   types AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
    grid AS (
     SELECT hours.hour_bucket, types.event_type, b.value_cents,
            CASE WHEN b.value_cents IS NOT NULL THEN 1 ELSE 0 END AS is_observed
@@ -66,7 +76,7 @@ def locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the series key would be (entity, metric), which is exactly
     how this partitioning scales out; the dense axis stays ∝ time span.
     """
-    ev = read_table(spark, sf_dir, "events")
+    ev = _typed_valued_events(spark, sf_dir)
     b = ev.groupBy(
         F.floor(FN.unix_ms("ts") / F.lit(3600000)).alias("hour_bucket"),
         "event_type",
@@ -157,7 +167,7 @@ WITH b AS (
     SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hour_bucket,
            event_type,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-    FROM events GROUP BY 1, 2
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), w AS (
     SELECT hour_bucket, event_type, x,
            CAST(COUNT(*) OVER t AS BIGINT) AS n,
@@ -195,7 +205,7 @@ def anomaly_zscore_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents·n < 2^31 per bucket keeps every product under 2^63; wider
     series switch x to a coarser unit, same plan.
     """
-    ev = read_table(spark, sf_dir, "events")
+    ev = _typed_valued_events(spark, sf_dir)
     b = ev.groupBy(
         F.floor(FN.unix_ms("ts") / F.lit(3600000)).alias("hour_bucket"),
         "event_type",
@@ -233,7 +243,7 @@ WITH seq AS (
            epoch_ms(LEAD(ts) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id))
              - epoch_ms(ts) AS dur_ms
-    FROM events
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
 )
 SELECT event_type,
        CAST(SUM(CAST(v_micros AS DECIMAL(38,0)) * dur_ms)
@@ -259,7 +269,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle + one tiny per-type aggregation, same two-exchange shape
     as lead_sessionize.
     """
-    ev = read_table(spark, sf_dir, "events")
+    ev = _typed_valued_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     dur_ms = FN.unix_ms(F.lead("ts", 1).over(w)) - FN.unix_ms(F.col("ts"))
     seq = ev.select(
@@ -289,7 +299,7 @@ WITH pts AS (
     SELECT event_type,
            CAST(floor(epoch_ms(ts) / 3600000) % 24 AS BIGINT) AS hod,
            CAST(floor(value * 1000000) AS BIGINT) AS v
-    FROM events
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
 ), m AS (
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -322,7 +332,7 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash; this moment-sum form is also the textbook map-side-combine
     shape: one shuffle carrying 5 longs per group.
     """
-    ev = read_table(spark, sf_dir, "events")
+    ev = _typed_valued_events(spark, sf_dir)
     pts = ev.select(
         "event_type",
         (F.floor(FN.unix_ms("ts") / F.lit(3600000)) % 24).alias("hod"),
@@ -369,7 +379,7 @@ WITH v AS (
                PARTITION BY event_type
                ORDER BY CAST(floor(value * 1000000) AS BIGINT), event_id
            ) AS bucket
-    FROM events
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
 )
 SELECT event_type, CAST(bucket AS INT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -396,7 +406,7 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile cut-points (mergeable sketch) and bucket by
     range — same output schema, no total sort.
     """
-    ev = read_table(spark, sf_dir, "events")
+    ev = _typed_valued_events(spark, sf_dir)
     v = ev.select(
         "event_type",
         F.floor(F.col("value") * 1000000).cast("long").alias("v_micros"),
@@ -496,7 +506,7 @@ WITH b AS (
     SELECT event_type,
            CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hb,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-    FROM events GROUP BY 1, 2
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), s AS (
     SELECT event_type,
            list_sort(list(struct_pack(hb := hb, x := x))) AS pts
@@ -527,7 +537,7 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     array chunk into segments whose partial (value, weight) pairs
     compose associatively — same plan, one extra rollup level.
     """
-    ev = read_table(spark, sf_dir, "events")
+    ev = _typed_valued_events(spark, sf_dir)
     b = ev.groupBy(
         "event_type",
         F.floor(FN.unix_ms("ts") / F.lit(3600000)).alias("hb"),

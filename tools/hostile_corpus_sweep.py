@@ -103,6 +103,47 @@ def _hostile_embeddings(out: str) -> None:
     )
 
 
+def _hostile_events(out: str) -> None:
+    """Append adversarial event rows: NULL / empty / non-JSON props,
+    NULL value, NULL event_type.  ``ts`` and ``user_id`` stay NOT NULL
+    — they are structural keys a telemetry ingest guarantees (the
+    reference's pings always carry them); rows reuse an existing user
+    (mixed-group paths) and introduce a brand-new one."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(os.path.join(SRC, "events.parquet"))
+    start = max(base["event_id"].to_pylist()) + 1
+    new_user = max(base["user_id"].to_pylist()) + 1
+    t = _dt.datetime(2024, 1, 15, 12, 0, 0)
+    rows = [
+        # (user_id, event_type, value, props)
+        (13, "click", 1.5, None),
+        (13, "click", 2.5, ""),
+        (new_user, "signup", 3.5, "{}"),
+        (new_user, "error", 4.5, "not json {"),
+        (13, "click", None, '{"k": 1}'),
+        (13, None, 5.5, '{"k": 2}'),
+    ]
+    extra = pa.table(
+        {
+            "event_id": [start + i for i in range(len(rows))],
+            "ts": [t + _dt.timedelta(minutes=i) for i in range(len(rows))],
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+            "props": [r[3] for r in rows],
+        },
+        schema=base.schema,
+    )
+    pq.write_table(
+        pa.concat_tables([base, extra]),
+        os.path.join(out, "events.parquet"),
+    )
+
+
 def build_hostile_dir() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -111,12 +152,13 @@ def build_hostile_dir() -> str:
     # rebuild swapped the tables under another mid-flight — observed)
     out = tempfile.mkdtemp(prefix="taipei_hostile_sf_")
     for t in TABLES:
-        if t not in ("documents", "embeddings"):
+        if t not in ("documents", "embeddings", "events"):
             shutil.copy(
                 os.path.join(SRC, f"{t}.parquet"),
                 os.path.join(out, f"{t}.parquet"),
             )
     _hostile_embeddings(out)
+    _hostile_events(out)
     base = pq.read_table(os.path.join(SRC, "documents.parquet"))
     start = max(x for x in base["doc_id"].to_pylist()) + 1
     rows = {
