@@ -34,6 +34,13 @@ from taipei_bi_etl_spark.session import get_spark  # noqa: E402
 
 #: events-shaped and documents-shaped heavy queries.
 STRESS_QUERIES = [
+    # r04c additions: the new curation/eval families (bucket-LM DSIR,
+    # tie-bucket AUC, count-of-counts spectrum — all bounded-key
+    # aggregate shapes that should scale ~linearly on fixed cores)
+    "dsir_importance_sample",
+    "classifier_auc_eval",
+    "corpus_frequency_spectrum",
+    "text_dedup_tokens",
     # r03 additions: iterative graph + SA dedup + tf-idf (the new
     # shuffle-heavy shapes; the exact-kernel label/ANN ops scale as n²
     # by design and route to shortlist forms instead of stress here)
