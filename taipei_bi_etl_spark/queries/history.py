@@ -30,8 +30,8 @@ from taipei_bi_etl_spark.queries import query
 _SCD2_ORACLE = """
 WITH src AS (
     SELECT user_id, ts, event_id,
-           CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                     THEN json_extract_string(props, '$.k') END AS INT)
+           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                         THEN json_extract_string(props, '$.k') END AS INT)
              AS attr_k
     FROM events
 ), src2 AS (
@@ -74,7 +74,11 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("attr_k"),
+        F.when(
+            F.get_json_object("props", "$").isNotNull()
+            & F.try_parse_json("props").isNotNull(),
+            F.get_json_object("props", "$.k"),
+        ).try_cast("int").alias("attr_k"),
     ).filter(  # only attribute-carrying events update the dimension
         F.col("attr_k").isNotNull()
     )
@@ -236,8 +240,8 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIT_ORACLE = """
 WITH src AS (
     SELECT user_id, ts, event_id,
-           CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                     THEN json_extract_string(props, '$.k') END AS INT)
+           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                         THEN json_extract_string(props, '$.k') END AS INT)
              AS attr_k
     FROM events
 ), src2 AS (
@@ -291,7 +295,11 @@ def pit_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("attr_k"),
+        F.when(
+            F.get_json_object("props", "$").isNotNull()
+            & F.try_parse_json("props").isNotNull(),
+            F.get_json_object("props", "$.k"),
+        ).try_cast("int").alias("attr_k"),
     ).filter(  # only attribute-carrying events update the dimension
         F.col("attr_k").isNotNull()
     )

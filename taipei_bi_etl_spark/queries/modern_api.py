@@ -201,7 +201,7 @@ _VARIANT_ORACLE = """
 WITH g AS (
   SELECT event_type,
          CASE WHEN props IS NOT NULL AND json_valid(props)
-              THEN CAST(props->>'k' AS BIGINT) END AS k
+              THEN TRY_CAST(props->>'k' AS BIGINT) END AS k
   FROM events WHERE event_type IS NOT NULL
 )
 SELECT event_type,

@@ -26,11 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
-from taipei_bi_etl_spark.queries.emb_common import (
-    VALID_DIR_SQL,
-    VALID_SQL,
-    read_embeddings,
-)
+from taipei_bi_etl_spark.queries.emb_common import read_embeddings
 from taipei_bi_etl_spark.queries import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors in the demo queries

@@ -57,9 +57,14 @@ def _fixture_dir(sf_dir: str) -> str:
     # serve a stale fixture — same rule as bpe_pins' SUM(length(text)).
     import pyarrow.compute as pc
 
-    n_text = pc.sum(pc.utf8_length(t["text"])).as_py() or 0
+    sig = ":".join(
+        str(pc.sum(pc.utf8_length(t[c])).as_py() or 0)
+        for c in ("text", "lang", "source")  # ALL payload columns — a
+        # corpus regenerated with same text but remapped lang/source
+        # must not serve a stale fixture either
+    )
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{t.num_rows}:{n_text}:v1".encode()
+        f"{os.path.abspath(sf_dir)}:{t.num_rows}:{sig}:v2".encode()
     ).hexdigest()[:16]
     out = os.path.join(tempfile.gettempdir(), f"taipei_tar_fixture_{key}")
     if os.path.isdir(out):

@@ -258,10 +258,9 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``date_trunc`` truncates in the *session* timezone, so a raw hour
     column would shift under a non-UTC driver.
     """
-    # the grid needs typed, valued series (oracle WHERE twin)
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull() & F.col("value").isNotNull()
-    )
+    from taipei_bi_etl_spark.queries.timegrid import _typed_valued_events
+
+    ev = _typed_valued_events(spark, sf_dir)  # oracle WHERE twin
     b = (
         ev.groupBy(
             F.floor(FN.unix_ms("ts") / F.lit(3600000)).alias("hour_bucket"),

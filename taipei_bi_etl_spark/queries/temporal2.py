@@ -66,10 +66,9 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     — partial state is 4 longs per (type, bucket), mergeable across any
     partition split.
     """
-    # OHLC needs a typed series and a value (oracle WHERE twin)
-    e = read_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull() & F.col("value").isNotNull()
-    )
+    from taipei_bi_etl_spark.queries.timegrid import _typed_valued_events
+
+    e = _typed_valued_events(spark, sf_dir)  # oracle WHERE twin
     cents = F.round(F.col("value") * 100, 0).cast("long")
     ordkey = F.struct(F.col("ts"), F.col("event_id"))
     return (

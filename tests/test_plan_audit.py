@@ -530,3 +530,19 @@ def test_vocab_coverage_broadcasts_vocab_and_heaps_topk(spark):
     plan = _plan(REGISTRY["vocab_coverage_report"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_embedding_oracle_validity_predicates_match_emb_common():
+    """Drift guard: every embeddings oracle that filters on vector
+    validity must carry the EXACT emb_common predicate text — a change
+    to read_embeddings that doesn't land in the oracles (or vice
+    versa) recreates the asymmetric-divergence class the gate fixed."""
+    from taipei_bi_etl_spark.queries.emb_common import VALID_SQL
+
+    checked = 0
+    for name, spec in REGISTRY.items():
+        sql = spec.oracle or ""
+        if "FROM embeddings" in sql and "len(embedding)" in sql:
+            assert VALID_SQL in sql, name
+            checked += 1
+    assert checked >= 10, checked  # the gated family, not an empty pass

@@ -126,6 +126,8 @@ def _hostile_events(out: str) -> None:
         (new_user, "error", 4.5, "not json {"),
         (13, "click", None, '{"k": 1}'),
         (13, None, 5.5, '{"k": 2}'),
+        # valid JSON, non-numeric k: must TRY_CAST to NULL, not crash
+        (14, "click", 6.5, '{"k": "abc"}'),
     ]
     extra = pa.table(
         {
@@ -200,14 +202,21 @@ def main() -> None:
         only = set(sys.argv[i + 1].split(","))
 
     sf_dir = build_hostile_dir()
+    # same deterministic timestamp confs as session.get_spark — a raw
+    # session would make the gate verdict depend on the host timezone
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .getOrCreate()
     )
     q, o = m.queries(), m.oracle_sql()
     names = sorted(n for n in q if n in o and n not in SKIP)
     if only:
+        unknown = sorted(only - set(names))
+        if unknown:
+            sys.exit(f"--only: not oracled/registered: {unknown}")
         names = [n for n in names if n in only]
     fails, skipped = [], sorted(set(q) & set(SKIP))
     t0 = time.time()
@@ -227,6 +236,7 @@ def main() -> None:
         spark.catalog.clearCache()
         if i % 25 == 0:
             print(f"{i}/{len(names)} {time.time() - t0:.0f}s", flush=True)
+    shutil.rmtree(sf_dir, ignore_errors=True)
     print(
         json.dumps(
             {
