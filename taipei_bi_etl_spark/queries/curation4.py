@@ -286,3 +286,99 @@ def sequence_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (multilingual-sampling style).
+# ---------------------------------------------------------------------------
+
+#: Sampling temperature: weights ∝ share^(1/T).  T=2 (the common
+#: multilingual setting) makes the rescale a square root — IEEE sqrt is
+#: correctly rounded, so the same double yields the same result in both
+#: engines; the per-source FLOOR to micros then makes everything
+#: downstream exact integer arithmetic (never a float SUM, whose
+#: accumulation ORDER differs between engines).
+MIX_T = 2
+
+_TEMPERATURE_ORACLE = """
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+), s AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS sqrt_micros
+  FROM tok
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(sqrt_micros) AS BIGINT) AS total_sqrt
+  FROM s
+)
+SELECT source, n_tokens,
+       CAST(n_tokens * 1000000 // total_tokens AS BIGINT)
+         AS natural_ppm,
+       CAST(sqrt_micros * 1000000 // total_sqrt AS BIGINT)
+         AS sampled_ppm,
+       CAST(sqrt_micros * 1000000 // total_sqrt
+            - n_tokens * 1000000 // total_tokens AS BIGINT)
+         AS boost_ppm
+FROM s CROSS JOIN tot
+"""
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle=_TEMPERATURE_ORACLE,
+    tags=("curation", "sampling", "extension"),
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (T={MIX_T}): each
+    source's sampling probability ∝ share^(1/T) — the standard
+    upweighting of small sources / downweighting of dominant ones used
+    by multilingual and multi-corpus training mixes.  Emits natural vs
+    temperature-sampled proportions (ppm) and the boost each source
+    receives.
+
+    Determinism: sqrt of an exact integer double is correctly rounded
+    IEEE (identical in both engines); the result is FLOORed to integer
+    micros PER SOURCE before any summation, so the normalizing total is
+    an integer sum — a float Σ√nᵢ would accumulate in engine-specific
+    order and flip the last digit.
+
+    Scale shape: one map-side-combined per-source token rollup
+    (|sources| rows), a 1-row total broadcast back — nothing beyond
+    the scan touches corpus-sized data.
+    """
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(_tok())).cast("long").alias("n_tokens")
+    )
+    s = tok.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000.0)
+        .cast("long")
+        .alias("sqrt_micros"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("sqrt_micros").cast("long").alias("total_sqrt"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr("CAST(n_tokens * 1000000 DIV total_tokens AS BIGINT)").alias(
+            "natural_ppm"
+        ),
+        F.expr("CAST(sqrt_micros * 1000000 DIV total_sqrt AS BIGINT)").alias(
+            "sampled_ppm"
+        ),
+        F.expr(
+            "CAST(sqrt_micros * 1000000 DIV total_sqrt"
+            " - n_tokens * 1000000 DIV total_tokens AS BIGINT)"
+        ).alias("boost_ppm"),
+    )

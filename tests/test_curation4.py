@@ -144,3 +144,40 @@ def test_padding_histogram_matches_python(spark, docs_pdf):
         for r in sequence_length_histogram(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_mix_temperature_matches_python(spark, docs_pdf):
+    import math
+
+    from taipei_bi_etl_spark.queries.curation4 import corpus_mix_temperature
+
+    tokens: dict = {}
+    for _, r in docs_pdf.iterrows():
+        if r["text"] is None:
+            continue
+        tokens[r["source"]] = tokens.get(r["source"], 0) + len(
+            _tok(r["text"])
+        )
+    sq = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in tokens.items()}
+    tt, ts = sum(tokens.values()), sum(sq.values())
+    want = {
+        s: (
+            n,
+            n * 1_000_000 // tt,
+            sq[s] * 1_000_000 // ts,
+            sq[s] * 1_000_000 // ts - n * 1_000_000 // tt,
+        )
+        for s, n in tokens.items()
+    }
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["natural_ppm"], r["sampled_ppm"], r["boost_ppm"],
+        )
+        for r in corpus_mix_temperature(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the point of temperature sampling: smallest source boosted,
+    # largest source suppressed
+    small = min(tokens, key=tokens.get)
+    large = max(tokens, key=tokens.get)
+    assert got[small][3] > 0 and got[large][3] < 0
