@@ -104,5 +104,6 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     dsir,
     curation3,
     curation4,
+    curation5,
     ml_eval,
 )
