@@ -28,7 +28,7 @@ from taipei_bi_etl_spark.functions import kv_clean  # noqa: F401  (D3)
 
 _EXTRACT_EVENTS_TEMPLATE = """
 transform(
-  cast(parse_json({col}) as array<variant>),
+  cast(try_parse_json({col}) as array<variant>),
   e -> struct(
     coalesce(try_variant_get(e, '$[0]', 'bigint'), 0L) as event_timestamp,
     lower(coalesce(try_variant_get(e, '$[1]', 'string'), '')) as event_category,
@@ -47,8 +47,10 @@ transform(
 def json_extract_events(col: str) -> Column:
     """D1: parse a telemetry ping's positional events JSON entirely in the
     JVM via Spark 4 VARIANT — the reference needs a JS UDF because BigQuery
-    SQL can't destructure mixed-type arrays; ``parse_json`` +
-    ``try_variant_get`` can.  NULL input → NULL, like the JS early return.
+    SQL can't destructure mixed-type arrays; ``try_parse_json`` +
+    ``try_variant_get`` can.  NULL input → NULL, like the JS early
+    return — and a MALFORMED payload also degrades to NULL (one bad
+    ping must not fail a 100 TB scan; plain ``parse_json`` throws).
     """
     return F.expr(_EXTRACT_EVENTS_TEMPLATE.format(col=col))
 
