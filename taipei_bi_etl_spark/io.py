@@ -212,6 +212,7 @@ def latest_partition(spark: SparkSession, path: str, date_col: str = "utc_date")
     metadata lookup, no data movement."""
     df = spark.read.parquet(path)
     mx = df.select(F.max(date_col).alias("mx"))
+    # bounded: 1-row max-date aggregate
     return df.join(F.broadcast(mx), df[date_col] == mx["mx"], "left_semi")
 
 

@@ -129,6 +129,7 @@ class DeleteByKeys(CleanupPolicy):
         dest = ctx.spark.read.parquet(path)
         victims = self.victims_fn(ctx).select(self.key_col).distinct()
         affected = (
+            # bounded: victim partition-key list (distinct partition values)
             dest.join(F.broadcast(victims), self.key_col, "left_semi")
             .select(t.partition_col)
             .distinct()
@@ -138,6 +139,7 @@ class DeleteByKeys(CleanupPolicy):
             return
         keep = (
             dest.filter(F.col(t.partition_col).isin(affected_vals))
+            # bounded: victim partition-key list
             .join(F.broadcast(victims), self.key_col, "left_anti")
         )
         # rewrite only the affected partitions (dynamic overwrite);

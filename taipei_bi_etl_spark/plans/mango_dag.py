@@ -246,6 +246,7 @@ def user_channels_from(settings: DataFrame, channels: DataFrame) -> DataFrame:
     for alt in ("network_token", "campaign_token", "adgroup_token", "creative_token"):
         arms.append(
             settings.join(
+                # bounded: channel lookup (handful of rows)
                 F.broadcast(channels),
                 settings["tracker_token"] == channels[alt],
             ).select(
@@ -1099,6 +1100,7 @@ def build_full_mango_pipeline(sf_dir: str, warehouse: str) -> Pipeline:
         )
         rps = ctx.src("google_rps")
         return (
+            # bounded: per-country rates (<= #countries)
             vol.join(F.broadcast(rps), "country", "left")
             .select(
                 F.lit("estimated").alias("conversion_status"),

@@ -342,6 +342,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode("probes").alias("cell"),
         )
     )
+    # bounded: fixed query set
     cand = assigned.join(F.broadcast(q), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )

@@ -125,9 +125,11 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # sa/sb are per-document frames — never force-broadcast corpus-
+    # cardinality sides; AQE broadcasts them when genuinely small.
     pairs = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= JACCARD_T)
         .select("doc_a", "doc_b")
     )
@@ -288,6 +290,7 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = per_doc.groupBy("source").agg(F.sum("n_tokens").alias("total"))
     mean_total = totals.agg(F.avg("total").alias("mean_total"))
+    # bounded: 1-row mean
     rates = totals.crossJoin(F.broadcast(mean_total)).select(
         "source",
         F.least(F.lit(1.0), F.col("mean_total") / F.col("total")).alias(
@@ -295,6 +298,7 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
+        # bounded: per-source rates (bounded domain)
         per_doc.join(F.broadcast(rates), "source")
         .filter(F.col("u") < F.col("rate"))
         .groupBy("source", "rate")

@@ -102,6 +102,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("code")
     )
+    # bounded: per-dim stats (64 rows)
     codes = dims.join(F.broadcast(stats), "dim").select("vec_id", code)
     return codes.groupBy("vec_id").agg(
         F.sum("code").cast("long").alias("code_sum"),
@@ -1139,6 +1140,7 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi").alias("qhi"),
     )
     pairs = fp.join(
+        # bounded: fixed query set (vec_id < NQ_HAM)
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",

@@ -147,6 +147,7 @@ def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", F.lit(1).alias("hit"))
     )
     return (
+        # bounded: top-K vocab (LIMIT'd)
         uni.join(F.broadcast(vocab), "term", "left")
         .groupBy("source")
         .agg(
@@ -368,6 +369,7 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("sqrt_micros").cast("long").alias("total_sqrt"),
     )
+    # bounded: 1-row total
     return s.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",

@@ -209,6 +209,7 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = per_doc.agg(F.max("doc_id").alias("mx"))
     return (
+        # bounded: 1-row max aggregate
         per_doc.crossJoin(F.broadcast(mx))
         .select(
             F.expr(

@@ -156,9 +156,11 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ct").cast("long").alias("tt"),
         F.sum("cr").cast("long").alias("tr"),
     )
+    # bounded: 1-row total
     w = cnt.join(F.broadcast(tot)).select("b", F.expr(_WEIGHT_SQL).alias("wt"))
     scored = (
         hashed.filter(~is_t)
+        # bounded: 128-row bucket-LM weight frame
         .join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(

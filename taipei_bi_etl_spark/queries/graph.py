@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.scale import bcast_dim
 
 N_ITER = 5
 INIT_MICROS = 1_000_000
@@ -247,6 +248,12 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unpersisted, the orders self-join + dedup re-executes for each
         # (measured: over half the query's runtime at sf0.1)
     )
+    # materialize the cache BEFORE the guarded broadcasts below: a
+    # non-materialized persist propagates the self-join's size-only
+    # estimate (children multiplied — terabytes), while a materialized
+    # InMemoryRelation reports ACTUAL bytes, which is the number
+    # bcast_dim should judge.
+    edges.count()
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
@@ -255,8 +262,8 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # |V| rows of (node, degree): broadcast both sides of the degree
     # enrichment so the edge list never shuffles for it
-    du = F.broadcast(deg.select(F.col("n").alias("u"), F.col("d").alias("du")))
-    dv = F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")))
+    du = bcast_dim(deg.select(F.col("n").alias("u"), F.col("d").alias("du")))
+    dv = bcast_dim(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")))
     ed = edges.join(du, "u").join(dv, "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -297,7 +304,7 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop the hint: the same plan degrades to a shuffled hash join.
     # inner (not semi): every wedge is a distinct (a;b,c), so one match
     # per closing edge = one triangle
-    return wedges.join(F.broadcast(closer), ["bc"], "inner").agg(
+    return wedges.join(bcast_dim(closer), ["bc"], "inner").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
 

@@ -208,6 +208,7 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.to_date(FN.as_utc_ts("ts"))
     d0 = ev.agg(F.min(day).alias("d0"))
     s = (
+        # bounded: 1-row min-day aggregate
         ev.crossJoin(F.broadcast(d0))
         .select(
             "user_id",

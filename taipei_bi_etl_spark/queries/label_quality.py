@@ -22,6 +22,7 @@ from taipei_bi_etl_spark.queries.similarity import (
     _corpus_with_norm,
     cosine,
 )
+from taipei_bi_etl_spark.scale import bcast_dim
 
 K_NN = 10
 N_HARD_QUERIES = 50
@@ -89,7 +90,7 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
     ranked = (
-        a.join(F.broadcast(b), F.col("vec_id") != F.col("nbr_id"))
+        a.join(bcast_dim(b), F.col("vec_id") != F.col("nbr_id"))
         .select(
             "vec_id", "label",
             (F.col("nbr_label") == F.col("label")).cast("int").alias("same"),
@@ -153,6 +154,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = cosine(F.col("emb"), F.col("qemb"), F.col("norm"), F.col("qnorm"))
     scored = (
+        # bounded: fixed query set (vec_id < N_HARD_QUERIES)
         corpus.crossJoin(F.broadcast(q))
         .filter(
             (F.col("vec_id") != F.col("query_id"))

@@ -409,6 +409,7 @@ def mango_revenue_google_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum("v").alias("volume"))
     )
     rps = google_rps_table(spark)
+    # bounded: per-country rates
     return vol.join(F.broadcast(rps), "country", "left").select(
         F.lit("estimated").alias("conversion_status"),
         F.lit("Android").alias("os"),

@@ -65,6 +65,7 @@ def pandas_udf_scaled_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
+    # bounded: per-event-type min/max (bounded domain)
     scaled = ev.join(F.broadcast(bounds), "event_type").select(
         "event_type", clip01("value", "lo", "hi").alias("scaled")
     )

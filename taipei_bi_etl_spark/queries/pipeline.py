@@ -143,9 +143,12 @@ def ngram_pair_overlap(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return pair_inter.join(F.broadcast(sa), "doc_a").join(
-        F.broadcast(sb), "doc_b"
-    )
+    # NO broadcast hints on sa/sb: they are per-document frames (one row
+    # per doc), i.e. corpus-cardinality — a forced hint overrides the
+    # planner's size check and OOMs every executor at 10^9+ docs.  AQE
+    # broadcasts them when genuinely small (same plan at bench scale);
+    # the no-ResolvedHint contract is pinned in tests/test_plan_audit.py.
+    return pair_inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup",))

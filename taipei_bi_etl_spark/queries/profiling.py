@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.scale import bcast_dim
 
 # ---------------------------------------------------------------------------
 # tf-idf top terms per document.
@@ -91,7 +92,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(bcast_dim(df), "term")
+        # bounded: 1-row count
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score_micros", F.expr(_TFIDF_SCORE_SQL))
     )

@@ -62,6 +62,7 @@ def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest codeword per (vec_id, m): broadcast the codebook, take
     the min (dist², code) struct — one shuffle on (vec_id, m) whose
     partials are single structs, not candidate lists."""
+    # bounded: PQ codebook (M*K rows)
     cand = sub.join(F.broadcast(codebook), "m")
     d2 = _sq_l2(F.col("sub"), F.col("centroid"))
     return (
@@ -133,6 +134,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsub = _subvectors(corpus.filter(F.col("vec_id") < N_QUERIES)).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("qsub")
     )
+    # bounded: PQ codebook (M*K rows)
     lut = qsub.join(F.broadcast(codebook), "m").select(
         "query_id",
         "m",
@@ -140,6 +142,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sq_l2(F.col("qsub"), F.col("centroid")).alias("pdist"),
     )
     scored = (
+        # bounded: ADC LUT (queries x M x K rows)
         encoded.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
@@ -157,6 +160,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     refined = (
         shortlist.join(corpus.select("vec_id", "emb"), "vec_id")
+        # bounded: fixed query set
         .join(F.broadcast(qvec), "query_id")
         .withColumn("d2", _sq_l2(F.col("emb"), F.col("qemb")))
     )

@@ -259,7 +259,9 @@ def dim_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = read_table(spark, sf_dir, "region")
     return (
         o.join(c, o.o_custkey == c.c_custkey, "left")
+        # bounded: nation (25 rows)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        # bounded: region (5 rows)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
@@ -348,6 +350,7 @@ def ratio_and_total_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     nat = (
         o.join(c, o.o_custkey == c.c_custkey)
+        # bounded: nation (25 rows)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -459,6 +462,7 @@ def percentile_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     joined = o.select("o_orderpriority", "o_totalprice").join(
+        # bounded: per-priority percentile aggregate (5 rows)
         F.broadcast(gk), "o_orderpriority"
     )
     rank_aggs = []

@@ -183,6 +183,7 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     piv = (
         o.join(c, o.o_custkey == c.c_custkey)
+        # bounded: nation (25 rows)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .pivot("o_orderstatus", ["F", "O", "P"])
@@ -330,6 +331,7 @@ def nested_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     c = read_table(spark, sf_dir, "customer")
     nations = (
+        # bounded: nation (25 rows)
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_regionkey", "n_name")
         .agg(
@@ -344,6 +346,7 @@ def nested_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nations")
         )
     )
+    # bounded: region (5 rows)
     nested = F.broadcast(r).join(nations, r.r_regionkey == nations.n_regionkey)
     # recursive flatten: one explode per hierarchy level, ancestors prefixed
     flat = (

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.scale import bcast_dim
 
 
 # ---------------------------------------------------------------------------
@@ -124,7 +125,7 @@ def ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     spend = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(bcast_dim(c), o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "o_custkey")
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
@@ -180,6 +181,7 @@ def salted_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     dim = (
+        # bounded: nation (25 rows)
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .select("l_suppkey", "n_name")
     )

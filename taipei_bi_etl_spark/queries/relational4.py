@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.scale import bcast_dim
 
 # ---------------------------------------------------------------------------
 # Six-table star join — TPC-H Q5 shape (local supplier volume).
@@ -71,11 +72,13 @@ def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            bcast_dim(s),
             (li["l_suppkey"] == s["s_suppkey"])
             & (c["c_nationkey"] == s["s_nationkey"]),
         )
+        # bounded: nation (25 rows)
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        # bounded: region (5 rows)
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg(

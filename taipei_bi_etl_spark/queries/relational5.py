@@ -189,6 +189,7 @@ def value_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
     )
     return (
+        # bounded: 1-row total
         pp.crossJoin(F.broadcast(tot))
         .filter(
             F.col("part_cents") * F.col("n_parts") * SHARE_DEN
@@ -264,5 +265,6 @@ def max_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("max_rev_cents")
     )
     return s.join(
+        # bounded: global-argmax rows (ties only)
         F.broadcast(winners), s["s_suppkey"] == winners["l_suppkey"]
     ).select("s_suppkey", "s_name", "total_rev_cents")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.scale import bcast_dim
 
 # ---------------------------------------------------------------------------
 # Disjunctive bracket join — TPC-H Q19 shape.
@@ -87,7 +88,7 @@ def disjunctive_bracket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("long")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(bcast_dim(p), li["l_partkey"] == p["p_partkey"])
         .filter(residual)
         .agg(
             F.sum(cents).alias("revenue_cents"),
@@ -176,7 +177,7 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supp") > 1)
             & (F.col("n_late") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(bcast_dim(s), F.col("l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -227,7 +228,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("long")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(bcast_dim(p), li["l_partkey"] == p["p_partkey"])
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias(
                 "promo_cents"

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.scale import bcast_dim
 
 _CENTS = "CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)"
 
@@ -89,26 +90,33 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = read_table(spark, sf_dir, "region")
     p = read_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
 
-    asia = (
-        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(
-            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("s_suppkey", "s_name")
-    )
+    # nation⋈region pre-reduced to the ASIA nation-key list (bounded),
+    # then a SEMI join against supplier: region membership is a filter,
+    # and the semi join's size estimate is the supplier scan itself —
+    # not the size-only join product — so bcast_dim judges real bytes.
+    # bounded: nation keys in one region (<= 25 rows)
+    asia_keys = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    asia = s.join(
+        # bounded: nation key list (25 rows)
+        F.broadcast(asia_keys),
+        s["s_nationkey"] == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
     line_cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     cat = (
         li.repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(line_cents).alias("cost_cents"))
     )
-    pc = cat.join(F.broadcast(asia), cat["l_suppkey"] == asia["s_suppkey"])
+    pc = cat.join(bcast_dim(asia), cat["l_suppkey"] == asia["s_suppkey"])
     w = W.partitionBy("l_partkey")
     pc = pc.withColumn("min_cost", F.min("cost_cents").over(w))
     return (
         pc.filter(F.col("cost_cents") == F.col("min_cost"))
-        .join(F.broadcast(p), pc["l_partkey"] == p["p_partkey"])
+        .join(bcast_dim(p), pc["l_partkey"] == p["p_partkey"])
         .select("p_partkey", "s_name", "cost_cents")
     )
 
@@ -169,7 +177,7 @@ def unshipped_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(bcast_dim(c), o["o_custkey"] == c["c_custkey"])
         .groupBy(
             "l_orderkey",
             # DATE, not raw timestamp: DateType is tz-free on collect,
@@ -297,7 +305,8 @@ def returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("revenue_cents"))
     )
     return (
-        per_cust.join(F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"])
+        per_cust.join(bcast_dim(c), per_cust["o_custkey"] == c["c_custkey"])
+        # bounded: nation (25 rows)
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select("c_custkey", "c_name", "n_name", "revenue_cents")
         .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
@@ -361,6 +370,7 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c.withColumn("bal", bal_cents)
+        # bounded: 1-row aggregate
         .crossJoin(F.broadcast(pos))
         .filter(F.col("bal") * F.col("n") > F.col("total_cents"))
         .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.scale import bcast_dim
 
 _REV_CENTS_SQL = (
     "CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)"
@@ -122,6 +123,7 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         read_table(spark, sf_dir, "supplier")
         .join(
+            # bounded: nation (25 rows)
             F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
                                  F.col("n_name").alias("supp_nation"))),
             F.col("s_nationkey") == F.col("sn_key"),
@@ -131,6 +133,7 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         read_table(spark, sf_dir, "customer")
         .join(
+            # bounded: nation (25 rows)
             F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"),
                                  F.col("n_name").alias("cust_nation"))),
             F.col("c_nationkey") == F.col("cn_key"),
@@ -146,9 +149,9 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1])
     ) | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(bcast_dim(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast_dim(c), F.col("o_custkey") == F.col("c_custkey"))
         .filter(direction_ok)
         .groupBy(
             "supp_nation",
@@ -213,24 +216,37 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         read_table(spark, sf_dir, "supplier")
         .join(
+            # bounded: nation (25 rows)
             F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
                                  F.col("n_name").alias("supp_nation"))),
             F.col("s_nationkey") == F.col("sn_key"),
         )
         .select("s_suppkey", "supp_nation")
     )
+    # nation⋈region pre-reduced to a key list (25×5 bounded), then a
+    # SEMI join: customers-in-region is a filter, not an enrichment —
+    # and a semi join's size estimate is the customer scan itself, not
+    # the size-only join product, so bcast_dim judges the real payload.
+    # bounded: nation x region key list (<= 25 rows)
+    region_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
     cust_region = (
         read_table(spark, sf_dir, "customer")
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            # bounded: nation key list (25 rows)
+            F.broadcast(region_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
         .select("c_custkey")
     )
     rev = _rev_cents()
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(bcast_dim(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bcast_dim(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast_dim(cust_region), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(
@@ -288,6 +304,7 @@ def product_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     s = (
         read_table(spark, sf_dir, "supplier")
+        # bounded: nation (25 rows)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
@@ -296,8 +313,8 @@ def product_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.round(F.col("l_quantity"), 0).cast("long")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(bcast_dim(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bcast_dim(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             "supp_nation",
@@ -363,9 +380,9 @@ def supplier_census_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = li.select("l_partkey", "l_suppkey").distinct()
     return (
         catalog.join(
-            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+            bcast_dim(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bcast_dim(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -430,7 +447,7 @@ def dominant_supplier_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like(_Q20_LIKE))
     s = read_table(spark, sf_dir, "supplier")
     shipped = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(bcast_dim(p), F.col("l_partkey") == F.col("p_partkey"))
         .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("qty"))
@@ -443,7 +460,7 @@ def dominant_supplier_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        dominant.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        dominant.join(bcast_dim(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name")
         .distinct()
     )

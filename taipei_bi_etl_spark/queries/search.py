@@ -126,6 +126,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in TERMS
         ],
     )
+    # bounded: 1-row corpus stats
     scored = base.join(F.broadcast(stats)).select(
         "doc_id",
         F.expr(_SCORE_SQL).alias("score_micros"),
@@ -186,6 +187,7 @@ def numeric_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = read_table(spark, sf_dir, "events")
     stats = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    # bounded: 1-row min/max aggregate
     bucketed = e.join(F.broadcast(stats)).select(
         F.expr(_BUCKET_SQL).alias("bucket"), "vmin", "vmax"
     )

@@ -296,8 +296,11 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
     )
     return (
+        # bounded: per-event-type sizes (bounded domain)
         pairs.join(F.broadcast(sa), "type_a")
+        # bounded: per-event-type sizes (bounded domain)
         .join(F.broadcast(sb), "type_b")
+        # bounded: 1-row total
         .crossJoin(F.broadcast(totals))
         .select(
             "type_a",

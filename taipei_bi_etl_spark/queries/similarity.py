@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries.emb_common import read_embeddings
 from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.scale import bcast_dim
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors in the demo queries
 TOP_K = 5
@@ -109,6 +110,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = cosine(F.col("emb"), F.col("qemb"), F.col("norm"), F.col("qnorm"))
     scored = (
+        # bounded: fixed query set
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
@@ -160,7 +162,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        a.join(bcast_dim(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn("sim", sim)
         .filter(F.col("sim") >= 0.99)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
@@ -282,6 +284,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     cand = (
+        # bounded: fixed query set
         bucketed.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", "emb", "norm", "qemb", "qnorm")
@@ -609,6 +612,7 @@ def ann_jl_shortlist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jl_sim").desc(), F.col("neighbor_id")
     )
     shortlist = (
+        # bounded: fixed query set
         pn.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(

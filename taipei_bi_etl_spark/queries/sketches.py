@@ -229,6 +229,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     ).select("user_id", "exact_n", F.col("h.d").alias("d"), F.col("h.bucket").alias("bucket"))
     est = (
+        # bounded: fixed probe set
         merged.join(F.broadcast(probes), ["d", "bucket"])
         .groupBy("user_id", "exact_n")
         .agg(F.min("cnt").alias("cms_est"))
@@ -237,6 +238,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     return (
+        # bounded: 1-row total
         est.crossJoin(F.broadcast(total))
         .select(
             "user_id",

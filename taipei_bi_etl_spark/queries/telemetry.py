@@ -498,6 +498,7 @@ def market_presentation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_nationkey") % 25 + 1).cast("int"),
     )
     coded = c.join(
+        # bounded: nation (25 rows)
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     ).select("c_custkey", iso.alias("country"))
     mapped = coded.select(

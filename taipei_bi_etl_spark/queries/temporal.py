@@ -275,6 +275,7 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.sequence("mn", "mx")).alias("hour_bucket"))
     )
     types = ev.select("event_type").distinct()
+    # bounded: hour grid x event-type domain
     axis = F.broadcast(hours).crossJoin(F.broadcast(types))
     return (
         axis.join(b, ["hour_bucket", "event_type"], "left")

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.scale import bcast_dim
 
 HASH_MOD = 1_000_000_007
 KGRAM = 8  # fingerprint k-gram length (chars)
@@ -320,7 +321,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rest = grams.filter(F.col("doc_id") % 20 != 0)
     return (
-        rest.join(F.broadcast(bench), "g", "left")
+        rest.join(bcast_dim(bench), "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -88,7 +88,9 @@ def locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.explode(F.sequence("mn", "mx")).alias("hour_bucket"))
     types = ev.select("event_type").distinct()
     grid = (
+        # bounded: hour grid
         F.broadcast(hours)
+        # bounded: event-type domain
         .crossJoin(F.broadcast(types))
         .join(b, ["hour_bucket", "event_type"], "left")
     )
@@ -612,6 +614,7 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v_micros")))
     return (
+        # bounded: per-event-type quantile cuts
         v.join(F.broadcast(cuts), "event_type")
         .groupBy("event_type")
         .agg(

@@ -263,3 +263,22 @@ def assert_broadcastable(df: DataFrame, limit_mb: int = 512) -> DataFrame:
             f"limit); repartition/bucket this join instead"
         )
     return df
+
+
+def bcast_dim(df: DataFrame, limit_mb: int = 512) -> DataFrame:
+    """A GUARDED broadcast hint for SF-scaling dimension frames
+    (customer/part/supplier/labeled-corpus…): at bench scale it hints
+    exactly like ``F.broadcast``, but the hint is refused at planning
+    time once Catalyst's size estimate crosses ``limit_mb`` — turning
+    the 100 TB failure mode (every executor OOMs unpacking a 50 GB
+    "dimension") into an immediate, explainable error.
+
+    House policy (enforced by tests/test_plan_audit.py's source lint):
+    every ``F.broadcast`` site in this package is either routed through
+    this guard or carries a ``# bounded:`` tag naming why its payload
+    cannot scale with the data (nation/region, top-K vocab, codebook,
+    scalar aggregate, LIMIT'd query set, …).
+    """
+    from pyspark.sql import functions as F  # local: avoid cycle at import
+
+    return F.broadcast(assert_broadcastable(df, limit_mb))

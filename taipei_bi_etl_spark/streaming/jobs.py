@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from taipei_bi_etl_spark import functions as FN
+from taipei_bi_etl_spark.scale import bcast_dim
 
 SESSION_GAP = "30 minutes"
 
@@ -166,7 +167,7 @@ def enriched_nation_rollup(events: DataFrame, customer_dim: DataFrame) -> DataFr
     user→channel attribution joins (SURVEY §2.3 J1/J9): dimension
     lookups stay broadcast; only the windowed aggregation keeps state.
     """
-    dim = F.broadcast(customer_dim.select("c_custkey", "c_nationkey"))
+    dim = bcast_dim(customer_dim.select("c_custkey", "c_nationkey"))
     enriched = events.join(dim, events.user_id == dim.c_custkey)
     return (
         enriched.withWatermark("ts", "1 day")

@@ -77,8 +77,11 @@ class RpsTask(EtlTask):
         )
         cb = weight_cpi(cb_index).withColumnRenamed("cpi", "cost_idx_cb")
         df = (
+            # bounded: per-country frame
             vol.join(F.broadcast(base), "country", "left")
+            # bounded: per-country frame
             .join(F.broadcast(latest), "country", "left")
+            # bounded: per-country frame
             .join(F.broadcast(cb), "country", "left")
             .filter(
                 F.col("country").rlike("^[0-9A-Z]{2}$")
@@ -92,6 +95,7 @@ class RpsTask(EtlTask):
             F.sum(F.col("volume") * F.col("cost_idx_base")).alias("_fb_denom"),
             F.sum(F.col("volume") * F.col("cost_idx_cb")).alias("_cb_denom"),
         )
+        # bounded: scalar aggregates (1 row each)
         out = df.crossJoin(F.broadcast(pkg)).crossJoin(F.broadcast(denom))
         return out.select(
             "country",

@@ -546,3 +546,68 @@ def test_embedding_oracle_validity_predicates_match_emb_common():
             assert VALID_SQL in sql, name
             checked += 1
     assert checked >= 10, checked  # the gated family, not an empty pass
+
+
+def test_every_forced_broadcast_is_guarded_or_tagged_bounded():
+    """House broadcast policy (VERDICT r04 #3): a forced ``F.broadcast``
+    hint overrides the planner's size check, so every site in the
+    package must either route through ``scale.bcast_dim`` (planning-time
+    size guard) or carry a ``# bounded:`` tag naming why its payload
+    cannot scale with the data (nation/region, 1-row aggregate, top-K
+    vocab, codebook, LIMIT'd query set, ...).  Source lint: the tag must
+    sit on the hint's line or within the two lines above it."""
+    import pathlib
+
+    import taipei_bi_etl_spark
+
+    pkg = pathlib.Path(taipei_bi_etl_spark.__file__).parent
+    offenders = []
+    for p in sorted(pkg.rglob("*.py")):
+        if p.name == "scale.py":  # the guard itself + its docstring
+            continue
+        lines = p.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if "F.broadcast(" not in ln:
+                continue
+            window = lines[max(0, i - 2) : i + 1]
+            if not any("# bounded:" in w for w in window):
+                offenders.append(f"{p}:{i + 1}: {ln.strip()}")
+    assert not offenders, "untagged forced broadcasts:\n" + "\n".join(offenders)
+
+
+def test_bcast_dim_refuses_oversized_frames(spark):
+    """bcast_dim is the wired form of assert_broadcastable: same hint as
+    F.broadcast at bench scale, hard planning-time error once Catalyst's
+    estimate crosses the limit."""
+    import pytest
+
+    from taipei_bi_etl_spark.io import read_table
+    from taipei_bi_etl_spark.scale import bcast_dim
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    with pytest.raises(ValueError, match="refusing to broadcast"):
+        bcast_dim(li, limit_mb=0)
+    # under the limit it is exactly a broadcast hint
+    small = read_table(spark, SF_DIR, "nation")
+    fact = read_table(spark, SF_DIR, "customer")
+    plan = _plan(
+        fact.join(bcast_dim(small), fact.c_nationkey == small.n_nationkey)
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_ngram_size_frame_joins_carry_no_hint(spark):
+    """VERDICT r04 #1 regression pin: the per-document size frames in
+    the n-gram dedup family (ngram_pair_overlap and the inline
+    curation_end_to_end form) are corpus-cardinality — they must reach
+    the planner UNHINTED so AQE decides (broadcast when genuinely
+    small, shuffle join at 10^9+ docs instead of an executor-wide OOM)."""
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_ngram_containment",
+        "dedup_drop_contained",
+        "curation_end_to_end",
+    ):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in optimized, name
