@@ -746,6 +746,92 @@ def feature_mapping_mapped(
     )
 
 
+def feature_mapping_staged(
+    df,
+    out: str = "map",
+    event_method: str = "event_method",
+    event_object: str = "event_object",
+    event_value: str = "event_value",
+    extra_key: str = "extra_key",
+    extra_value: str = "extra_value",
+    event_vertical: str = "event_vertical",
+    settings_search_engine: str = "settings_search_engine",
+):
+    """`feature_mapping_mapped` with the cascade split into STAGED
+    projections (r04 VERDICT #4): each vertical's rule-set lands in its
+    own materialized array column, and the first-match cascade is a
+    small CASE chain over those five columns.  The point is codegen:
+    the single-expression cascade is one giant tree Janino cannot split
+    mid-expression (it falls back to interpreted eval on code size),
+    while five ~1/5-size vertical expressions are each splittable
+    methods.  The CASE chain references every vertical column TWICE
+    (emptiness test + value) — attribute reads, so the double
+    reference is free, and it is exactly what keeps CollapseProject
+    from inlining the big arrays back into one projection (the same
+    mechanism that keeps the atom projection separate).  Semantically
+    identical to ``feature_mapping_mapped`` — same rule-sets, same
+    cascade order, same 'Others' fallback.
+
+    MEASURED NEGATIVE RESULT (r05, don't retry): interleaved A/B on
+    mango_feature_surface_rollup at sf0.1, 4 rounds — mapped median
+    11.08 s vs staged 10.99 s (a wash), outputs row-identical.  The
+    executed plans show why: the chain's giant interpreted projections
+    (~12 K chars) survive in BOTH variants — the cascade was not the
+    sole codegen blocker, and splitting it does not unlock whole-stage
+    codegen for the stage.  Kept as the documented experiment beside
+    the memoize-by-distinct-shape rejection (SCALE.md)."""
+    bound = {
+        "event_method": event_method,
+        "event_object": event_object,
+        "event_value": event_value,
+        "extra_key": extra_key,
+        "extra_value": extra_value,
+        "event_vertical": event_vertical,
+        "settings_search_engine": settings_search_engine,
+    }
+    vocab = _rule_vocab()
+    reg: dict = {}
+    proxies = []
+    code_cols = []
+    for canonical, col_name in bound.items():
+        codes = {v: i for i, v in enumerate(vocab.get(canonical, []))}
+        if codes:
+            code_cols.append(
+                _encode_col(col_name, codes).alias(f"__fm_code_{col_name}")
+            )
+            proxies.append(_DictAtomCol(col_name, reg, codes))
+        else:
+            proxies.append(_AtomCol(col_name, reg))
+    with_codes = df.select("*", *code_cols)
+    vert_names = [f"__fm_v_{i}" for i in range(len(_VERTICALS))]
+    vert_cols = [
+        fn(_SparkBackend, *proxies).alias(vn)
+        for vn, (_name, fn) in zip(vert_names, _VERTICALS)
+    ]
+    atom_names = [name for name, _ in reg.values()]
+    with_atoms = with_codes.select(
+        "*", *[expr.alias(name) for name, expr in reg.values()]
+    )
+    with_verts = with_atoms.select("*", *vert_cols)
+    cascade = None
+    for vn, (label, _fn) in zip(vert_names, _VERTICALS):
+        cond = F.size(F.col(vn)) > 0
+        val = _pack(F.col(vn), label, "App")
+        cascade = (
+            F.when(cond, val) if cascade is None else cascade.when(cond, val)
+        )
+    mapped = cascade.otherwise(
+        _pack(F.array(F.lit("feature: others")), "Others", "Others")
+    )
+    code_names = [f"__fm_code_{c}" for c in bound.values()]
+    return (
+        with_verts.withColumn(out, mapped)
+        .drop(*vert_names)
+        .drop(*atom_names)
+        .drop(*code_names)
+    )
+
+
 def feature_mapping_sql(
     event_method: str = "event_method",
     event_object: str = "event_object",
