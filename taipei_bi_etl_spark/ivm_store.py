@@ -140,13 +140,26 @@ def _commit(
     import shutil
 
     vdir = _version_dir(state_dir, v)
-    if os.path.isdir(vdir):  # crashed previous attempt — retry wins
-        shutil.rmtree(vdir)
+    if os.path.isdir(vdir):
+        if os.path.exists(os.path.join(vdir, "_COMMITTED")):
+            # a CONCURRENT writer already committed this version —
+            # failing loudly beats silently rmtree-ing its files
+            # (r04 ADVICE #5); the caller re-reads latest_version
+            raise FileExistsError(
+                f"version {v} already committed under {state_dir} by a "
+                "concurrent writer; re-read latest_version and retry"
+            )
+        shutil.rmtree(vdir)  # crashed UNCOMMITTED attempt — retry wins
     acc.write.mode("overwrite").parquet(os.path.join(vdir, "accounting"))
     spark.createDataFrame(
         [(int(total_tokens), int(max_doc_id))], META_SCHEMA
     ).write.mode("overwrite").parquet(os.path.join(vdir, "meta"))
-    with open(os.path.join(vdir, "_COMMITTED"), "w"):
+    # O_EXCL publish: exactly ONE writer can create the marker — a
+    # racing writer that survived to this point errors here instead of
+    # double-committing (the last defense; the isdir check above
+    # already fails the common interleavings).  Single-writer remains
+    # the documented contract; this turns a violation into an error.
+    with open(os.path.join(vdir, "_COMMITTED"), "x"):
         pass
     return v
 
@@ -238,8 +251,13 @@ def _ret_commit(
     import shutil
 
     vdir = _version_dir(state_dir, v)
-    if os.path.isdir(vdir):  # crashed previous attempt — retry wins
-        shutil.rmtree(vdir)
+    if os.path.isdir(vdir):
+        if os.path.exists(os.path.join(vdir, "_COMMITTED")):
+            raise FileExistsError(  # see _commit — same protocol
+                f"version {v} already committed under {state_dir} by a "
+                "concurrent writer; re-read latest_version and retry"
+            )
+        shutil.rmtree(vdir)  # crashed UNCOMMITTED attempt — retry wins
     user_state.write.mode("overwrite").parquet(
         os.path.join(vdir, "user_state")
     )
@@ -247,7 +265,12 @@ def _ret_commit(
     spark.createDataFrame([(as_of,)], RET_META_SCHEMA).write.mode(
         "overwrite"
     ).parquet(os.path.join(vdir, "meta"))
-    with open(os.path.join(vdir, "_COMMITTED"), "w"):
+    # O_EXCL publish: exactly ONE writer can create the marker — a
+    # racing writer that survived to this point errors here instead of
+    # double-committing (the last defense; the isdir check above
+    # already fails the common interleavings).  Single-writer remains
+    # the documented contract; this turns a violation into an error.
+    with open(os.path.join(vdir, "_COMMITTED"), "x"):
         pass
     return v
 

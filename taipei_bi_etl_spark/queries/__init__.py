@@ -33,13 +33,88 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+#: DataFrames persisted during registry-query construction (r04 VERDICT
+#: #8 / ADVICE #3).  Registry queries persist() subtrees their RETURNED
+#: frame consumes, so they cannot unpersist before their action — the
+#: contract is instead unpersist-on-next-invocation: each registry call
+#: first releases every frame the PREVIOUS call persisted (by then its
+#: returned frame has been consumed), so a long-lived session running
+#: registry queries holds at most one query's caches, with no harness
+#: obliged to remember clearCache.  Harness teardown can call
+#: :func:`release_tracked` directly for a zero-residue end state.
+_TRACKED: list[DataFrame] = []
+
+
+def release_tracked() -> None:
+    """Unpersist every DataFrame tracked from prior registry calls."""
+    while _TRACKED:
+        entry = _TRACKED.pop()
+        try:
+            if callable(entry):
+                entry()  # localCheckpoint releaser
+            else:
+                entry.unpersist()
+        except Exception:  # session gone / already unpersisted — fine
+            pass
+
+
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
-    """Register ``fn`` as a named engine query with its oracle SQL."""
+    """Register ``fn`` as a named engine query with its oracle SQL.
+
+    The registered callable is a thin wrapper enforcing the cache
+    contract above: it releases the previous query's tracked persists,
+    then records every ``DataFrame.persist`` issued while ``fn`` builds
+    its plan (instrumented at the method level, so no query site needs
+    a special helper)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
+
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked()
+            # Spark 4 splits the API: pyspark.sql.DataFrame is the
+            # abstract base and the classic implementation OVERRIDES
+            # persist — instrument the concrete class, not the base.
+            try:
+                from pyspark.sql.classic.dataframe import (
+                    DataFrame as _ConcreteDF,
+                )
+            except ImportError:  # older layout: one class
+                _ConcreteDF = DataFrame
+            orig = _ConcreteDF.persist
+            orig_lcp = _ConcreteDF.localCheckpoint
+
+            def tracking_persist(self, *a, **k):  # noqa: ANN001
+                _TRACKED.append(self)
+                return orig(self, *a, **k)
+
+            def tracking_lcp(self, *a, **k):  # noqa: ANN001
+                ret = orig_lcp(self, *a, **k)
+                # a localCheckpoint materializes cached RDD blocks that
+                # unpersist() cannot reach; grab the LogicalRDD's JVM
+                # RDD handle so release_tracked can drop the blocks
+                try:
+                    jrdd = ret._jdf.queryExecution().analyzed().rdd()
+                    _TRACKED.append(lambda: jrdd.unpersist(False))
+                except Exception:
+                    pass
+                return ret
+
+            _ConcreteDF.persist = tracking_persist
+            _ConcreteDF.localCheckpoint = tracking_lcp
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _ConcreteDF.persist = orig
+                _ConcreteDF.localCheckpoint = orig_lcp
+
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=wrapped, oracle=oracle, tags=tags
+        )
         return fn
 
     return deco
@@ -106,4 +181,6 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     curation4,
     curation5,
     ml_eval,
+    variant_ingest,
+    sparse_sim,
 )

@@ -72,7 +72,7 @@ _LATERAL_ORACLE = f"""
 SELECT o.o_orderkey, t.l_linenumber, t.cents
 FROM orders o, LATERAL (
     SELECT l.l_linenumber,
-           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+           CAST(COALESCE(round(l.l_extendedprice * 100), -1) AS BIGINT) AS cents
     FROM lineitem l
     WHERE l.l_orderkey = o.o_orderkey
     ORDER BY cents DESC, l.l_linenumber
@@ -84,7 +84,7 @@ _LATERAL_QUERY = f"""
 SELECT o.o_orderkey, t.l_linenumber, t.cents
 FROM orders o JOIN LATERAL (
     SELECT l.l_linenumber,
-           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+           CAST(COALESCE(round(l.l_extendedprice * 100), -1) AS BIGINT) AS cents
     FROM lineitem l
     WHERE l.l_orderkey = o.o_orderkey
     ORDER BY cents DESC, l.l_linenumber
@@ -233,7 +233,7 @@ def arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LISTAGG_ORACLE = """
 WITH ranked AS (
-    SELECT c_mktsegment, c_name,
+    SELECT COALESCE(c_mktsegment, '(null)') AS c_mktsegment, c_name,
            ROW_NUMBER() OVER (
                PARTITION BY c_mktsegment
                ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
@@ -269,7 +269,11 @@ def segment_top_spender_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from taipei_bi_etl_spark.io import read_table
 
-    c = read_table(spark, sf_dir, "customer")
+    # segment key coalesced in BOTH engines (driver-compare sort,
+    # hostile relational sweep)
+    c = read_table(spark, sf_dir, "customer").withColumn(
+        "c_mktsegment", F.coalesce("c_mktsegment", F.lit("(null)"))
+    )
     from pyspark.sql import Window as W
 
     rn = F.row_number().over(

@@ -133,6 +133,7 @@ _ZKEY_SQL = _interleave_sql(
 _ZORDER_ORACLE = f"""
 WITH keyed AS (
   SELECT l_partkey, l_suppkey, {_ZKEY_SQL} AS zkey FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
 )
 SELECT zkey >> {Z_BUCKET_SHIFT} AS zbucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -163,7 +164,12 @@ def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle runs the identical expression, and uses modulo rather
     than clamping so the key stays faithful at any scale factor.
     """
-    li = read_table(spark, sf_dir, "lineitem")
+    # NULL layout keys carry no locality meaning — excluded in BOTH
+    # engines (hostile relational sweep: the NULL z-bucket's all-NULL
+    # min/max break the driver compare's row sort)
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
     keyed = li.select(
         "l_partkey", "l_suppkey", F.expr(_ZKEY_SQL).alias("zkey")
     )

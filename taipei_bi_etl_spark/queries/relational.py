@@ -387,12 +387,12 @@ def ratio_and_total_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PCTL_ORACLE = """
-SELECT o_orderpriority,
+SELECT COALESCE(o_orderpriority, '(null)') AS o_orderpriority,
        ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
        ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
        ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
        CAST(COUNT(*) AS BIGINT) AS n
-FROM orders GROUP BY o_orderpriority
+FROM orders GROUP BY 1
 """
 
 
@@ -402,7 +402,11 @@ def percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — one shuffle on the grouping key instead of the reference's
     window + SELECT DISTINCT collapse.  For 100 TB hot paths switch to
     percentile_approx (t-digest, mergeable sketch)."""
-    o = read_table(spark, sf_dir, "orders")
+    # key coalesced in BOTH engines: a NULL group key breaks the
+    # driver compare's row sort (hostile relational sweep)
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "o_orderpriority", F.coalesce("o_orderpriority", F.lit("(null)"))
+    )
     return o.groupBy("o_orderpriority").agg(
         F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
         F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
@@ -412,13 +416,13 @@ def percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PCTL_APPROX_ORACLE = """
-SELECT o_orderpriority,
+SELECT COALESCE(o_orderpriority, '(null)') AS o_orderpriority,
        ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25_exact,
        ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50_exact,
        ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75_exact,
        CAST(COUNT(*) AS BIGINT) AS n,
        TRUE AS approx_ok
-FROM orders GROUP BY o_orderpriority
+FROM orders GROUP BY 1
 """
 
 
@@ -445,7 +449,12 @@ def percentile_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     DATA value, while interpolated percentiles at q ± eps form an open
     interval strictly between data values.)
     """
-    o = read_table(spark, sf_dir, "orders")
+    # key coalesced in BOTH engines: beyond the sort-crash class, a
+    # NULL key would also fall out of the verify equi-join (NULL never
+    # equals NULL), silently dropping the group Spark-side only
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "o_orderpriority", F.coalesce("o_orderpriority", F.lit("(null)"))
+    )
     acc = 10_000  # rank error <= n/acc per group
     qs = ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
     gk = o.groupBy("o_orderpriority").agg(
@@ -604,6 +613,7 @@ SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
          AS avg_ship_lag_days,
        MIN(CAST(l.l_shipdate AS DATE) - 7) AS min_shipdate_minus_7d
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate IS NOT NULL
 GROUP BY 1
 """
 
@@ -611,7 +621,12 @@ GROUP BY 1
 @query("date_function_pack", oracle=_DATEFN_ORACLE, tags=("F1", "F2", "F3", "F7"))
 def date_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATE_TRUNC / DATE_DIFF / DATE_SUB pack (F1-F8) on the fact join."""
-    o = read_table(spark, sf_dir, "orders")
+    # NULL order dates carry no calendar meaning — excluded in BOTH
+    # engines (hostile relational sweep: a NULL month group breaks the
+    # driver compare's row sort)
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     li = read_table(spark, sf_dir, "lineitem")
     j = o.join(li, o.o_orderkey == li.l_orderkey)
     return j.groupBy(

@@ -280,11 +280,11 @@ def schema_only_limit0(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NARROW_ORACLE = """
-SELECT l_returnflag,
+SELECT COALESCE(l_returnflag, '(null)') AS l_returnflag,
        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem
-GROUP BY l_returnflag
+GROUP BY 1
 """
 
 
@@ -298,7 +298,11 @@ def narrow_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "l_tax", "l_linestatus", "l_shipdate",
     )
-    return narrow.groupBy("l_returnflag").agg(
+    return narrow.groupBy(
+        # coalesced in BOTH engines: NULL group keys break the driver
+        # compare's row sort (hostile relational sweep)
+        F.coalesce("l_returnflag", F.lit("(null)")).alias("l_returnflag")
+    ).agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.count(F.lit(1)).alias("n_lines"),
     )
@@ -368,10 +372,10 @@ def nested_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNNING_ORACLE = """
 SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day, o_orderkey,
        ROUND(SUM(o_totalprice) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
        CAST(ROW_NUMBER() OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+         PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS BIGINT) AS order_seq
 FROM orders
 WHERE o_custkey % 100 = 0
 """
@@ -383,7 +387,12 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension beyond the reference's frame-less windows; single shuffle on
     o_custkey shared by both window functions."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # NULLS FIRST pinned EXPLICITLY in both engines: Spark ASC defaults
+    # to nulls-first, DuckDB to nulls-last — a NULL order date silently
+    # shifts every running total after it (hostile relational sweep)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
     return o.select(
         "o_custkey",
         F.to_date("o_orderdate").alias("order_day"),

@@ -62,10 +62,11 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MOVAVG_ORACLE = """
 SELECT o_orderkey, o_custkey,
-       ROUND(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-                  OVER w AS BIGINT) / 100.0 / COUNT(*) OVER w, 6) AS mov_avg_price
+       COALESCE(ROUND(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  OVER w AS BIGINT) / 100.0 / COUNT(*) OVER w, 6), -1) AS mov_avg_price
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE) NULLS FIRST, o_orderkey
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
@@ -81,17 +82,26 @@ def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) so window state is O(1) per row at any scale.
     """
     o = read_table(spark, sf_dir, "orders")
+    # NULLS FIRST pinned explicitly (Spark default, DuckDB is
+    # nulls-last); an all-NULL-price frame yields a -1 sentinel in both
+    # engines — NULL in the first compare-sorted column crashes the
+    # driver compare (hostile relational sweep)
     w = (
         W.partitionBy("o_custkey")
-        .orderBy(F.to_date("o_orderdate"), "o_orderkey")
+        .orderBy(F.to_date("o_orderdate").asc_nulls_first(), "o_orderkey")
         .rowsBetween(-6, W.currentRow)
     )
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.round(
-            F.sum(cents).over(w) / F.lit(100.0) / F.count(F.lit(1)).over(w), 6
+        F.coalesce(
+            F.round(
+                F.sum(cents).over(w) / F.lit(100.0)
+                / F.count(F.lit(1)).over(w),
+                6,
+            ),
+            F.lit(-1.0),
         ).alias("mov_avg_price"),
     )
 
@@ -194,7 +204,8 @@ def salted_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DIST_WINDOW_ORACLE = """
 WITH v AS (
-    SELECT o_orderpriority, o_orderkey,
+    SELECT COALESCE(o_orderpriority, '(null)') AS o_orderpriority,
+           o_orderkey,
            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
     FROM orders
 )
@@ -202,7 +213,7 @@ SELECT o_orderpriority, o_orderkey,
        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
        ROUND(CUME_DIST() OVER w, 6) AS cume_dist
 FROM v
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents)
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents NULLS FIRST)
 """
 
 
@@ -219,9 +230,13 @@ def distribution_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the division (rank-1)/(n-1) is the same double both engines
     compute.  One window shuffle on the partition key.
     """
-    o = read_table(spark, sf_dir, "orders")
+    # key coalesced + NULLS FIRST pinned in both engines (hostile
+    # relational sweep: NULL cents rank-shifted between engines)
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "o_orderpriority", F.coalesce("o_orderpriority", F.lit("(null)"))
+    )
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    w = W.partitionBy("o_orderpriority").orderBy(cents)
+    w = W.partitionBy("o_orderpriority").orderBy(cents.asc_nulls_first())
     return o.select(
         "o_orderpriority",
         "o_orderkey",

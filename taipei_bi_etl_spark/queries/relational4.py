@@ -99,13 +99,13 @@ WITH per_part AS (
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM lineitem GROUP BY l_partkey
 )
-SELECT l.l_returnflag,
+SELECT COALESCE(l.l_returnflag, '(null)') AS l_returnflag,
        CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
          AS small_line_cents,
        CAST(COUNT(*) AS BIGINT) AS n_small_lines
 FROM lineitem l JOIN per_part p USING (l_partkey)
 WHERE CAST(l.l_quantity AS BIGINT) * 5 * p.cnt < p.sum_qty
-GROUP BY l.l_returnflag
+GROUP BY 1
 """
 
 
@@ -140,7 +140,10 @@ def avg_quantity_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("long") * 5 * F.col("cnt")
             < F.col("sum_qty")
         )
-        .groupBy("l_returnflag")
+        .groupBy(
+            # coalesced in both engines (driver-compare sort, hostile sweep)
+            F.coalesce("l_returnflag", F.lit("(null)")).alias("l_returnflag")
+        )
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
                 "small_line_cents"

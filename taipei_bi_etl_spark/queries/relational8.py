@@ -472,7 +472,7 @@ def dominant_supplier_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PCONT_ORACLE = """
-SELECT l.l_returnflag,
+SELECT COALESCE(l.l_returnflag, '(null)') AS l_returnflag,
        percentile_cont(0.25) WITHIN GROUP
          (ORDER BY CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS p25_cents,
        percentile_cont(0.50) WITHIN GROUP
@@ -509,7 +509,11 @@ def percentile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = read_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    w = li.select(F.col("l_returnflag"), cents.alias("c"))
+    # coalesced in both engines (driver-compare sort, hostile sweep)
+    w = li.select(
+        F.coalesce("l_returnflag", F.lit("(null)")).alias("l_returnflag"),
+        cents.alias("c"),
+    )
     return w.groupBy("l_returnflag").agg(
         F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY c)").alias(
             "p25_cents"

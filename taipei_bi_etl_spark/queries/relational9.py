@@ -197,7 +197,7 @@ WITH per_line AS (
            CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
     FROM lineitem GROUP BY 1, 2
 )
-SELECT l_orderkey,
+SELECT COALESCE(l_orderkey, -1) AS l_orderkey,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(COALESCE(MAX(CASE WHEN l_linenumber = 1 THEN qty END), -1)
             AS BIGINT) AS qty_line1,
@@ -227,7 +227,11 @@ def map_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     the map's internal entry order (which follows the nondeterministic
     collect_list order) never leaks into the hash.
     """
-    li = read_table(spark, sf_dir, "lineitem")
+    # order key coalesced in BOTH engines: a NULL group key breaks
+    # the driver compare's row sort (hostile relational sweep)
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "l_orderkey", F.coalesce("l_orderkey", F.lit(-1))
+    )
     per_line = (
         li.groupBy("l_orderkey", "l_linenumber")
         .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("qty"))
@@ -263,6 +267,7 @@ SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
        CAST(MAX(EXTRACT(DAY FROM last_day(CAST(o.o_orderdate AS DATE))))
             AS BIGINT) AS max_month_len
 FROM orders o
+WHERE o.o_orderdate IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -280,7 +285,12 @@ def calendar_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     off-by-one a migration hits first.  ``dayofweek``'s 1-Sunday
     convention is deliberately NOT used cross-engine.
     """
-    o = read_table(spark, sf_dir, "orders")
+    # NULL order dates carry no calendar meaning — excluded in BOTH
+    # engines (hostile relational sweep: the NULL group's all-NULL
+    # aggregates break the driver compare's row sort)
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     d = F.to_date("o_orderdate")
     return (
         o.groupBy(
@@ -349,7 +359,8 @@ def null_safe_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _GBA_ORACLE = """
-SELECT o.o_orderstatus, o.o_orderpriority,
+SELECT COALESCE(o.o_orderstatus, '(null)') AS o_orderstatus,
+       COALESCE(o.o_orderpriority, '(null)') AS o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
          AS total_cents

@@ -24,13 +24,14 @@ from taipei_bi_etl_spark.queries import query
 # ---------------------------------------------------------------------------
 
 _RANGE_FRAME_ORACLE = """
-SELECT o_orderkey, o_custkey,
+SELECT o_orderkey, COALESCE(o_custkey, -1) AS o_custkey,
        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
            PARTITION BY o_custkey
            ORDER BY CAST(o_orderdate AS DATE)
            RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
        ) AS trailing_30d_cents
 FROM orders
+WHERE o_orderdate IS NOT NULL
 """
 
 
@@ -49,7 +50,13 @@ def range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on o_custkey; the frame is evaluated by a single
     sort within each partition — no per-row self-join, no explode.
     """
-    o = read_table(spark, sf_dir, "orders")
+    # a time-range frame is meaningless for a NULL time — excluded in
+    # BOTH engines; the NULL-custkey partition stays (both engines group
+    # NULL keys together) with the key coalesced only in the OUTPUT for
+    # the driver compare's row sort (hostile relational sweep)
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     w = (
@@ -59,7 +66,7 @@ def range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
-        "o_custkey",
+        F.coalesce("o_custkey", F.lit(-1)).alias("o_custkey"),
         F.sum(cents).over(w).alias("trailing_30d_cents"),
     )
 

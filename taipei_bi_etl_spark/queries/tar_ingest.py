@@ -52,19 +52,17 @@ def _fixture_dir(sf_dir: str) -> str:
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source"],
     )
-    # Key on CONTENT (total text chars), not just (path, row count):
-    # a regenerated testdata table with the same cardinality must not
-    # serve a stale fixture — same rule as bpe_pins' SUM(length(text)).
-    import pyarrow.compute as pc
-
-    sig = ":".join(
-        str(pc.sum(pc.utf8_length(t[c])).as_py() or 0)
-        for c in ("text", "lang", "source")  # ALL payload columns — a
-        # corpus regenerated with same text but remapped lang/source
-        # must not serve a stale fixture either
-    )
+    # Key on a TRUE content digest of the source parquet file (r04
+    # ADVICE #3): summed UTF8 lengths collide under length-neutral
+    # edits/permutations of the text — a regenerated table with the
+    # same totals must still invalidate the fixture.  The file digest
+    # is exact, cheap (MBs at test scale), and covers every column.
+    h = hashlib.md5()
+    with open(os.path.join(sf_dir, "documents.parquet"), "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{t.num_rows}:{sig}:v2".encode()
+        f"{os.path.abspath(sf_dir)}:{t.num_rows}:{h.hexdigest()}:v3".encode()
     ).hexdigest()[:16]
     out = os.path.join(tempfile.gettempdir(), f"taipei_tar_fixture_{key}")
     if os.path.isdir(out):

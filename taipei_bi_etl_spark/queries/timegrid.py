@@ -117,7 +117,7 @@ def locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UNPIVOT_ORACLE = """
 WITH wide AS (
-    SELECT c_nationkey,
+    SELECT COALESCE(c_nationkey, -1) AS c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
              AS acctbal_cents_total,
@@ -145,7 +145,11 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale the long form is metrics× the group count, never the
     input rows.
     """
-    c = read_table(spark, sf_dir, "customer")
+    # nation key coalesced in BOTH engines (driver-compare sort,
+    # hostile relational sweep)
+    c = read_table(spark, sf_dir, "customer").withColumn(
+        "c_nationkey", F.coalesce("c_nationkey", F.lit(-1))
+    )
     cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
     wide = c.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -225,7 +225,15 @@ def write_tar_shards(
             n_members = 0
             n_bytes = 0
             fname = _os.path.join(path, f"shard-{int(shard):05d}.tar")
-            with _tarfile.open(fname, "w") as tf:
+            # stage-then-rename commit (r04 ADVICE #4): a retried or
+            # speculatively-executed task writes its own temp file and
+            # PUBLISHES atomically — concurrent attempts cannot
+            # interleave bytes in the final tar, a failed task leaves
+            # only a .tmp a later read_tar_samples never globs, and the
+            # last rename wins with a complete, identical file (the
+            # bytes are deterministic for a given shard assignment).
+            tmp = f"{fname}.tmp.{_os.getpid()}"
+            with _tarfile.open(tmp, "w") as tf:
                 for _, r in g.iterrows():
                     for col in sorted(c for c in g.columns if c.startswith("__p_")):
                         payload = bytes(r[col])
@@ -236,6 +244,7 @@ def write_tar_shards(
                         tf.addfile(info, _io.BytesIO(payload))
                         n_members += 1
                         n_bytes += len(payload)
+            _os.replace(tmp, fname)
             out.append((int(shard), len(g), n_members, n_bytes))
         yield _pd.DataFrame(
             out, columns=["shard_id", "n_samples", "n_members", "n_bytes"]

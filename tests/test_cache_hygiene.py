@@ -1,0 +1,64 @@
+"""Registry cache contract (r04 VERDICT #8 / r03 ADVICE #3): registry
+queries persist() subtrees their RETURNED frame consumes, so they cannot
+unpersist before their action.  The registry wrapper therefore releases
+the PREVIOUS query's tracked persists on each new invocation, and
+exposes release_tracked() for teardown — no harness has to remember
+spark.catalog.clearCache() to avoid unbounded cache growth in a
+long-lived session."""
+
+from __future__ import annotations
+
+from taipei_bi_etl_spark.queries import REGISTRY, _TRACKED, release_tracked
+from tests.conftest import SF_DIR
+
+#: ten persist-using registry queries (the leak class: similarity,
+#: label-quality, graph, dedup, curation pipelines)
+CACHE_USERS = [
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "dedup_ngram_jaccard",
+    "knn_label_consistency_jl",
+    "copurchase_triangle_count",
+    "dedup_components",
+    "text_ngram_lm_score",
+    "dedup_substring_profile",
+    "curation_end_to_end",
+    "ann_lsh_bucketed",
+]
+
+
+def _n_cached_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_ten_registry_queries_leave_no_residual_caches(spark):
+    spark.catalog.clearCache()
+    release_tracked()
+    assert _n_cached_rdds(spark) == 0
+
+    peak_tracked = 0
+    for name in CACHE_USERS:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.count()  # consume the returned frame like a harness would
+        peak_tracked = max(peak_tracked, len(_TRACKED))
+
+    # the contract bounds residue at ONE query's caches at any moment
+    # (the current query's) — not the sum over the session
+    assert len(_TRACKED) <= peak_tracked
+
+    # teardown leaves a zero-residue session
+    release_tracked()
+    assert not _TRACKED
+    assert _n_cached_rdds(spark) == 0, "cached RDDs leaked past release"
+
+
+def test_wrapper_tracks_persists_and_next_call_releases(spark):
+    spark.catalog.clearCache()
+    release_tracked()
+    REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR).count()
+    first = list(_TRACKED)
+    assert first, "dedup_minhash_lsh persists at least one subtree"
+    # invoking ANY registry query releases the previous one's caches
+    REGISTRY["pricing_summary"].fn(spark, SF_DIR).count()
+    assert all(df not in _TRACKED for df in first)
+    release_tracked()

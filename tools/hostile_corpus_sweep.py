@@ -146,6 +146,123 @@ def _hostile_events(out: str) -> None:
     )
 
 
+def _hostile_relational(out: str) -> None:
+    """Hostile pass #4 (r04 VERDICT #5): doctor the TPC-H-shaped fact/
+    dim tables — the last un-doctored surface.  Classes: NULL join keys
+    (dropped by inner joins in BOTH engines, but they exercise the
+    null-key paths of aggregates and windows), orphan foreign keys,
+    DUPLICATE primary keys (join fan-out must match engine-for-engine),
+    negative quantities/prices/balances, out-of-domain discounts, and
+    NULL dates feeding year()/window functions (the NULLS FIRST/LAST
+    ordering-divergence class)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _append(table: str, rows: list[dict]) -> None:
+        base = pq.read_table(os.path.join(SRC, f"{table}.parquet"))
+        cols = {
+            f.name: [r.get(f.name) for r in rows] for f in base.schema
+        }
+        extra = pa.table(cols, schema=base.schema)
+        pq.write_table(
+            pa.concat_tables([base, extra]),
+            os.path.join(out, f"{table}.parquet"),
+        )
+
+    cust = pq.read_table(os.path.join(SRC, "customer.parquet"))
+    next_cust = max(cust["c_custkey"].to_pylist()) + 1
+    orders = pq.read_table(os.path.join(SRC, "orders.parquet"))
+    next_ord = max(orders["o_orderkey"].to_pylist()) + 1
+    some_ord = min(orders["o_orderkey"].to_pylist())
+    some_cust = min(cust["c_custkey"].to_pylist())
+
+    _append(
+        "customer",
+        [
+            # NULL FK + NULL measure + NULL segment
+            {"c_custkey": next_cust, "c_name": "hostile null-dims",
+             "c_nationkey": None, "c_acctbal": None, "c_mktsegment": None},
+            # negative balance
+            {"c_custkey": next_cust + 1, "c_name": "hostile negative",
+             "c_nationkey": 0, "c_acctbal": -512.75,
+             "c_mktsegment": "BUILDING"},
+            # DUPLICATE primary key (same key as an existing customer)
+            {"c_custkey": some_cust, "c_name": "hostile dup key",
+             "c_nationkey": 1, "c_acctbal": 0.0,
+             "c_mktsegment": "MACHINERY"},
+        ],
+    )
+    t0 = _dt.datetime(2024, 2, 1, 0, 0, 0)
+    _append(
+        "orders",
+        [
+            # NULL order date feeding year()/window order keys
+            {"o_orderkey": next_ord, "o_custkey": some_cust,
+             "o_orderstatus": "O", "o_totalprice": 100.0,
+             "o_orderdate": None, "o_orderpriority": "1-URGENT"},
+            # NULL custkey (orphan side of every customer join)
+            {"o_orderkey": next_ord + 1, "o_custkey": None,
+             "o_orderstatus": "F", "o_totalprice": 200.0,
+             "o_orderdate": t0, "o_orderpriority": "2-HIGH"},
+            # orphan FK to a nonexistent customer + negative price
+            {"o_orderkey": next_ord + 2, "o_custkey": next_cust + 999,
+             "o_orderstatus": "O", "o_totalprice": -50.5,
+             "o_orderdate": t0, "o_orderpriority": None},
+            # NULL measures / status
+            {"o_orderkey": next_ord + 3, "o_custkey": next_cust + 1,
+             "o_orderstatus": None, "o_totalprice": None,
+             "o_orderdate": t0, "o_orderpriority": "3-MEDIUM"},
+            # DUPLICATE order key
+            {"o_orderkey": some_ord, "o_custkey": next_cust + 1,
+             "o_orderstatus": "O", "o_totalprice": 1.0,
+             "o_orderdate": t0, "o_orderpriority": "4-NOT SPECIFIED"},
+        ],
+    )
+    _append(
+        "lineitem",
+        [
+            # NULL ship date (window/date-function paths)
+            {"l_orderkey": next_ord, "l_partkey": 1, "l_suppkey": 1,
+             "l_linenumber": 1, "l_quantity": 5.0,
+             "l_extendedprice": 10.0, "l_discount": 0.05, "l_tax": 0.02,
+             "l_returnflag": "N", "l_linestatus": "O",
+             "l_shipdate": None},
+            # negative quantity + price (returns/corrections)
+            {"l_orderkey": next_ord, "l_partkey": 1, "l_suppkey": 1,
+             "l_linenumber": 2, "l_quantity": -3.0,
+             "l_extendedprice": -42.42, "l_discount": 0.0, "l_tax": 0.0,
+             "l_returnflag": "R", "l_linestatus": "F",
+             "l_shipdate": t0},
+            # out-of-domain discount (>1) and NULL tax
+            {"l_orderkey": next_ord + 1, "l_partkey": 2, "l_suppkey": 2,
+             "l_linenumber": 1, "l_quantity": 1.0,
+             "l_extendedprice": 99.99, "l_discount": 1.5, "l_tax": None,
+             "l_returnflag": None, "l_linestatus": None,
+             "l_shipdate": t0},
+            # NULL measures + orphan part/supplier FKs
+            {"l_orderkey": next_ord + 2, "l_partkey": 10**9,
+             "l_suppkey": 10**9, "l_linenumber": 1, "l_quantity": None,
+             "l_extendedprice": None, "l_discount": None, "l_tax": None,
+             "l_returnflag": "A", "l_linestatus": "F",
+             "l_shipdate": t0},
+            # NULL join keys
+            {"l_orderkey": None, "l_partkey": None, "l_suppkey": None,
+             "l_linenumber": 1, "l_quantity": 2.0,
+             "l_extendedprice": 20.0, "l_discount": 0.1, "l_tax": 0.05,
+             "l_returnflag": "N", "l_linestatus": "O",
+             "l_shipdate": t0},
+            # DUPLICATE (orderkey, linenumber) against a real order
+            {"l_orderkey": some_ord, "l_partkey": 3, "l_suppkey": 3,
+             "l_linenumber": 1, "l_quantity": 7.0,
+             "l_extendedprice": 70.0, "l_discount": 0.07, "l_tax": 0.01,
+             "l_returnflag": "N", "l_linestatus": "O",
+             "l_shipdate": t0},
+        ],
+    )
+
+
 def build_hostile_dir() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -154,13 +271,17 @@ def build_hostile_dir() -> str:
     # rebuild swapped the tables under another mid-flight — observed)
     out = tempfile.mkdtemp(prefix="taipei_hostile_sf_")
     for t in TABLES:
-        if t not in ("documents", "embeddings", "events"):
+        if t not in (
+            "documents", "embeddings", "events",
+            "customer", "orders", "lineitem",
+        ):
             shutil.copy(
                 os.path.join(SRC, f"{t}.parquet"),
                 os.path.join(out, f"{t}.parquet"),
             )
     _hostile_embeddings(out)
     _hostile_events(out)
+    _hostile_relational(out)
     base = pq.read_table(os.path.join(SRC, "documents.parquet"))
     start = max(x for x in base["doc_id"].to_pylist()) + 1
     rows = {
