@@ -34,6 +34,12 @@ from taipei_bi_etl_spark.session import get_spark  # noqa: E402
 
 #: events-shaped and documents-shaped heavy queries.
 STRESS_QUERIES = [
+    # r05 additions: VARIANT parse-once ingest consumers (events K×,
+    # ingest rebuilt per K by the content-keyed fixture) and the
+    # sparse tf-idf pair similarity (posting-list join)
+    "variant_ingest_scd2",
+    "variant_ingest_kv_rollup",
+    "tfidf_doc_similarity_topk",
     # r04c additions: the new curation/eval families (bucket-LM DSIR,
     # tie-bucket AUC, count-of-counts spectrum — all bounded-key
     # aggregate shapes that should scale ~linearly on fixed cores)

@@ -57,10 +57,24 @@ def _fixture_dir(sf_dir: str) -> str:
     # edits/permutations of the text — a regenerated table with the
     # same totals must still invalidate the fixture.  The file digest
     # is exact, cheap (MBs at test scale), and covers every column.
+    import pathlib as _pl
+
+    src = os.path.join(sf_dir, "documents.parquet")
     h = hashlib.md5()
-    with open(os.path.join(sf_dir, "documents.parquet"), "rb") as fh:
-        for chunk in iter(lambda: fh.read(1 << 20), b""):
-            h.update(chunk)
+    # single file (testdata) or Spark-written directory of part-files
+    files = (
+        sorted(
+            p for p in _pl.Path(src).rglob("*")
+            if p.is_file() and not p.name.startswith((".", "_"))
+        )
+        if os.path.isdir(src)
+        else [_pl.Path(src)]
+    )
+    for f in files:
+        h.update(f.name.encode())
+        with open(f, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{t.num_rows}:{h.hexdigest()}:v3".encode()
     ).hexdigest()[:16]

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import pathlib
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,9 +52,21 @@ def _variant_events_dir(spark: SparkSession, sf_dir: str) -> str:
     with a parsed ``props_v`` VARIANT column; return the table path."""
     src = os.path.join(sf_dir, "events.parquet")
     h = hashlib.md5()
-    with open(src, "rb") as fh:
-        for chunk in iter(lambda: fh.read(1 << 20), b""):
-            h.update(chunk)
+    # a table may be one parquet file (testdata) or a directory of
+    # part-files (Spark-written, e.g. the stress harness's scaled dirs)
+    files = (
+        sorted(
+            p for p in pathlib.Path(src).rglob("*")
+            if p.is_file() and not p.name.startswith((".", "_"))
+        )
+        if os.path.isdir(src)
+        else [pathlib.Path(src)]
+    )
+    for f in files:
+        h.update(f.name.encode())
+        with open(f, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{h.hexdigest()}:v1".encode()
     ).hexdigest()[:16]
