@@ -239,3 +239,153 @@ def ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk ratio margin) — the
+# parallel-corpus mining primitive (LASER/CCMatrix): for every vector
+# in the "source" pool, its best "target"-pool neighbor scored by
+# cosine RELATIVE to both sides' top-K neighborhoods, so hubs (vectors
+# similar to everything) don't flood the mined pairs.
+# ---------------------------------------------------------------------------
+
+MARGIN_K = 4
+MARGIN_ACCEPT_MICROS = 1_050_000  # ratio >= 1.05
+_SIM_SCALE = "10000000000.0"  # 1e10: integer deci-nano sims (order-free)
+
+_BITEXT_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
+    AND label IS NOT NULL
+), p AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         CAST(FLOOR(list_inner_product(s.emb, t.emb) / (s.nrm * t.nrm)
+                    * {_SIM_SCALE}) AS BIGINT) AS sim_i
+  FROM e s JOIN e t ON s.label % 2 = 0 AND t.label % 2 = 1
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+             PARTITION BY src_id ORDER BY sim_i DESC, tgt_id) AS rn_f,
+         ROW_NUMBER() OVER (
+             PARTITION BY tgt_id ORDER BY sim_i DESC, src_id) AS rn_b
+  FROM p
+), fwd AS (
+  SELECT src_id, CAST(SUM(sim_i) AS BIGINT) AS fwd_sum
+  FROM r WHERE rn_f <= {MARGIN_K} GROUP BY 1
+), bwd AS (
+  SELECT tgt_id, CAST(SUM(sim_i) AS BIGINT) AS bwd_sum
+  FROM r WHERE rn_b <= {MARGIN_K} GROUP BY 1
+)
+SELECT r.src_id, r.tgt_id,
+       CAST(CASE WHEN fwd_sum + bwd_sum > 0
+                 THEN (r.sim_i * {2 * MARGIN_K * 1_000_000}) // (fwd_sum + bwd_sum)
+                 ELSE -1 END AS BIGINT) AS margin_micros,
+       (CASE WHEN fwd_sum + bwd_sum > 0
+             THEN (r.sim_i * {2 * MARGIN_K * 1_000_000}) // (fwd_sum + bwd_sum)
+             ELSE -1 END) >= {MARGIN_ACCEPT_MICROS} AS accepted
+FROM r
+JOIN fwd USING (src_id)
+JOIN bwd USING (tgt_id)
+WHERE r.rn_f = 1
+"""
+
+
+@query(
+    "bitext_margin_mining",
+    oracle=_BITEXT_ORACLE,
+    tags=("similarity", "extension", "mining"),
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-margin bitext mining between the even-label pool (source
+    side) and the odd-label pool (target side): each source vector's
+    best target neighbor, scored margin = 2K·cos(x,y) / (Σtop-K fwd +
+    Σtop-K bwd), accepted at ratio ≥ 1.05.
+
+    Float discipline: per-pair cosines are bit-identical across engines
+    (sequential in-order folds both sides — the similarity-family
+    precedent), integer-ized at 1e10 BEFORE the top-K sums (order-free
+    BIGINT folds) and the margin is pure integer arithmetic with
+    truncating division in BOTH engines (Spark DIV / DuckDB ``//``,
+    numerator ≤ 8e16 « int64).
+
+    Scale: the exact all-pairs kernel between pools is the documented
+    verification form (same convention as `knn_label_consistency`); at
+    corpus scale the candidate pairs come from `ann_lsh_bucketed`'s
+    banded buckets or the IVF cells and this margin stage is unchanged.
+    """
+    from taipei_bi_etl_spark.queries.similarity import (
+        _corpus_with_norm,
+        cosine,
+    )
+
+    corpus = _corpus_with_norm(spark, sf_dir).filter(
+        F.col("label").isNotNull()
+    )
+    src = corpus.filter(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("emb").alias("se"),
+        F.col("norm").alias("sn"),
+    )
+    tgt = corpus.filter(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("emb").alias("te"),
+        F.col("norm").alias("tn"),
+    )
+    sim_i = F.floor(
+        cosine(F.col("se"), F.col("te"), F.col("sn"), F.col("tn"))
+        * F.expr(_SIM_SCALE)
+    ).cast("long")
+    # both windows, the top-K sums and the rank-1 extraction all read
+    # the scored pairs: persist (released by the registry contract)
+    scored = (
+        src.crossJoin(tgt)
+        .select("src_id", "tgt_id", sim_i.alias("sim_i"))
+        .withColumn(
+            "rn_f",
+            F.row_number().over(
+                W.partitionBy("src_id").orderBy(
+                    F.desc("sim_i"), F.asc("tgt_id")
+                )
+            ),
+        )
+        .withColumn(
+            "rn_b",
+            F.row_number().over(
+                W.partitionBy("tgt_id").orderBy(
+                    F.desc("sim_i"), F.asc("src_id")
+                )
+            ),
+        )
+        .persist()
+    )
+    fwd = (
+        scored.filter(F.col("rn_f") <= MARGIN_K)
+        .groupBy("src_id")
+        .agg(F.sum("sim_i").cast("long").alias("fwd_sum"))
+    )
+    bwd = (
+        scored.filter(F.col("rn_b") <= MARGIN_K)
+        .groupBy("tgt_id")
+        .agg(F.sum("sim_i").cast("long").alias("bwd_sum"))
+    )
+    denom = F.col("fwd_sum") + F.col("bwd_sum")
+    margin = F.when(
+        denom > 0,
+        F.expr(f"sim_i * {2 * MARGIN_K * 1_000_000} DIV (fwd_sum + bwd_sum)"),
+    ).otherwise(F.lit(-1)).cast("long")
+    return (
+        scored.filter(F.col("rn_f") == 1)
+        .join(fwd, "src_id")
+        .join(bwd, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            margin.alias("margin_micros"),
+            (margin >= MARGIN_ACCEPT_MICROS).alias("accepted"),
+        )
+    )
