@@ -112,7 +112,7 @@ def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NTILE_ORACLE = """
 WITH spend AS (
-    SELECT c.c_nationkey, o.o_custkey,
+    SELECT COALESCE(c.c_nationkey, -1) AS c_nationkey, o.o_custkey,
            CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2
@@ -121,7 +121,7 @@ SELECT c_nationkey, o_custkey,
        CAST(NTILE(4) OVER w AS INT) AS spend_quartile,
        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
 FROM spend
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents, o_custkey)
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents NULLS FIRST, o_custkey)
 """
 
 
@@ -134,14 +134,22 @@ def ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # nation key coalesced + NULLS FIRST pinned in BOTH engines: an
+    # all-NULL-price customer's spend aggregates to NULL and feeds the
+    # window order key (hostile relational sweep, second pass)
     spend = (
         o.join(bcast_dim(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_nationkey", "o_custkey")
+        .groupBy(
+            F.coalesce("c_nationkey", F.lit(-1)).alias("c_nationkey"),
+            F.col("o_custkey"),
+        )
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
         )
     )
-    w = W.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("cents").asc_nulls_first(), "o_custkey"
+    )
     return spend.select(
         "c_nationkey",
         "o_custkey",

@@ -230,11 +230,12 @@ TOP_K = 3
 _TOPK_GROUP_ORACLE = f"""
 WITH spend AS (
     SELECT o_custkey,
-           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS spend_cents
+           CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), -1)
+                AS BIGINT) AS spend_cents
     FROM orders GROUP BY o_custkey
 ), ranked AS (
-    SELECT c.c_nationkey, s.o_custkey AS custkey, s.spend_cents,
+    SELECT COALESCE(c.c_nationkey, -1) AS c_nationkey,
+           s.o_custkey AS custkey, s.spend_cents,
            ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
                               ORDER BY s.spend_cents DESC, s.o_custkey ASC)
              AS rnk
@@ -261,15 +262,20 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
+    # an all-NULL-price customer's spend is NULL: sentinel it to -1 in
+    # BOTH engines (it sorts deterministically under DESC and survives
+    # the driver compare's row sort); nation key coalesced likewise
+    # (hostile relational sweep, second pass)
     spend = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
-            "spend_cents"
-        )
+        F.coalesce(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")),
+            F.lit(-1),
+        ).cast("long").alias("spend_cents")
     )
     return (
         spend.join(c, spend["o_custkey"] == c["c_custkey"])
         .select(
-            "c_nationkey",
+            F.coalesce("c_nationkey", F.lit(-1)).alias("c_nationkey"),
             F.col("o_custkey").alias("custkey"),
             "spend_cents",
         )

@@ -218,6 +218,12 @@ def _hostile_relational(out: str) -> None:
             {"o_orderkey": some_ord, "o_custkey": next_cust + 1,
              "o_orderstatus": "O", "o_totalprice": 1.0,
              "o_orderdate": t0, "o_orderpriority": "4-NOT SPECIFIED"},
+            # the all-NULL-dims customer's ONLY order has a NULL price:
+            # per-customer spend aggregates become NULL and feed window
+            # ORDER BY keys (the NULLS FIRST/LAST divergence class)
+            {"o_orderkey": next_ord + 4, "o_custkey": next_cust,
+             "o_orderstatus": "O", "o_totalprice": None,
+             "o_orderdate": t0, "o_orderpriority": "1-URGENT"},
         ],
     )
     _append(
