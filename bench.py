@@ -127,6 +127,14 @@ def main() -> None:
             read_table(spark, sf_dir, t).count()
         except Exception:
             pass
+    # untimed warmup QUERIES: table counts alone leave codegen/JIT and
+    # the window/aggregate machinery cold, and the first timed query
+    # then absorbs it (measured: cohort_retention 1.17 s in position 1
+    # vs 0.45 s isolated — a false budget breach, r05)
+    for warm in ("pricing_summary", "lead_sessionize"):
+        spec = REGISTRY.get(warm)
+        if spec is not None:
+            spec.fn(spark, sf_dir).count()
 
     # three timed passes per query, report the MEDIAN (VERDICT r03 #9:
     # sub-second round-over-round deltas were pure cold/warm JVM noise).
