@@ -568,7 +568,8 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FANOUT_ORACLE = """
-SELECT dim_type, dim_value, CAST(COUNT(*) AS BIGINT) AS n_parts
+SELECT dim_type, COALESCE(dim_value, '(null)') AS dim_value,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
 FROM (
   SELECT 'brand' AS dim_type, p_brand AS dim_value FROM part
   UNION ALL
@@ -596,7 +597,12 @@ def union_fanout_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         p.select(F.explode(dims).alias("d"))
-        .select("d.dim_type", "d.dim_value")
+        .select(
+            "d.dim_type",
+            # NULL dim values coalesced in BOTH engines (driver-compare
+            # row sort; hostile part doctoring)
+            F.coalesce("d.dim_value", F.lit("(null)")).alias("dim_value"),
+        )
         .groupBy("dim_type", "dim_value")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )

@@ -171,6 +171,50 @@ def _hostile_relational(out: str) -> None:
             os.path.join(out, f"{table}.parquet"),
         )
 
+    supp = pq.read_table(os.path.join(SRC, "supplier.parquet"))
+    next_supp = max(supp["s_suppkey"].to_pylist()) + 1
+    some_supp = min(supp["s_suppkey"].to_pylist())
+    part = pq.read_table(os.path.join(SRC, "part.parquet"))
+    next_part = max(part["p_partkey"].to_pylist()) + 1
+    some_part = min(part["p_partkey"].to_pylist())
+    _append(
+        "supplier",
+        [
+            # NULL FK + NULL balance + NULL name
+            {"s_suppkey": next_supp, "s_name": None,
+             "s_nationkey": None, "s_acctbal": None},
+            # negative balance (exercises the bad-supplier NOT-IN sets)
+            {"s_suppkey": next_supp + 1, "s_name": "hostile negative",
+             "s_nationkey": 0, "s_acctbal": -77.25},
+            # DUPLICATE primary key: supplier joins must fan out
+            # identically in both engines
+            {"s_suppkey": some_supp, "s_name": "hostile dup supp",
+             "s_nationkey": 1, "s_acctbal": 10.0},
+        ],
+    )
+    _append(
+        "part",
+        [
+            # NULL brand with a LIKE-matching type: survives type
+            # predicates into brand group keys
+            {"p_partkey": next_part, "p_name": "hostile null brand",
+             "p_brand": None, "p_type": "SMALL BRASS POLISHED",
+             "p_size": 5, "p_retailprice": 12.5},
+            # NULL type/size/price
+            {"p_partkey": next_part + 1, "p_name": None,
+             "p_brand": "Brand#1", "p_type": None,
+             "p_size": None, "p_retailprice": None},
+            # negative retail price
+            {"p_partkey": next_part + 2, "p_name": "hostile negative",
+             "p_brand": "Brand#2", "p_type": "PROMO",
+             "p_size": 1, "p_retailprice": -3.75},
+            # DUPLICATE primary key
+            {"p_partkey": some_part, "p_name": "hostile dup part",
+             "p_brand": "Brand#3", "p_type": "PROMO",
+             "p_size": 2, "p_retailprice": 1.0},
+        ],
+    )
+
     cust = pq.read_table(os.path.join(SRC, "customer.parquet"))
     next_cust = max(cust["c_custkey"].to_pylist()) + 1
     orders = pq.read_table(os.path.join(SRC, "orders.parquet"))
@@ -279,7 +323,7 @@ def build_hostile_dir() -> str:
     for t in TABLES:
         if t not in (
             "documents", "embeddings", "events",
-            "customer", "orders", "lineitem",
+            "customer", "orders", "lineitem", "supplier", "part",
         ):
             shutil.copy(
                 os.path.join(SRC, f"{t}.parquet"),
