@@ -183,4 +183,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     ml_eval,
     variant_ingest,
     sparse_sim,
+    cdc,
 )
