@@ -226,3 +226,29 @@ def anonymize_columns(df, spec: dict):
             raise ValueError(f"unknown anonymize kind: {kind}")
         out = out.withColumn(col, repl)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Integral-text extraction contract (r05 code review): TRY_CAST of a
+# JSON-extracted string to an integer type is ENGINE-DIVERGENT on
+# non-integral text — Spark try_cast('1.5' AS BIGINT) is NULL while
+# DuckDB TRY_CAST('1.5' AS BIGINT) ROUNDS to 2, and variant typed gets
+# coerce booleans (true→1) and truncate decimals.  The portable
+# contract is explicit: a value is an integer iff its TEXT matches
+# ^\s*-?[0-9]+\s*$; everything else is NULL in BOTH engines.
+# ---------------------------------------------------------------------------
+
+INT_TEXT_RE = r"^\s*-?[0-9]+\s*$"
+
+
+def int_text(col: Column) -> Column:
+    """STRING column → BIGINT under the integral-text contract."""
+    return F.when(col.rlike(INT_TEXT_RE), col.cast("long"))
+
+
+def int_text_sql(s: str) -> str:
+    """DuckDB twin of :func:`int_text` over the SQL expression ``s``."""
+    return (
+        f"CASE WHEN regexp_matches({s}, '^\\s*-?[0-9]+\\s*$') "
+        f"THEN CAST({s} AS BIGINT) END"
+    )

@@ -564,3 +564,41 @@ def read_unsplittable_text(
     df = reader.format(fmt).load(path)
     n = target_partitions or spark.sparkContext.defaultParallelism
     return df.repartition(n)
+
+
+_CONTENT_KEYS: dict[tuple[str, float, int], str] = {}
+
+
+def content_key(path: str) -> str:
+    """md5 digest of a parquet table's bytes — one file (testdata) or a
+    Spark-written directory of part-files (relative paths folded in so
+    same-named parts in different subdirs cannot collide).  Memoized on
+    (path, mtime, size) so fixture-cache hits skip the re-hash — the
+    digest is the CONTENT key for /tmp fixture caches (tar shards,
+    VARIANT ingest; r04 ADVICE #3 + r05 review)."""
+    import hashlib
+    import pathlib as _pl
+
+    p = _pl.Path(path)
+    st = p.stat()
+    memo = (str(p.resolve()), st.st_mtime, st.st_size)
+    hit = _CONTENT_KEYS.get(memo)
+    if hit is not None:
+        return hit
+    h = hashlib.md5()
+    files = (
+        sorted(
+            f for f in p.rglob("*")
+            if f.is_file() and not f.name.startswith((".", "_"))
+        )
+        if p.is_dir()
+        else [p]
+    )
+    for f in files:
+        h.update(str(f.relative_to(p) if p.is_dir() else f.name).encode())
+        with open(f, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+    digest = h.hexdigest()
+    _CONTENT_KEYS[memo] = digest
+    return digest

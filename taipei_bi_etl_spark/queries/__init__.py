@@ -65,7 +65,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     contract above: it releases the previous query's tracked persists,
     then records every ``DataFrame.persist`` issued while ``fn`` builds
     its plan (instrumented at the method level, so no query site needs
-    a special helper)."""
+    a special helper).
+
+    SINGLE-THREADED DRIVER CONTRACT: the class-level instrumentation
+    and the shared ``_TRACKED`` list are not thread-safe — invoking
+    registry queries concurrently from multiple driver threads can
+    untrack a sibling's persists or release frames it has not consumed
+    (recompute, or a checkpoint-block loss).  Every harness in this
+    repo (driver sim, bench, sweeps, stress, pytest) is sequential."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:

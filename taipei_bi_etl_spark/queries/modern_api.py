@@ -201,7 +201,8 @@ _VARIANT_ORACLE = """
 WITH g AS (
   SELECT event_type,
          CASE WHEN props IS NOT NULL AND json_valid(props)
-              THEN TRY_CAST(props->>'k' AS BIGINT) END AS k
+                   AND regexp_matches(props->>'k', '^\s*-?[0-9]+\s*$')
+              THEN CAST(props->>'k' AS BIGINT) END AS k
   FROM events WHERE event_type IS NOT NULL
 )
 SELECT event_type,
@@ -236,7 +237,12 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_parse_json: malformed props become NULL variants instead of
     # failing the scan (parse_json throws) — the oracle's json_valid CASE
     v = F.try_parse_json("props")
-    k = F.try_variant_get(v, "$.k", "bigint")
+    # TEXT extraction + integral-text contract (functions.int_text):
+    # the typed bigint get coerces true->1 and truncates 1.5->1 where
+    # the oracle's text TRY_CAST diverges (r05 code review)
+    from taipei_bi_etl_spark import functions as FN
+
+    k = FN.int_text(F.try_variant_get(v, "$.k", "string"))
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

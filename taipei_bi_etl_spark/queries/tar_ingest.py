@@ -48,39 +48,20 @@ def _fixture_dir(sf_dir: str) -> str:
     """
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "lang", "source"],
-    )
-    # Key on a TRUE content digest of the source parquet file (r04
-    # ADVICE #3): summed UTF8 lengths collide under length-neutral
-    # edits/permutations of the text — a regenerated table with the
-    # same totals must still invalidate the fixture.  The file digest
-    # is exact, cheap (MBs at test scale), and covers every column.
-    import pathlib as _pl
-
+    # Key on a TRUE content digest of the source parquet bytes (r04
+    # ADVICE #3; shared helper io.content_key, r05 review): computed
+    # BEFORE any table read, so a fixture-cache hit never re-loads the
+    # corpus into memory just to derive its own key.
     src = os.path.join(sf_dir, "documents.parquet")
-    h = hashlib.md5()
-    # single file (testdata) or Spark-written directory of part-files
-    files = (
-        sorted(
-            p for p in _pl.Path(src).rglob("*")
-            if p.is_file() and not p.name.startswith((".", "_"))
-        )
-        if os.path.isdir(src)
-        else [_pl.Path(src)]
-    )
-    for f in files:
-        h.update(f.name.encode())
-        with open(f, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 20), b""):
-                h.update(chunk)
+    from taipei_bi_etl_spark.io import content_key
+
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{t.num_rows}:{h.hexdigest()}:v3".encode()
+        f"{os.path.abspath(sf_dir)}:{content_key(src)}:v4".encode()
     ).hexdigest()[:16]
     out = os.path.join(tempfile.gettempdir(), f"taipei_tar_fixture_{key}")
     if os.path.isdir(out):
         return out
+    t = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
     docs = sorted(
         zip(
             t["doc_id"].to_pylist(),

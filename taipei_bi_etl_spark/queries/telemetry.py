@@ -323,8 +323,14 @@ def active_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KV_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+       CAST(SUM(CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                              '^\s*-?[0-9]+\s*$')
+                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 END) AS BIGINT) AS sum_k,
+       CAST(MAX(CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                              '^\s*-?[0-9]+\s*$')
+                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 END) AS BIGINT) AS max_k
 FROM events
 WHERE event_type IS NOT NULL AND props IS NOT NULL AND json_valid(props)
 GROUP BY event_type
@@ -349,7 +355,8 @@ def json_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.get_json_object("props", "$").isNotNull()
         & F.try_parse_json("props").isNotNull()
     )
-    k = F.get_json_object("props", "$.k").try_cast("long")
+    # integral-text contract (functions.int_text) — see history.py
+    k = FN.int_text(F.get_json_object("props", "$.k"))
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import pathlib
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,25 +49,11 @@ from taipei_bi_etl_spark.queries import query
 def _variant_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per source-content digest) the events table
     with a parsed ``props_v`` VARIANT column; return the table path."""
+    from taipei_bi_etl_spark.io import content_key
+
     src = os.path.join(sf_dir, "events.parquet")
-    h = hashlib.md5()
-    # a table may be one parquet file (testdata) or a directory of
-    # part-files (Spark-written, e.g. the stress harness's scaled dirs)
-    files = (
-        sorted(
-            p for p in pathlib.Path(src).rglob("*")
-            if p.is_file() and not p.name.startswith((".", "_"))
-        )
-        if os.path.isdir(src)
-        else [pathlib.Path(src)]
-    )
-    for f in files:
-        h.update(f.name.encode())
-        with open(f, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 20), b""):
-                h.update(chunk)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{h.hexdigest()}:v1".encode()
+        f"{os.path.abspath(sf_dir)}:{content_key(src)}:v1".encode()
     ).hexdigest()[:16]
     out = os.path.join(
         tempfile.gettempdir(), f"taipei_variant_events_{key}"
@@ -86,7 +71,15 @@ def _variant_events_dir(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(data, out)
     except OSError:
-        pass  # lost the publish race — the winner's fixture is identical
+        # only a LOST PUBLISH RACE is benign (the winner's fixture is
+        # byte-equivalent); any other rename failure must surface here,
+        # not as a PATH_NOT_FOUND in an unrelated downstream read
+        if not os.path.isdir(out):
+            raise
+    finally:
+        import shutil
+
+        shutil.rmtree(build, ignore_errors=True)
     return out
 
 
@@ -105,8 +98,14 @@ def read_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KV_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+       CAST(SUM(CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                              '^\s*-?[0-9]+\s*$')
+                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 END) AS BIGINT) AS sum_k,
+       CAST(MAX(CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                              '^\s*-?[0-9]+\s*$')
+                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 END) AS BIGINT) AS max_k
 FROM events
 WHERE event_type IS NOT NULL AND props IS NOT NULL AND json_valid(props)
 GROUP BY event_type
@@ -126,7 +125,10 @@ def variant_ingest_kv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_variant(spark, sf_dir).filter(
         F.col("event_type").isNotNull() & F.col("props_v").isNotNull()
     )
-    k = F.try_variant_get("props_v", "$.k", "long")
+    # extract as TEXT then apply the integral-text contract: a typed
+    # variant get coerces booleans (true->1) and truncates decimals,
+    # diverging from the oracle's text extraction (r05 code review)
+    k = FN.int_text(F.try_variant_get("props_v", "$.k", "string"))
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
@@ -137,7 +139,9 @@ def variant_ingest_kv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_V_ORACLE = """
 WITH src AS (
     SELECT user_id, ts, event_id,
-           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+           CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                          AND regexp_matches(json_extract_string(props, '$.k'),
+                                             '^\s*-?[0-9]+\s*$')
                          THEN json_extract_string(props, '$.k') END AS INT)
              AS attr_k
     FROM events
@@ -180,8 +184,8 @@ def variant_ingest_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.try_variant_get("props_v", "$.k", "string")
-        .try_cast("int")
+        FN.int_text(F.try_variant_get("props_v", "$.k", "string"))
+        .cast("int")
         .alias("attr_k"),
     ).filter(F.col("attr_k").isNotNull())
     marked = src.withColumn(

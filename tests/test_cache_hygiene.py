@@ -36,15 +36,15 @@ def test_ten_registry_queries_leave_no_residual_caches(spark):
     release_tracked()
     assert _n_cached_rdds(spark) == 0
 
-    peak_tracked = 0
+    prev_ids: set[int] = set()
     for name in CACHE_USERS:
         df = REGISTRY[name].fn(spark, SF_DIR)
+        # the invocation must have RELEASED every frame the previous
+        # query tracked — residue is bounded at one query's caches
+        current = {id(e) for e in _TRACKED}
+        assert not (prev_ids & current), name
         df.count()  # consume the returned frame like a harness would
-        peak_tracked = max(peak_tracked, len(_TRACKED))
-
-    # the contract bounds residue at ONE query's caches at any moment
-    # (the current query's) — not the sum over the session
-    assert len(_TRACKED) <= peak_tracked
+        prev_ids = {id(e) for e in _TRACKED}
 
     # teardown leaves a zero-residue session
     release_tracked()

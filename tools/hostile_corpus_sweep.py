@@ -128,6 +128,18 @@ def _hostile_events(out: str) -> None:
         (13, None, 5.5, '{"k": 2}'),
         # valid JSON, non-numeric k: must TRY_CAST to NULL, not crash
         (14, "click", 6.5, '{"k": "abc"}'),
+        # r05 code-review shapes — the integral-text contract: boolean
+        # and decimal k are NULL in BOTH engines (a typed variant get
+        # would coerce true->1 / truncate 1.5, and DuckDB TRY_CAST of
+        # '1.5' ROUNDS to 2 where Spark try_cast yields NULL); a
+        # negative integral k passes in both.  NOT in this battery,
+        # documented residual INCLUSION divergences instead (same class
+        # as trailing garbage / bare NaN, recorded in BACKLOG): Spark's
+        # try_parse_json rejects duplicate-key JSON and bare lowercase
+        # 'nan' that DuckDB json_valid accepts.
+        (14, "click", 7.5, '{"k": true}'),
+        (14, "click", 8.5, '{"k": 1.5}'),
+        (13, "click", 9.5, '{"k": -3}'),
     ]
     extra = pa.table(
         {
