@@ -242,13 +242,53 @@ INT_TEXT_RE = r"^\s*-?[0-9]+\s*$"
 
 
 def int_text(col: Column) -> Column:
-    """STRING column → BIGINT under the integral-text contract."""
-    return F.when(col.rlike(INT_TEXT_RE), col.cast("long"))
+    """STRING column → BIGINT under the integral-text contract.
+
+    ``try_cast`` (not ``cast``): post-regex the text is integral, so
+    the DuckDB '1.5'-rounds-to-2 divergence cannot apply, but a digit
+    string beyond the BIGINT range (e.g. ``"99999999999999999999"``)
+    passes the regex and a plain ``cast`` THROWS under ANSI (the
+    session default) while DuckDB's TRY_CAST yields NULL.  try_cast
+    → NULL in both engines (r05 ADVICE, medium).
+    """
+    return F.when(col.rlike(INT_TEXT_RE), col.try_cast("long"))
+
+
+def json_valid_strict_sql(s: str) -> str:
+    """DuckDB twin of Spark's ``try_parse_json({s}) IS NOT NULL`` guard.
+
+    DuckDB's ``json_valid`` accepts two shapes Spark's parser rejects
+    (r05 BACKLOG residuals, now gated per r05 VERDICT next-round #4):
+
+    * **top-level duplicate-key objects** (``{"k":1,"k":2}``) —
+      detected via ``json_keys`` (which preserves duplicates) vs its
+      ``list_distinct``;
+    * **bare non-standard number literals** (``nan`` / ``inf`` /
+      ``Infinity``, any case/sign) — detected by regex.
+
+    Documented residual boundary (NOT covered, same as before):
+    duplicate keys in *nested* objects (the corpora's props are flat),
+    and the reverse-direction shapes Spark alone accepts (trailing
+    garbage ``{"k":1} x``) — no DuckDB predicate can admit those
+    without a lenient re-parser.
+    """
+    # ORDER-INDEPENDENT: DuckDB's optimizer reorders AND conjuncts by
+    # cost, so a guard that relies on short-circuit (CASE or conjunct
+    # position) can still feed invalid JSON to json_keys and throw.
+    # Null-guarding the json_keys INPUT makes every term total:
+    # json_keys(NULL) -> NULL -> the equality is NULL -> falsy.
+    g = f"(CASE WHEN json_valid({s}) THEN {s} END)"
+    return (
+        f"(json_valid({s}) "
+        f"AND NOT regexp_matches({s}, "
+        f"'^\\s*[+-]?(nan|inf(inity)?)\\s*$', 'i') "
+        f"AND len(json_keys({g})) = len(list_distinct(json_keys({g}))))"
+    )
 
 
 def int_text_sql(s: str) -> str:
     """DuckDB twin of :func:`int_text` over the SQL expression ``s``."""
     return (
         f"CASE WHEN regexp_matches({s}, '^\\s*-?[0-9]+\\s*$') "
-        f"THEN CAST({s} AS BIGINT) END"
+        f"THEN TRY_CAST({s} AS BIGINT) END"
     )

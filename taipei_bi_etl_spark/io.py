@@ -566,26 +566,27 @@ def read_unsplittable_text(
     return df.repartition(n)
 
 
-_CONTENT_KEYS: dict[tuple[str, float, int], str] = {}
+_CONTENT_KEYS: dict[tuple, str] = {}
 
 
 def content_key(path: str) -> str:
     """md5 digest of a parquet table's bytes — one file (testdata) or a
     Spark-written directory of part-files (relative paths folded in so
-    same-named parts in different subdirs cannot collide).  Memoized on
-    (path, mtime, size) so fixture-cache hits skip the re-hash — the
-    digest is the CONTENT key for /tmp fixture caches (tar shards,
-    VARIANT ingest; r04 ADVICE #3 + r05 review)."""
+    same-named parts in different subdirs cannot collide).  Memoized so
+    fixture-cache hits skip the re-hash — the digest is the CONTENT key
+    for /tmp fixture caches (tar shards, VARIANT ingest; r04 ADVICE #3
+    + r05 review).
+
+    Memo key (r05 ADVICE #3): for a FILE, (path, mtime, size); for a
+    DIRECTORY, the sorted tuple of every contained file's
+    (relpath, mtime, size) — a directory's own stat does not change
+    when a part-file is rewritten in place (and its st_size is
+    meaningless as a content proxy), so keying on the directory stat
+    could serve a stale digest within a process."""
     import hashlib
     import pathlib as _pl
 
     p = _pl.Path(path)
-    st = p.stat()
-    memo = (str(p.resolve()), st.st_mtime, st.st_size)
-    hit = _CONTENT_KEYS.get(memo)
-    if hit is not None:
-        return hit
-    h = hashlib.md5()
     files = (
         sorted(
             f for f in p.rglob("*")
@@ -594,6 +595,18 @@ def content_key(path: str) -> str:
         if p.is_dir()
         else [p]
     )
+    if p.is_dir():
+        memo = (str(p.resolve()),) + tuple(
+            (str(f.relative_to(p)), f.stat().st_mtime, f.stat().st_size)
+            for f in files
+        )
+    else:
+        st = p.stat()
+        memo = (str(p.resolve()), st.st_mtime, st.st_size)
+    hit = _CONTENT_KEYS.get(memo)
+    if hit is not None:
+        return hit
+    h = hashlib.md5()
     for f in files:
         h.update(str(f.relative_to(p) if p.is_dir() else f.name).encode())
         with open(f, "rb") as fh:

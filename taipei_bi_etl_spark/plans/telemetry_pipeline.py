@@ -469,12 +469,35 @@ def unnest_events_full(pings: DataFrame) -> DataFrame:
     )
 
 
+#: The pre-cascade surface: every column the D4 cascade + fan-out +
+#: downstream RFE/cohort consumers read.  This is also the schema of
+#: the materialized flat-events fixture (queries/mango_materialized.py)
+#: — the production DAG materializes mango_events_unnested the same way
+#: (plans/mango_dag.py, mirroring reference tasks/bigquery.py:416-461).
+FLAT_SURFACE_COLS = [
+    "client_id", "submission_timestamp", "submission_date", "os",
+    "country", "settings_search_engine", "event_timestamp",
+    "event_method", "event_object", "event_value", "extra_key",
+    "extra_value", "event_vertical", "session_time", "url_counts",
+    "app_link_install", "app_link_open", "show_keyboard",
+]
+
+
 def map_features_full(unnested: DataFrame) -> DataFrame:
     """mango_events_feature_mapping at full reference column surface
     (sql/mango_events_feature_mapping.sql:1-106): kv session metrics
     pulled from event_extra, outer lateral extra flatten, D4 cascade,
     3-way Feature/Vertical/App fan-out — every output column the RFE
     session and cohort tasks consume."""
+    return mapped_fanout_from(flat_events_full(unnested))
+
+
+def flat_events_full(unnested: DataFrame) -> DataFrame:
+    """The PRE-CASCADE half of :func:`map_features_full`: kv session
+    metrics + outer-lateral extra flatten, projected to exactly
+    ``FLAT_SURFACE_COLS``.  Split out (r05 VERDICT #3) so the surface
+    can be materialized once (content-keyed fixture / DAG table) and
+    the cascade + fan-out timed over the materialized rows."""
     enriched = unnested.select(
         "*",
         F.coalesce(kv_get("event_extra", "vertical"), F.lit("")).alias(
@@ -516,6 +539,13 @@ def map_features_full(unnested: DataFrame) -> DataFrame:
             "extra_value"
         ),
     )
+    return flat.select(*FLAT_SURFACE_COLS)
+
+
+def mapped_fanout_from(flat: DataFrame) -> DataFrame:
+    """The CASCADE half of :func:`map_features_full`: D4 rule cascade +
+    3-way Feature/Vertical/App fan-out over a ``FLAT_SURFACE_COLS``
+    frame (live or materialized)."""
     mapped = feature_mapping_mapped(flat, out="map")
     fan = F.concat(
         F.transform(
@@ -535,13 +565,7 @@ def map_features_full(unnested: DataFrame) -> DataFrame:
             ),
         ),
     )
-    keep = [
-        "client_id", "submission_timestamp", "submission_date", "os",
-        "country", "settings_search_engine", "event_timestamp",
-        "event_method", "event_object", "event_value", "extra_key",
-        "extra_value", "event_vertical", "session_time", "url_counts",
-        "app_link_install", "app_link_open", "show_keyboard",
-    ]
+    keep = FLAT_SURFACE_COLS
     return (
         mapped.select(*keep, F.explode(fan).alias("f"))
         .select(

@@ -44,6 +44,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: :func:`release_tracked` directly for a zero-residue end state.
 _TRACKED: list[DataFrame] = []
 
+#: (name, thread_ident) of the registry query currently holding the
+#: persist-instrumentation window; None when closed (r05 ADVICE #5).
+_ACTIVE_QUERY: tuple[str, int] | None = None
+
 
 def release_tracked() -> None:
     """Unpersist every DataFrame tracked from prior registry calls."""
@@ -72,7 +76,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     registry queries concurrently from multiple driver threads can
     untrack a sibling's persists or release frames it has not consumed
     (recompute, or a checkpoint-block loss).  Every harness in this
-    repo (driver sim, bench, sweeps, stress, pytest) is sequential."""
+    repo (driver sim, bench, sweeps, stress, pytest) is sequential.
+    The contract is ENFORCED at runtime (r05 ADVICE #5): a nested or
+    concurrent registry invocation while the instrumentation window is
+    open raises RuntimeError instead of silently cross-tracking."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
@@ -82,6 +89,25 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            import threading
+
+            global _ACTIVE_QUERY
+            if _ACTIVE_QUERY is not None:
+                raise RuntimeError(
+                    "registry cache contract violated: query "
+                    f"{name!r} invoked while {_ACTIVE_QUERY[0]!r} holds "
+                    "the persist instrumentation window (nested or "
+                    "concurrent registry call; compose queries by "
+                    "calling the RAW functions, and drive the registry "
+                    "from one thread)"
+                )
+            _ACTIVE_QUERY = (name, threading.get_ident())
+            try:
+                return _wrapped_inner(spark, sf_dir)
+            finally:
+                _ACTIVE_QUERY = None
+
+        def _wrapped_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
             release_tracked()
             # Spark 4 splits the API: pyspark.sql.DataFrame is the
             # abstract base and the classic implementation OVERRIDES
@@ -175,6 +201,7 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     graph2,
     relational9,
     retention,
+    mango_materialized,
     mango_parity,
     suffix,
     sampling,

@@ -30,10 +30,10 @@ from taipei_bi_etl_spark.queries import query
 _SCD2_ORACLE = """
 WITH src AS (
     SELECT user_id, ts, event_id,
-           CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                          AND regexp_matches(json_extract_string(props, '$.k'),
+           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                          AND regexp_matches(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),
                                              '^\s*-?[0-9]+\s*$')
-                         THEN json_extract_string(props, '$.k') END AS INT)
+                         THEN json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') END AS INT)
              AS attr_k
     FROM events
 ), src2 AS (
@@ -55,7 +55,9 @@ SELECT user_id, attr_k,
        COALESCE(CAST(epoch_us(next_ts) AS BIGINT), -1) AS valid_to_us,
        CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
 FROM changes
-"""
+""".replace(  # strict-validity gate: dup-key / bare-nan shapes (r06)
+    "json_valid(props)", FN.json_valid_strict_sql("props")
+)
 
 
 @query("scd2_dimension_build", oracle=_SCD2_ORACLE, tags=("ext", "scd2", "J10", "K2"))
@@ -90,7 +92,7 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.try_parse_json("props").isNotNull(),
                 F.get_json_object("props", "$.k"),
             )
-        ).cast("int").alias("attr_k"),
+        ).try_cast("int").alias("attr_k"),
     ).filter(  # only attribute-carrying events update the dimension
         F.col("attr_k").isNotNull()
     )
@@ -253,10 +255,10 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIT_ORACLE = """
 WITH src AS (
     SELECT user_id, ts, event_id,
-           CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                          AND regexp_matches(json_extract_string(props, '$.k'),
+           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                          AND regexp_matches(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),
                                              '^\s*-?[0-9]+\s*$')
-                         THEN json_extract_string(props, '$.k') END AS INT)
+                         THEN json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') END AS INT)
              AS attr_k
     FROM events
 ), src2 AS (
@@ -282,7 +284,9 @@ SELECT p.purchase_id, p.user_id,
 FROM p LEFT JOIN iv
   ON p.user_id = iv.user_id
  AND p.ts >= iv.f AND (iv.t IS NULL OR p.ts < iv.t)
-"""
+""".replace(  # strict-validity gate: dup-key / bare-nan shapes (r06)
+    "json_valid(props)", FN.json_valid_strict_sql("props")
+)
 
 
 @query(
@@ -324,7 +328,7 @@ def pit_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.try_parse_json("props").isNotNull(),
                 F.get_json_object("props", "$.k"),
             )
-        ).cast("int").alias("attr_k"),
+        ).try_cast("int").alias("attr_k"),
     ).filter(  # only attribute-carrying events update the dimension
         F.col("attr_k").isNotNull()
     )
@@ -349,7 +353,7 @@ def pit_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.lit(None).cast("int").alias("attr_k"),
+        F.lit(None).try_cast("int").alias("attr_k"),
         F.lit(1).alias("is_probe"),
         F.col("event_id").alias("purchase_id"),
     )

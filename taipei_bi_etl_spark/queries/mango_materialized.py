@@ -1,0 +1,117 @@
+"""Materialized pre-cascade mango surface (r05 VERDICT next-round #3).
+
+`mango_feature_surface_rollup` — 26% of the headline bench — re-derives
+the ping parse → unnest → cleanup → kv-metric → extra-flatten chain on
+every run, even though the production DAG already materializes exactly
+that intermediate as a table (``plans/mango_dag.py`` writes
+``mango_events_unnested``, mirroring reference
+``tasks/bigquery.py:416-461``: the reference, too, persists the
+unnested events table and lets every downstream consumer read it).
+
+This module applies the ``variant_ingest.py`` precedent: the
+``FLAT_SURFACE_COLS`` frame (everything BEFORE the D4 cascade) is
+written once to a content-keyed parquet fixture under /tmp, and
+`mango_feature_surface_materialized` runs cascade + fan-out + rollup
+over the materialized rows — the warehouse shape where the flat events
+table exists as a daily-partitioned table and N downstream queries
+read it.  Hash-checked against the SAME oracle as the live-chain form,
+so the two entries are proven row-identical.
+
+At 100 TB: the flat surface is written once per day-partition at
+ingest; every downstream consumer (this rollup, RFE sessions, cohort
+tables) then starts from a columnar scan with pruning instead of
+re-running the parse chain — the same N-consumers argument as the
+VARIANT ingest, one level higher in the DAG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark.queries.mango_parity import _SURFACE_ORACLE
+
+
+def _flat_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per source-content digest) the pre-cascade
+    flat events surface; return the table path.  Same discipline as
+    ``variant_ingest._variant_events_dir``: md5 of the SOURCE PARQUET
+    BYTES keys the cache, build-into-temp + atomic rename publishes,
+    so doctored corpora (hostile / scale sweeps) get their own builds."""
+    from taipei_bi_etl_spark.io import content_key
+    from taipei_bi_etl_spark.plans.telemetry_pipeline import (
+        flat_events_full,
+        synthesize_full_pings,
+        unnest_events_full,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{content_key(src)}:flat_v1".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"taipei_mango_flat_{key}")
+    if os.path.isdir(out):
+        return out
+    flat = flat_events_full(
+        unnest_events_full(synthesize_full_pings(spark, sf_dir))
+    )
+    build = tempfile.mkdtemp(prefix=f"taipei_mango_flat_build_{key}_")
+    data = os.path.join(build, "data")
+    flat.write.mode("overwrite").parquet(data)
+    try:
+        os.rename(data, out)
+    except OSError:
+        # lost publish race is benign (the winner's fixture is
+        # byte-equivalent); anything else must surface here
+        if not os.path.isdir(out):
+            raise
+    finally:
+        import shutil
+
+        shutil.rmtree(build, ignore_errors=True)
+    return out
+
+
+def read_mango_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized pre-cascade surface (``FLAT_SURFACE_COLS``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(_flat_events_dir(spark, sf_dir))
+
+
+@query(
+    "mango_feature_surface_materialized",
+    oracle=_SURFACE_ORACLE,
+    tags=("mango", "D4", "U1", "extension", "scale-path"),
+)
+def mango_feature_surface_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`mango_feature_surface_rollup` fed from the MATERIALIZED flat
+    events table: D4 cascade + 3-way fan-out + daily rollup over a
+    columnar scan of the pre-computed surface (same oracle text as the
+    live-chain form — row-identical, the parse chain is amortized into
+    the ingest write exactly as the production DAG and the reference
+    both do for mango_events_unnested)."""
+    from taipei_bi_etl_spark.plans.telemetry_pipeline import (
+        mapped_fanout_from,
+    )
+
+    fm = mapped_fanout_from(read_mango_flat(spark, sf_dir))
+    return fm.groupBy("submission_date", "feature_type", "feature_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("client_id").alias("n_clients"),
+        *[
+            F.coalesce(F.sum(c), F.lit(-1))
+            .cast("long")
+            .alias(f"sum_{c}")
+            for c in (
+                "session_time", "url_counts", "app_link_install",
+                "app_link_open", "show_keyboard",
+            )
+        ],
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import udtf
 
+from taipei_bi_etl_spark import functions as FN
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
 
@@ -201,8 +202,8 @@ _VARIANT_ORACLE = """
 WITH g AS (
   SELECT event_type,
          CASE WHEN props IS NOT NULL AND json_valid(props)
-                   AND regexp_matches(props->>'k', '^\s*-?[0-9]+\s*$')
-              THEN CAST(props->>'k' AS BIGINT) END AS k
+                   AND regexp_matches((CASE WHEN json_valid(props) THEN props END)->>'k', '^\s*-?[0-9]+\s*$')
+              THEN TRY_CAST((CASE WHEN json_valid(props) THEN props END)->>'k' AS BIGINT) END AS k
   FROM events WHERE event_type IS NOT NULL
 )
 SELECT event_type,
@@ -210,7 +211,9 @@ SELECT event_type,
        CAST(COUNT(*) FILTER (WHERE k > 50) AS BIGINT) AS n_high,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM g GROUP BY event_type
-"""
+""".replace(  # strict-validity gate: dup-key / bare-nan shapes (r06)
+    "json_valid(props)", FN.json_valid_strict_sql("props")
+)
 
 
 @query(

@@ -81,8 +81,12 @@ WITH docs AS (
            AS nq
   FROM w GROUP BY 1
 ), wn AS (
+  -- nq > 0 (r05 ADVICE #4): a doc whose every term has df = n_docs
+  -- gets all-zero weights -> 0/0 = NaN in Spark (then ANSI floor/cast
+  -- aborts) vs DuckDB's own NaN semantics; zero-norm docs carry no
+  -- cosine signal, exclude them identically in both engines.
   SELECT w.doc_id, w.term, w.w / {_NORM_SQL} AS wn
-  FROM w JOIN nq USING (doc_id)
+  FROM w JOIN nq USING (doc_id) WHERE nq > 0
 ), pair AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(SUM(CAST(FLOOR(a.wn * b.wn * 1000000000000.0) AS BIGINT))
@@ -151,7 +155,7 @@ def tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both join sides read wn: persist so toks→tf→df→w→nq computes once
     # (the registry cache contract releases it on the next invocation)
     wn = (
-        w.join(nq, "doc_id")
+        w.join(nq.filter(F.col("nq") > 0), "doc_id")  # see oracle note
         .select(
             "doc_id", "term", (F.col("w") / F.expr(_NORM_SQL)).alias("wn")
         )

@@ -323,18 +323,20 @@ def active_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KV_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+       CAST(SUM(CASE WHEN regexp_matches(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),
                               '^\s*-?[0-9]+\s*$')
-                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      THEN TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)
                  END) AS BIGINT) AS sum_k,
-       CAST(MAX(CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+       CAST(MAX(CASE WHEN regexp_matches(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),
                               '^\s*-?[0-9]+\s*$')
-                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      THEN TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)
                  END) AS BIGINT) AS max_k
 FROM events
 WHERE event_type IS NOT NULL AND props IS NOT NULL AND json_valid(props)
 GROUP BY event_type
-"""
+""".replace(  # strict-validity gate: dup-key / bare-nan shapes (r06)
+    "json_valid(props)", FN.json_valid_strict_sql("props")
+)
 
 
 @query("json_kv_extract", oracle=_KV_ORACLE, tags=("A6", "F18", "A2"))
@@ -344,11 +346,12 @@ def json_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parseable-JSON precondition, mirrored as closely as the engines
     # allow: the Spark guard is get_json_object('$') AND try_parse_json
     # both non-NULL (rejects NULL/empty/malformed/single-quoted), the
-    # DuckDB twin is json_valid.  MEASURED residual divergence — no
-    # Spark built-in is RFC-strict: Spark still accepts trailing
-    # garbage ('{"k":1} x') and extra closing braces, and DuckDB alone
-    # accepts bare 'NaN'; those JSON-ish shapes are a documented
-    # cross-engine boundary (BACKLOG), not covered by the gate.
+    # DuckDB twin is functions.json_valid_strict_sql (r06): json_valid
+    # MINUS the two shapes DuckDB alone accepts — top-level dup-key
+    # objects and bare nan/inf — both now in the hostile battery.
+    # Residual boundary: shapes Spark ALONE accepts (trailing garbage
+    # '{"k":1} x', extra closing braces) stay documented-not-gated; no
+    # DuckDB predicate can re-admit them without a lenient re-parser.
     # Non-numeric k values are valid JSON → NULL via try_cast BOTH sides.
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()

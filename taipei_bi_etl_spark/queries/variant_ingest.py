@@ -98,18 +98,20 @@ def read_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KV_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+       CAST(SUM(CASE WHEN regexp_matches(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),
                               '^\s*-?[0-9]+\s*$')
-                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      THEN TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)
                  END) AS BIGINT) AS sum_k,
-       CAST(MAX(CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+       CAST(MAX(CASE WHEN regexp_matches(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),
                               '^\s*-?[0-9]+\s*$')
-                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      THEN TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)
                  END) AS BIGINT) AS max_k
 FROM events
 WHERE event_type IS NOT NULL AND props IS NOT NULL AND json_valid(props)
 GROUP BY event_type
-"""
+""".replace(  # strict-validity gate: dup-key / bare-nan shapes (r06)
+    "json_valid(props)", FN.json_valid_strict_sql("props")
+)
 
 
 @query(
@@ -139,10 +141,10 @@ def variant_ingest_kv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_V_ORACLE = """
 WITH src AS (
     SELECT user_id, ts, event_id,
-           CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                          AND regexp_matches(json_extract_string(props, '$.k'),
+           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                          AND regexp_matches(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),
                                              '^\s*-?[0-9]+\s*$')
-                         THEN json_extract_string(props, '$.k') END AS INT)
+                         THEN json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') END AS INT)
              AS attr_k
     FROM events
 ), src2 AS (
@@ -165,7 +167,9 @@ SELECT user_id,
        CAST(COALESCE(epoch_us(next_ts), -1) AS BIGINT) AS valid_to_us,
        CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
 FROM changes
-"""
+""".replace(  # strict-validity gate: dup-key / bare-nan shapes (r06)
+    "json_valid(props)", FN.json_valid_strict_sql("props")
+)
 
 
 @query(
@@ -185,7 +189,7 @@ def variant_ingest_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         FN.int_text(F.try_variant_get("props_v", "$.k", "string"))
-        .cast("int")
+        .try_cast("int")
         .alias("attr_k"),
     ).filter(F.col("attr_k").isNotNull())
     marked = src.withColumn(

@@ -62,3 +62,22 @@ def test_wrapper_tracks_persists_and_next_call_releases(spark):
     REGISTRY["pricing_summary"].fn(spark, SF_DIR).count()
     assert all(df not in _TRACKED for df in first)
     release_tracked()
+
+
+def test_nested_registry_invocation_fails_loudly(spark):
+    """r05 ADVICE #5: a registry query invoked while another holds the
+    instrumentation window must raise, not silently cross-track."""
+    import pytest
+
+    from taipei_bi_etl_spark import queries as Q
+
+    assert Q._ACTIVE_QUERY is None
+    Q._ACTIVE_QUERY = ("outer_query", 0)
+    try:
+        with pytest.raises(RuntimeError, match="cache contract violated"):
+            Q.REGISTRY["dedup_exact"].fn(spark, SF_DIR)
+    finally:
+        Q._ACTIVE_QUERY = None
+    # window closed again: normal invocation works
+    assert Q.REGISTRY["dedup_exact"].fn(spark, SF_DIR).count() >= 0
+    assert Q._ACTIVE_QUERY is None

@@ -449,3 +449,32 @@ def test_cached_extract_rejects_remote_schemes(spark):
                 "file:///tmp/cache"):
         with pytest.raises(ValueError, match="bare local filesystem"):
             cached_extract(spark, bad, lambda: None)
+
+
+def test_content_key_sees_inplace_partfile_rewrite(tmp_path):
+    """r05 ADVICE #3: rewriting a file INSIDE a directory does not
+    change the directory's own stat, so a (dir mtime, dir size) memo
+    key served a stale digest within a process.  The memo must key on
+    the contained files' stats."""
+    import os
+    import time
+
+    from taipei_bi_etl_spark.io import content_key
+
+    d = tmp_path / "table"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    part.write_bytes(b"AAAA")
+    dir_stat_before = os.stat(d)
+    k1 = content_key(str(d))
+    assert content_key(str(d)) == k1  # memo hit, same content
+    # rewrite the part IN PLACE, same size, directory stat preserved
+    time.sleep(0.01)
+    part.write_bytes(b"BBBB")
+    os.utime(d, (dir_stat_before.st_atime, dir_stat_before.st_mtime))
+    k2 = content_key(str(d))
+    assert k2 != k1
+    # file-path branch still memoizes on (path, mtime, size)
+    f = tmp_path / "single.parquet"
+    f.write_bytes(b"CCCC")
+    assert content_key(str(f)) == content_key(str(f))

@@ -609,5 +609,25 @@ def test_ngram_size_frame_joins_carry_no_hint(spark):
         "curation_end_to_end",
     ):
         df = REGISTRY[name].fn(spark, SF_DIR)
-        optimized = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "ResolvedHint" not in optimized, name
+        # r05 ADVICE #2: ResolvedHint is ELIMINATED before the
+        # optimized plan (the check was vacuous) — a surviving forced
+        # broadcast shows up as `strategy=broadcast` in the Join node's
+        # hint field of the optimized plan, and as a ResolvedHint node
+        # in the ANALYZED plan.  Assert on both representations.
+        qe = df._jdf.queryExecution()
+        assert "ResolvedHint" not in qe.analyzed().toString(), name
+        assert "strategy=broadcast" not in qe.optimizedPlan().toString(), name
+
+
+def test_hint_detectors_are_not_vacuous(spark):
+    """Positive control for the assertions above: a deliberately hinted
+    join MUST trip both detectors (r05 ADVICE #2 found the previous
+    optimized-plan ResolvedHint check passed even with F.broadcast
+    re-added, because ResolvedHint is eliminated before optimization)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k")
+    qe = a.join(F.broadcast(b), "k")._jdf.queryExecution()
+    assert "ResolvedHint" in qe.analyzed().toString()
+    assert "strategy=broadcast" in qe.optimizedPlan().toString()

@@ -132,14 +132,23 @@ def _hostile_events(out: str) -> None:
         # and decimal k are NULL in BOTH engines (a typed variant get
         # would coerce true->1 / truncate 1.5, and DuckDB TRY_CAST of
         # '1.5' ROUNDS to 2 where Spark try_cast yields NULL); a
-        # negative integral k passes in both.  NOT in this battery,
-        # documented residual INCLUSION divergences instead (same class
-        # as trailing garbage / bare NaN, recorded in BACKLOG): Spark's
-        # try_parse_json rejects duplicate-key JSON and bare lowercase
-        # 'nan' that DuckDB json_valid accepts.
+        # negative integral k passes in both.
         (14, "click", 7.5, '{"k": true}'),
         (14, "click", 8.5, '{"k": 1.5}'),
         (13, "click", 9.5, '{"k": -3}'),
+        # r06 (VERDICT next-round #4): the formerly-documented-only
+        # validity divergences are now GATED — DuckDB oracles use
+        # functions.json_valid_strict_sql, which rejects top-level
+        # duplicate-key objects and bare nan/inf exactly like Spark's
+        # try_parse_json — so both shapes live in the battery.
+        (14, "click", 10.5, '{"k": 1, "k": 2}'),
+        (13, "click", 11.5, "nan"),
+        # r06 (ADVICE medium): integral-text overflow — digits pass the
+        # regex but exceed BIGINT (both engines: try_cast -> NULL, no
+        # ANSI crash) / fit BIGINT but exceed INT (BIGINT paths keep
+        # the value, INT paths NULL it in both engines).
+        (14, "click", 12.5, '{"k": "99999999999999999999"}'),
+        (13, "click", 13.5, '{"k": "9999999999"}'),
     ]
     extra = pa.table(
         {
