@@ -218,4 +218,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     variant_ingest,
     sparse_sim,
     cdc,
+    fingerprint,
 )

@@ -1,0 +1,494 @@
+"""Perceptual fingerprints over REAL decoded media (r05 VERDICT #5/#6).
+
+Closes the missing modalities in the dedup family: text (exact /
+n-gram / MinHash / SimHash ✓), embeddings (✓), token blocks (✓) — and
+now IMAGES via dHash near-dup and AUDIO via spectral-landmark
+fingerprints (`multimodal_audio_fingerprint` below).
+
+`multimodal_phash_dedup` — the image near-dup operator a multimodal
+training-data pipeline runs before CLIP-style training:
+
+* media synthesis writes REAL P6 PPM bytes (id-dependent gradient so
+  distinct images are perceptually distinct — the plain translate
+  lattice of `multimodal.synthesize_real_media` makes every image a
+  near-dup of every other, measured 61 504/179 700 pairs within
+  radius 7); a deterministic "noisy copy" (+16 on a sparse pixel
+  mask) is planted for every DUP_MOD-th image;
+* decode + dHash run in ONE Arrow batch pass (`mapInPandas`): parse
+  the PPM header/buffer, area-downsample to an 8×9 block-mean grid
+  (integer block sums, cross-multiplied mean comparisons — no
+  division, no floats), emit 8 row-bytes (64-bit dHash as 8 × 8-bit
+  bands);
+* candidate pairs come from a PIGEONHOLE-COMPLETE band join (same
+  discipline as `dedup_simhash`, queries/dedup.py:360): Hamming ≤ 7
+  over 8 bands ⇒ at least one band matches exactly, so the band join
+  provably finds every pair the all-pairs oracle finds;
+* the DuckDB oracle never sees the bytes: it recomputes the block
+  grid from the generating formula (pure integer arithmetic), builds
+  the same row-bytes, and takes ALL pairs with bit_count(xor) ≤ 7 —
+  a match certifies encode → bytes → decode → hash → join end to end.
+
+100 TB design: the decode+hash pass is embarrassingly parallel (one
+narrow 9-column row out per image — bytes never leave the scan task);
+the band self-join shuffles 8 rows per image on (band, value) and
+candidate volume is bounded by bucket occupancy, never |corpus|²
+(measured on the synthetic corpus: 12 415 band-sharing pairs of
+179 700 possible at n=600).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from taipei_bi_etl_spark.queries import query
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: every DUP_MOD-th image gets a planted noisy copy at id + COPY_OFFSET
+PHASH_DUP_MOD = 10
+PHASH_COPY_OFFSET = 10_000_000
+PHASH_RADIUS = 7  # ≤ 7 over 8 bands: pigeonhole-complete band join
+
+#: per-channel pixel value — the SINGLE source of truth, transcribed
+#: identically in the numpy encoder and the SQL oracle below.
+#:   v(c,x,y,s) = (3x(1+s%5) + 5y(1+s%7) + 7c + s + 16((x(1+s%11)+y)%13)) % 256
+#: noisy copy: each channel (v+16) % 256 where (x+y) % 37 == 0.
+
+
+def _phash_pixels_sql(noisy: str) -> str:
+    """Channel-summed gray value at (x, y) for seed ``s`` — ``noisy``
+    is a SQL boolean expr selecting the planted-copy perturbation."""
+    chans = []
+    for c in (0, 1, 2):
+        v = (
+            f"((3*x*(1 + s%5) + 5*y*(1 + s%7) + {7 * c} + s"
+            f" + 16*((x*(1 + s%11) + y) % 13)) % 256)"
+        )
+        chans.append(
+            f"CASE WHEN {noisy} AND (x + y) % 37 = 0 "
+            f"THEN ({v} + 16) % 256 ELSE {v} END"
+        )
+    return " + ".join(chans)
+
+
+_PHASH_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id AS s, FALSE AS noisy FROM documents
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + {PHASH_COPY_OFFSET}, doc_id, TRUE FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % {PHASH_DUP_MOD} = 0
+), px AS (
+  SELECT media_id,
+         (x.x * 9) // (16 + s % 17) AS gx,
+         (y.y * 8) // (12 + s % 13) AS gy,
+         {_phash_pixels_sql("noisy")} AS gray
+  FROM ids,
+       LATERAL (SELECT UNNEST(range(0, 16 + s % 17)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, 12 + s % 13)) AS y) y
+), blocks AS (
+  SELECT media_id, gy, gx,
+         CAST(SUM(gray) AS BIGINT) AS bs,
+         CAST(COUNT(*) AS BIGINT) AS bn
+  FROM px GROUP BY 1, 2, 3
+), bits AS (
+  -- cross-multiplied mean comparison: mean(gx) > mean(gx+1)
+  SELECT a.media_id, a.gy, a.gx,
+         CASE WHEN a.bs * b.bn > b.bs * a.bn THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks b
+    ON b.media_id = a.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+  WHERE a.gx < 8
+), rows_ AS (
+  SELECT media_id, gy,
+         CAST(SUM(bit << CAST(gx AS INT)) AS BIGINT) AS rb
+  FROM bits GROUP BY 1, 2
+), hashes AS (
+  SELECT media_id,
+         MAX(CASE WHEN gy = 0 THEN rb END) AS r0,
+         MAX(CASE WHEN gy = 1 THEN rb END) AS r1,
+         MAX(CASE WHEN gy = 2 THEN rb END) AS r2,
+         MAX(CASE WHEN gy = 3 THEN rb END) AS r3,
+         MAX(CASE WHEN gy = 4 THEN rb END) AS r4,
+         MAX(CASE WHEN gy = 5 THEN rb END) AS r5,
+         MAX(CASE WHEN gy = 6 THEN rb END) AS r6,
+         MAX(CASE WHEN gy = 7 THEN rb END) AS r7
+  FROM rows_ GROUP BY 1
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.r0, b.r0)) + bit_count(xor(a.r1, b.r1))
+          + bit_count(xor(a.r2, b.r2)) + bit_count(xor(a.r3, b.r3))
+          + bit_count(xor(a.r4, b.r4)) + bit_count(xor(a.r5, b.r5))
+          + bit_count(xor(a.r6, b.r6)) + bit_count(xor(a.r7, b.r7))
+            AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.r0, b.r0)) + bit_count(xor(a.r1, b.r1))
+    + bit_count(xor(a.r2, b.r2)) + bit_count(xor(a.r3, b.r3))
+    + bit_count(xor(a.r4, b.r4)) + bit_count(xor(a.r5, b.r5))
+    + bit_count(xor(a.r6, b.r6)) + bit_count(xor(a.r7, b.r7))
+   <= {PHASH_RADIUS}
+"""
+
+
+def phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL P6 PPM payloads for the phash corpus: id-dependent gradient
+    images for every even doc_id, plus a planted noisy copy for every
+    ``PHASH_DUP_MOD``-th one.  Distributed, Arrow-batched, numpy."""
+    from taipei_bi_etl_spark.io import read_table
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    dup_mod, offset = PHASH_DUP_MOD, PHASH_COPY_OFFSET
+
+    # SELF-CONTAINED closure (SKILL gotcha: workers cannot import the
+    # package when the driver runs from a foreign cwd).
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def ppm_for(s: int, noisy: bool) -> bytes:
+            w, h = 16 + s % 17, 12 + s % 13
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            pix = (
+                3 * x * (1 + s % 5) + 5 * y * (1 + s % 7) + 7 * c + s
+                + 16 * ((x * (1 + s % 11) + y) % 13)
+            ) % 256
+            if noisy:
+                mask = (
+                    (np.arange(w)[None, :] + np.arange(h)[:, None]) % 37 == 0
+                )
+                pix = np.where(mask[:, :, None], (pix + 16) % 256, pix)
+            return (
+                f"P6\n{w} {h}\n255\n".encode()
+                + pix.astype(np.uint8).tobytes()
+            )
+
+        for pdf in batches:
+            mids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                mids.append(i)
+                payloads.append(ppm_for(i, False))
+                if i % dup_mod == 0:
+                    mids.append(i + offset)
+                    payloads.append(ppm_for(i, True))
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def phash_hashes(media: DataFrame) -> DataFrame:
+    """Decode PPM bytes → 8×9 block-mean grid → dHash row-bytes, one
+    Arrow pass; output is one narrow 9-column row per image."""
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(f"r{j}", T.LongType()) for j in range(8)]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def dhash(payload: bytes):
+            if not bytes(payload).startswith(b"P6"):
+                raise ValueError("not a P6 PPM")
+            parts = bytes(payload).split(b"\n", 3)
+            w, h = (int(v) for v in parts[1].split())
+            pix = np.frombuffer(
+                parts[3][: w * h * 3], dtype=np.uint8
+            ).reshape(h, w, 3)
+            gray = pix.sum(axis=2, dtype=np.int64)
+            gx = (np.arange(w) * 9) // w
+            gy = (np.arange(h) * 8) // h
+            S = np.zeros((8, 9), dtype=np.int64)
+            N = np.zeros((8, 9), dtype=np.int64)
+            np.add.at(S, (gy[:, None].repeat(w, 1), gx[None, :].repeat(h, 0)), gray)
+            np.add.at(N, (gy[:, None].repeat(w, 1), gx[None, :].repeat(h, 0)), 1)
+            out = []
+            for r in range(8):
+                b = 0
+                for g in range(8):
+                    # integer cross-multiplied mean comparison — exact,
+                    # transcribed identically in the oracle's bits CTE
+                    if S[r, g] * N[r, g + 1] > S[r, g + 1] * N[r, g]:
+                        b |= 1 << g
+                out.append(b)
+            return out
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows.append([int(mid)] + dhash(payload))
+            yield pd.DataFrame(
+                rows, columns=["media_id"] + [f"r{j}" for j in range(8)]
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=_PHASH_ORACLE,
+    tags=("multimodal", "dedup", "extension"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs under dHash Hamming ≤ {PHASH_RADIUS}, via a
+    pigeonhole-complete band self-join over REAL decoded PPM bytes
+    (module docstring has the full design + measured selectivity).
+
+    Precondition: doc_id ≥ 0 (generator contract — the %-arithmetic
+    sign convention differs between numpy and SQL on negatives)."""
+    hashes = phash_hashes(phash_media(spark, sf_dir)).persist()
+    bands = hashes.select(
+        "media_id",
+        *[f"r{j}" for j in range(8)],
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"), F.col(f"r{j}").alias("val")
+                )
+                for j in range(8)
+            ])
+        ).alias("bd"),
+    ).select(
+        "media_id", *[f"r{j}" for j in range(8)],
+        F.col("bd.band").alias("band"), F.col("bd.val").alias("val"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_a"), "band", "val",
+        *[F.col(f"r{j}").alias(f"a{j}") for j in range(8)],
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), "band", "val",
+        *[F.col(f"r{j}").alias(f"b{j}") for j in range(8)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        for j in range(8)
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select(
+            "media_a", "media_b", hamming.cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= PHASH_RADIUS)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (r05 VERDICT #6): spectral-peak landmarks → hashed
+# (bin_t, bin_t+1) pairs → exact-match join — the Shazam-shaped
+# operator for near-dup audio in a multimodal corpus.
+# ---------------------------------------------------------------------------
+
+AF_FRAMES = 16          # frames per track
+AF_FRAME_LEN = 256      # samples per frame → rfft bins 0..128
+AF_SR = 8000
+AF_AMP = 9000
+AF_COPY_OFFSET = 20_000_000
+AF_DUP_MOD = 10         # doc_id % 10 == 5 (odd multiples of 5) get a copy
+AF_MATCH_MIN = 10       # landmark matches ≥ 10 ⇒ duplicate pair
+AF_MIX_MOD = 999983     # large prime ≫ max doc_id: no seed aliasing
+
+#: frame k of seed s is a pure sine EXACTLY on rfft bin
+#:   b(s,k) = 5 + ((37s² + 13k² + 31ks + k³) % AF_MIX_MOD) % 100
+#: (periodic over the frame ⇒ the FFT magnitude peak is exactly at b —
+#: int16 rounding sidelobes are orders of magnitude below the peak;
+#: verified numerically incl. the 0.8-amplitude copies).  The planted
+#: copy detunes ONLY frame k=3 by +1 bin (an "edited re-encode"),
+#: losing 2 of the 15 landmarks → 13 matches vs threshold 10; measured
+#: natural coincidence tail at n=1000 tracks: 3 pairs ≥ 10, max 13.
+
+_AF_BIN_SQL = (
+    "5 + ((37*s*s + 13*k*k + 31*k*s + k*k*k) % {mod}) % 100"
+    " + CASE WHEN noisy AND k = 3 THEN 1 ELSE 0 END"
+).format(mod=AF_MIX_MOD)
+
+_AF_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id AS s, FALSE AS noisy FROM documents
+  WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {AF_COPY_OFFSET}, doc_id, TRUE FROM documents
+  WHERE doc_id % {AF_DUP_MOD} = 5
+), frames AS (
+  SELECT media_id, k.k, {_AF_BIN_SQL} AS bin
+  FROM ids, LATERAL (SELECT UNNEST(range(0, {AF_FRAMES})) AS k) k
+), lm AS (
+  SELECT DISTINCT media_id, bin AS b1,
+         LEAD(bin) OVER (PARTITION BY media_id ORDER BY k) AS b2
+  FROM frames
+  QUALIFY b2 IS NOT NULL
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM lm a JOIN lm b ON a.b1 = b.b1 AND a.b2 = b.b2
+                   AND a.media_id < b.media_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {AF_MATCH_MIN}
+"""
+
+
+def audio_fingerprint_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE PCM16 payloads: 16-frame multi-tone tracks for
+    every odd doc_id, plus a detuned 0.8-amplitude copy for every
+    ``AF_DUP_MOD``-th one."""
+    from taipei_bi_etl_spark.io import read_table
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    nf, fl, sr, amp = AF_FRAMES, AF_FRAME_LEN, AF_SR, AF_AMP
+    offset, mixmod = AF_COPY_OFFSET, AF_MIX_MOD
+
+    # SELF-CONTAINED closure (foreign-cwd driver: workers cannot
+    # import the package).
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def wav_for(s: int, noisy: bool) -> bytes:
+            a = int(amp * 0.8) if noisy else amp
+            frames = []
+            for k in range(nf):
+                b = 5 + ((37 * s * s + 13 * k * k + 31 * k * s + k**3) % mixmod) % 100
+                if noisy and k == 3:
+                    b += 1
+                t = np.arange(fl)
+                frames.append(
+                    np.round(a * np.sin(2 * np.pi * b * t / fl)).astype("<i2")
+                )
+            data = np.concatenate(frames).tobytes()
+            hdr = struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+                1, 1, sr, sr * 2, 2, 16, b"data", len(data),
+            )
+            return hdr + data
+
+        for pdf in batches:
+            mids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                mids.append(i)
+                payloads.append(wav_for(i, False))
+                if i % AF_DUP_MOD == 5:
+                    mids.append(i + offset)
+                    payloads.append(wav_for(i, True))
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def audio_peak_bins(media: DataFrame) -> DataFrame:
+    """Decode WAV bytes → per-frame rfft argmax bin, one Arrow pass."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("bin", T.IntegerType(), False),
+        ]
+    )
+    nf, fl = AF_FRAMES, AF_FRAME_LEN
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def peaks(payload: bytes):
+            payload = bytes(payload)
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, data = 12, None
+            while pos + 8 <= len(payload):
+                cid, size = struct.unpack_from("<4sI", payload, pos)
+                if cid == b"data":
+                    data = np.frombuffer(
+                        payload[pos + 8 : pos + 8 + size], dtype="<i2"
+                    )
+                pos += 8 + size + (size & 1)
+            if data is None or len(data) != nf * fl:
+                raise ValueError("bad data chunk")
+            sig = data.astype(np.float64).reshape(nf, fl)
+            return np.abs(np.fft.rfft(sig, axis=1)).argmax(axis=1)
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for k, b in enumerate(peaks(payload)):
+                    rows.append((int(mid), k, int(b)))
+            yield pd.DataFrame(rows, columns=["media_id", "k", "bin"])
+
+    return media.mapInPandas(run, schema=schema)
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    oracle=_AF_ORACLE,
+    tags=("multimodal", "dedup", "extension"),
+)
+def multimodal_audio_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup audio pairs by spectral-landmark fingerprint: REAL WAV
+    decode → per-frame FFT peak bins → consecutive-peak landmarks →
+    exact-match equi-join → pairs with ≥ {AF_MATCH_MIN} shared
+    landmarks.  The oracle recomputes the peak bins CLOSED-FORM (the
+    synthesis puts each frame's sine exactly on an rfft bin), so a
+    hash match certifies encode → bytes → decode → FFT → join.
+
+    100 TB design: decode+FFT is map-side (one narrow row per frame);
+    the landmark join shuffles 15 rows per track on (b1, b2) — an
+    exact-match inverted index, candidates bounded by landmark-bucket
+    occupancy exactly like the text shingle index, never |corpus|².
+
+    Precondition: doc_id ≥ 0 (generator %-sign convention)."""
+    from pyspark.sql import Window as W
+
+    bins_df = audio_peak_bins(audio_fingerprint_media(spark, sf_dir))
+    w = W.partitionBy("media_id").orderBy("k")
+    lm = (
+        bins_df.select(
+            "media_id",
+            F.col("bin").alias("b1"),
+            F.lead("bin").over(w).alias("b2"),
+        )
+        .filter(F.col("b2").isNotNull())
+        .distinct()
+        .persist()
+    )
+    a = lm.select(F.col("media_id").alias("media_a"), "b1", "b2")
+    b = lm.select(F.col("media_id").alias("media_b"), "b1", "b2")
+    return (
+        a.join(b, ["b1", "b2"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") >= AF_MATCH_MIN)
+    )
