@@ -97,16 +97,40 @@ def read_tar_members(spark: SparkSession, path_glob: str) -> DataFrame:
             rows = []
             for spath, blob in zip(pdf["path"], pdf["content"]):
                 shard = os.path.basename(spath)
+                # Truncation must fail LOUDLY (hostile pass #5, r06):
+                # python tarfile treats an abruptly-ending archive as a
+                # clean stop, silently dropping every member after the
+                # cut.  Two checks make corruption an error: (a) each
+                # member's payload reads back exactly header-size
+                # bytes; (b) the archive extends past the last parsed
+                # member by the mandatory 1024-byte end-of-archive
+                # marker (every valid writer pads at least that much).
+                last_end = 0
                 with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
                     for pos, m in enumerate(tf):
+                        last_end = (
+                            m.offset_data + ((m.size + 511) // 512) * 512
+                        )
                         if not m.isfile():
                             continue
                         payload = tf.extractfile(m).read()
+                        if len(payload) != m.size:
+                            raise ValueError(
+                                f"truncated tar member {m.name!r} in "
+                                f"{shard}: {len(payload)} of {m.size} "
+                                "bytes"
+                            )
                         key, ext = split_key(m.name)
                         rows.append(
                             (shard, key, m.name, ext, pos, len(payload),
                              payload)
                         )
+                if len(blob) < last_end + 1024:
+                    raise ValueError(
+                        f"truncated tar shard {shard}: archive ends at "
+                        f"{len(blob)} bytes, expected ≥ {last_end + 1024} "
+                        "(member data + end-of-archive marker)"
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -1,0 +1,145 @@
+"""Hostile pass #5 (r05 VERDICT next-round #7): the content-keyed /tmp
+ingest fixtures are trust boundaries the corpus sweeps build but never
+doctor.  These tests doctor the fixture LAYER itself:
+
+* a truncated tar member in a published fixture must fail LOUDLY, not
+  silently drop rows;
+* a source-parquet swap must re-key (rebuild) the fixture, never serve
+  the stale one;
+* stale build dirs from killed runs and staged ``.tmp`` sink files
+  must be invisible to readers.
+
+Documented impossibility (BACKLOG): swapping a source parquet's bytes
+while FORGING identical (mtime, size) serves a stale digest — the memo
+is stat-based by design (hashing every byte on every call would defeat
+memoization); same boundary as any mtime-keyed build cache.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _private_corpus(tmp_path) -> str:
+    d = tmp_path / "corpus"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(SF_DIR, "documents.parquet"),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_truncated_tar_member_fails_loudly(spark, tmp_path):
+    from taipei_bi_etl_spark.queries.tar_ingest import (
+        _fixture_dir,
+        tar_shard_ingest,
+    )
+
+    sf = _private_corpus(tmp_path)
+    fixture = _fixture_dir(sf)
+    try:
+        # cut INSIDE the member-data region of one shard (truncating
+        # just the end-of-archive RECORDSIZE padding loses no member
+        # and legitimately does not raise — verified)
+        victim = os.path.join(fixture, "docs-000.tar")
+        size = os.path.getsize(victim)
+        with open(victim, "r+b") as f:
+            f.truncate(size // 2)
+        with pytest.raises(Exception, match="truncated tar"):
+            tar_shard_ingest(spark, sf).count()
+    finally:
+        shutil.rmtree(fixture, ignore_errors=True)
+
+
+def test_source_swap_rekeys_tar_fixture(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from taipei_bi_etl_spark.queries.tar_ingest import _fixture_dir
+
+    sf = _private_corpus(tmp_path)
+    first = _fixture_dir(sf)
+    second = None
+    try:
+        # swap the source parquet for a different table (new bytes)
+        t = pq.read_table(os.path.join(sf, "documents.parquet"))
+        pq.write_table(
+            t.slice(0, max(1, t.num_rows // 2)),
+            os.path.join(sf, "documents.parquet"),
+        )
+        second = _fixture_dir(sf)
+        assert second != first, "stale fixture served after source swap"
+        # the first fixture is untouched (other readers may hold it)
+        assert os.path.isdir(first)
+    finally:
+        shutil.rmtree(first, ignore_errors=True)
+        if second:
+            shutil.rmtree(second, ignore_errors=True)
+
+
+def test_source_swap_rekeys_variant_fixture(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from taipei_bi_etl_spark.queries.variant_ingest import (
+        _variant_events_dir,
+    )
+
+    d = tmp_path / "corpus2"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(SF_DIR, "events.parquet"), d / "events.parquet"
+    )
+    sf = str(d)
+    first = _variant_events_dir(spark, sf)
+    second = None
+    try:
+        t = pq.read_table(os.path.join(sf, "events.parquet"))
+        pq.write_table(
+            t.slice(0, max(1, t.num_rows // 2)),
+            os.path.join(sf, "events.parquet"),
+        )
+        second = _variant_events_dir(spark, sf)
+        assert second != first
+        assert os.path.isdir(first)
+    finally:
+        shutil.rmtree(first, ignore_errors=True)
+        if second:
+            shutil.rmtree(second, ignore_errors=True)
+
+
+def test_stale_build_dir_and_tmp_sink_files_are_invisible(spark, tmp_path):
+    import tempfile
+
+    from taipei_bi_etl_spark.queries.tar_ingest import (
+        _fixture_dir,
+        tar_shard_ingest,
+    )
+    from taipei_bi_etl_spark.sources.tar_shards import read_tar_samples
+
+    sf = _private_corpus(tmp_path)
+    # a killed run's leftover build dir (never renamed into place)
+    junk = tempfile.mkdtemp(prefix="taipei_tar_build_deadbeef_")
+    with open(os.path.join(junk, "docs-000.tar"), "wb") as f:
+        f.write(b"garbage that is not a tar")
+    fixture = _fixture_dir(sf)
+    try:
+        n1 = tar_shard_ingest(spark, sf).count()
+        assert n1 > 0
+        # a crashed writer's staged .tmp file inside the PUBLISHED dir:
+        # readers glob *.tar only, so it must not change the result
+        with open(os.path.join(fixture, "docs-000.tar.tmp.999"), "wb") as f:
+            f.write(b"partial garbage")
+        n2 = read_tar_samples(
+            spark, os.path.join(fixture, "*.tar")
+        ).count()
+        assert n2 == n1
+    finally:
+        shutil.rmtree(junk, ignore_errors=True)
+        shutil.rmtree(fixture, ignore_errors=True)
