@@ -219,4 +219,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     sparse_sim,
     cdc,
     fingerprint,
+    ann_deterministic,
 )

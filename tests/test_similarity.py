@@ -145,3 +145,35 @@ def test_jl_shortlist_recall_vs_exact(spark):
     }
     recall = len(exact & jl) / len(exact)
     assert recall >= 0.9, f"JL shortlist recall too low: {recall:.2f}"
+
+
+def test_deterministic_ivf_invariant_under_partition_layout(spark):
+    """The load-bearing claim of ann_ivf_deterministic_topk: the
+    trained state (and hence the full result) is BIT-IDENTICAL across
+    partition layouts — the property pyspark.ml KMeans lacks and the
+    reason the library-backed IVF is rows-only."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.io import read_table
+    from taipei_bi_etl_spark.queries.ann_deterministic import (
+        PICO,
+        _train_centroids,
+    )
+    from tests.conftest import SF_DIR
+
+    def quantize(df):
+        return df.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * PICO).cast("long"),
+            ).alias("qv"),
+        )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    c1 = _train_centroids(quantize(emb.repartition(1)))
+    c2 = _train_centroids(quantize(emb.repartition(17, "vec_id")))
+    c3 = _train_centroids(
+        quantize(emb.repartition(5).sortWithinPartitions(F.desc("vec_id")))
+    )
+    assert c1 == c2 == c3
