@@ -65,31 +65,42 @@ _DOT_SQL = (
 )
 
 
-def _lloyd_iteration_sql(i: int) -> str:
-    """CTE block for one Lloyd iteration: assign to c{i-1}, rebuild
-    c{i} (empty cells carry the previous centroid)."""
+def _lloyd_iteration_sql(i: int, p: str = "", src: str = "q") -> str:
+    """CTE block for one Lloyd iteration: assign ``{p}c{i-1}`` →
+    rebuild ``{p}c{i}`` (empty cells carry the previous centroid).
+    ``p`` prefixes every CTE name so the PQ oracle can instantiate the
+    same machinery once per subspace."""
     dist = _DIST_SQL.format(a="q.qv", b="c.cv")
-    return f"""a{i} AS (
+    return f"""{p}a{i} AS (
   SELECT q.vec_id, q.qv, c.cell, {dist} AS dist
-  FROM q CROSS JOIN c{i - 1} c
-), m{i} AS (
+  FROM {src} q CROSS JOIN {p}c{i - 1} c
+), {p}m{i} AS (
   SELECT vec_id, qv, cell FROM (
     SELECT *, ROW_NUMBER() OVER (
         PARTITION BY vec_id ORDER BY dist, cell) AS rn
-    FROM a{i}
+    FROM {p}a{i}
   ) WHERE rn = 1
-), u{i} AS (
+), {p}u{i} AS (
   SELECT cell, pos,
          CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
   FROM (
     SELECT cell, UNNEST(qv) AS v, generate_subscripts(qv, 1) AS pos
-    FROM m{i}
+    FROM {p}m{i}
   ) GROUP BY cell, pos
-), n{i} AS (
-  SELECT cell, list(cd ORDER BY pos) AS cv FROM u{i} GROUP BY cell
-), c{i} AS (
+), {p}n{i} AS (
+  SELECT cell, list(cd ORDER BY pos) AS cv FROM {p}u{i} GROUP BY cell
+), {p}c{i} AS (
   SELECT c.cell, COALESCE(n.cv, c.cv) AS cv
-  FROM c{i - 1} c LEFT JOIN n{i} n USING (cell)
+  FROM {p}c{i - 1} c LEFT JOIN {p}n{i} n USING (cell)
+)"""
+
+
+def _lloyd_init_sql(p: str, src: str, k: int) -> str:
+    """``{p}c0``: the first ``k`` vec_ids' (sub)vectors as centroids."""
+    return f"""{p}c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         qv AS cv
+  FROM {src} ORDER BY vec_id LIMIT {k}
 )"""
 
 
@@ -104,11 +115,8 @@ def _ivf_oracle() -> str:
 WITH q AS (
   SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
   WHERE {VALID_SQL}
-), c0 AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
-         qv AS cv
-  FROM q ORDER BY vec_id LIMIT {DKM_K}
 ),
+{_lloyd_init_sql("", "q", DKM_K)},
 {iters},
 fin AS (
   SELECT vec_id, qv, cell FROM (
@@ -165,13 +173,13 @@ def _argmin_cells(qcol: Column, centroids: list[list[int]], n: int) -> Column:
     return F.transform(top, lambda s: s["cell"])
 
 
-def _train_centroids(quant: DataFrame) -> list[list[int]]:
+def _train_centroids(quant: DataFrame, k: int = DKM_K) -> list[list[int]]:
     """DKM_ITERS integer Lloyd iterations; returns bit-stable centroid
-    lists.  Each round's driver collect is K·dim = {DKM_K}·64 rows — a
-    bounded codebook, not a data collect."""
+    lists.  Each round's driver collect is k·dim rows — a bounded
+    codebook, not a data collect."""
     init = [
         r.qv
-        for r in quant.orderBy("vec_id").limit(DKM_K).select("qv").collect()
+        for r in quant.orderBy("vec_id").limit(k).select("qv").collect()
     ]
     cents = [[int(v) for v in c] for c in init]
     for _ in range(DKM_ITERS):
@@ -198,7 +206,7 @@ def _train_centroids(quant: DataFrame) -> list[list[int]]:
             [new[j][d] for d in range(len(cents[j]))]
             if j in new
             else cents[j]  # empty cell carries its previous centroid
-            for j in range(DKM_K)
+            for j in range(k)
         ]
     return cents
 
@@ -262,4 +270,172 @@ def ann_ivf_deterministic_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "dot_pico")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic PQ + ADC: per-subspace integer codebooks, byte codes,
+# relational asymmetric-distance re-rank — the PQ twin of the IVF
+# above, with the same full value-hash oracle.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4      # subspaces
+PQ_SUB = 16   # dims per subspace (4 × 16 = 64)
+PQ_K = 16     # codewords per subspace (4-bit codes)
+
+
+def _pq_oracle() -> str:
+    blocks = []
+    for m in range(PQ_M):
+        a = m * PQ_SUB + 1
+        b = (m + 1) * PQ_SUB
+        p = f"s{m}_"
+        blocks.append(
+            f"q_{p}in AS (SELECT vec_id, qv[{a}:{b}] AS qv FROM q)"
+        )
+        blocks.append(_lloyd_init_sql(p, f"q_{p}in", PQ_K))
+        for i in range(1, DKM_ITERS + 1):
+            blocks.append(_lloyd_iteration_sql(i, p, f"q_{p}in"))
+        dist = _DIST_SQL.format(a="q.qv", b="c.cv")
+        blocks.append(f"""e{m} AS (
+  SELECT vec_id, cell AS code{m} FROM (
+    SELECT q.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id ORDER BY {dist}, c.cell) AS rn
+    FROM q_{p}in q CROSS JOIN {p}c{DKM_ITERS} c
+  ) WHERE rn = 1
+)""")
+    codes_join = " JOIN ".join(
+        ["e0"] + [f"e{m} USING (vec_id)" for m in range(1, PQ_M)]
+    )
+    adc_terms = " + ".join(
+        _DOT_SQL.format(
+            a=f"p.qq[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]", b=f"k{m}.cv"
+        )
+        for m in range(PQ_M)
+    )
+    code_joins = "\n  ".join(
+        f"JOIN s{m}_c{DKM_ITERS} k{m} ON k{m}.cell = c.code{m}"
+        for m in range(PQ_M)
+    )
+    blocks_sql = ",\n".join(blocks)
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
+  WHERE {VALID_SQL}
+),
+{blocks_sql},
+codes AS (
+  SELECT * FROM {codes_join}
+), pr AS (
+  SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {adc_terms} AS adc_pico
+  FROM pr p CROSS JOIN codes c
+  {code_joins}
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY adc_pico DESC, neighbor_id) AS INT) AS rank,
+       adc_pico
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_pico DESC, neighbor_id) <= {TOP_K}
+"""
+
+
+@query(
+    "pq_adc_deterministic_topk",
+    oracle=_pq_oracle(),
+    tags=("similarity", "extension", "trained-state"),
+)
+def pq_adc_deterministic_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PQ compression + exhaustive ADC search with DETERMINISTIC
+    integer codebooks — the PQ twin of `ann_ivf_deterministic_topk`
+    and the full-oracle upgrade of the library PQ recall gate
+    (`queries/quantization.py`).
+
+    Training: each of the {PQ_M} subspaces trains its own {PQ_K}-entry
+    codebook with the same order-free integer Lloyd rounds.  Encoding
+    maps every vector to {PQ_M} 4-bit codes (map-side argmin).  Search
+    is asymmetric: the query keeps its full integer sub-vectors, each
+    candidate contributes only its codes, and the score is the integer
+    dot of query sub-vectors against the candidate's CODEWORDS —
+    relational ADC as {PQ_M} broadcast codebook joins ({PQ_K} rows
+    each) + zip_with dots, no per-row Python.
+
+    100 TB: the corpus scan carries {PQ_M} bytes per vector instead of
+    the raw floats (the PQ value proposition); codebooks broadcast;
+    the only shuffle is the final per-query top-k window over an
+    already-tiny candidate frame."""
+    emb = read_embeddings(spark, sf_dir)
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * PICO).cast("long"),
+        ).alias("qv"),
+    ).persist()
+
+    # per-subspace codebooks (order-free integer training)
+    books = []
+    for m in range(PQ_M):
+        sub = quant.select(
+            "vec_id", F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias("qv")
+        )
+        books.append(_train_centroids(sub, k=PQ_K))
+
+    # encode: 4-bit code per subspace, map-side
+    codes = quant.select(
+        "vec_id",
+        "qv",
+        *[
+            _argmin_cells(
+                F.slice("qv", m * PQ_SUB + 1, PQ_SUB), books[m], 1
+            )[0].alias(f"code{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    queries = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    # bounded: PQ_K-row codebook frames
+    scored = codes.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    for m in range(PQ_M):
+        book_df = scored.sparkSession.createDataFrame(
+            [(j, c) for j, c in enumerate(books[m])],
+            f"code{m} long, cv{m} array<long>",
+        )
+        scored = scored.join(F.broadcast(book_df), f"code{m}")
+    adc = sum(
+        F.aggregate(
+            F.zip_with(
+                F.slice("qq", m * PQ_SUB + 1, PQ_SUB),
+                F.col(f"cv{m}"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for m in range(PQ_M)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("adc_pico"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_pico"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_pico")
     )
