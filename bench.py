@@ -162,13 +162,25 @@ def compute_breaches(
     fires).  Pure function — unit-tested in tests/test_bench_budgets.py
     with a synthetic uniformly-throttled run and an injected
     single-query regression.
+
+    Inflation is CAPPED at {INFLATION_CAP} (r06 code review): without
+    a cap, a genuine session-wide regression (a flipped Spark conf, a
+    codegen fallback) that slows EVERY query would scale every limit
+    with itself and never fire.  The documented cross-session weather
+    band is ±40%; the cap sits well above weather and well below
+    catastrophe, so a uniform ≥~3× slowdown still reddens the run.
     """
-    ratios = sorted(
+    import statistics
+
+    INFLATION_CAP = 2.0
+    ratios = [
         t / budgets[n] for n, t in timings.items() if n in budgets
-    )
+    ]
     inflation = 1.0
     if ratios:
-        inflation = max(1.0, ratios[len(ratios) // 2])
+        inflation = min(
+            INFLATION_CAP, max(1.0, statistics.median(ratios))
+        )
     breaches = {
         name: {
             "sec": t,

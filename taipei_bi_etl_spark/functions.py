@@ -263,25 +263,35 @@ def json_valid_strict_sql(s: str) -> str:
     * **top-level duplicate-key objects** (``{"k":1,"k":2}``) —
       detected via ``json_keys`` (which preserves duplicates) vs its
       ``list_distinct``;
-    * **bare non-standard number literals** (``nan`` / ``inf`` /
-      ``Infinity``, any case/sign) — detected by regex.
+    * **non-standard number literals at ANY nesting depth** (``nan`` /
+      ``inf`` / ``Infinity``, any case — r06 code review found the
+      first-cut top-level-only regex let ``{"j": nan}`` diverge):
+      string literals are stripped from the RAW text first (the
+      escape-aware ``"([^"\\]|\\.)*"`` regex), after which any
+      remaining nan/inf substring can only be a bare literal — JSON
+      numbers (incl. the ``1e999`` overflow Spark ACCEPTS and DuckDB
+      canonicalizes to Infinity) and ``true/false/null`` cannot
+      contain those letters.  Detection runs on the RAW text, not the
+      ``json()`` canonical form, exactly so ``1e999`` stays admitted
+      in both engines.
 
     Documented residual boundary (NOT covered, same as before):
-    duplicate keys in *nested* objects (the corpora's props are flat),
-    and the reverse-direction shapes Spark alone accepts (trailing
-    garbage ``{"k":1} x``) — no DuckDB predicate can admit those
-    without a lenient re-parser.
+    duplicate keys in *nested* objects (``json()`` preserves them and
+    ``json_keys`` only reads the top level; the corpora's props are
+    flat), and the reverse-direction shapes Spark alone accepts
+    (trailing garbage ``{"k":1} x``) — no DuckDB predicate can admit
+    those without a lenient re-parser.
     """
     # ORDER-INDEPENDENT: DuckDB's optimizer reorders AND conjuncts by
     # cost, so a guard that relies on short-circuit (CASE or conjunct
     # position) can still feed invalid JSON to json_keys and throw.
-    # Null-guarding the json_keys INPUT makes every term total:
-    # json_keys(NULL) -> NULL -> the equality is NULL -> falsy.
+    # Null-guarding every json-consuming input makes each term total:
+    # f(NULL) -> NULL -> the comparison is NULL -> falsy.
     g = f"(CASE WHEN json_valid({s}) THEN {s} END)"
+    strip = "regexp_replace(" + g + ", '\"([^\"\\\\]|\\\\.)*\"', '', 'g')"
     return (
         f"(json_valid({s}) "
-        f"AND NOT regexp_matches({s}, "
-        f"'^\\s*[+-]?(nan|inf(inity)?)\\s*$', 'i') "
+        f"AND NOT regexp_matches({strip}, '(nan|inf)', 'i') "
         f"AND len(json_keys({g})) = len(list_distinct(json_keys({g}))))"
     )
 

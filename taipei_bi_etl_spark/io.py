@@ -566,6 +566,40 @@ def read_unsplittable_text(
     return df.repartition(n)
 
 
+def publish_fixture(out: str, build) -> str:
+    """Atomic publish for content-keyed /tmp fixtures (r06 code review:
+    this discipline existed as three hand-rolled copies in tar_ingest /
+    variant_ingest / mango_materialized).
+
+    If ``out`` already exists it is returned untouched.  Otherwise
+    ``build(data_path)`` writes the fixture into a fresh temp location
+    (creating it), and an atomic ``os.rename`` publishes it.  A LOST
+    PUBLISH RACE is benign — the winner's fixture is byte-equivalent
+    because every build is a pure function of the content key in
+    ``out`` — but any other rename failure surfaces here rather than
+    as a PATH_NOT_FOUND in an unrelated downstream read.  The build
+    temp dir is always cleaned up."""
+    import shutil
+    import tempfile
+
+    if os.path.isdir(out):
+        return out
+    build_dir = tempfile.mkdtemp(
+        prefix=os.path.basename(out) + "_build_"
+    )
+    data = os.path.join(build_dir, "data")
+    try:
+        build(data)
+        try:
+            os.rename(data, out)
+        except OSError:
+            if not os.path.isdir(out):
+                raise
+    finally:
+        shutil.rmtree(build_dir, ignore_errors=True)
+    return out
+
+
 _CONTENT_KEYS: dict[tuple, str] = {}
 
 
@@ -596,9 +630,10 @@ def content_key(path: str) -> str:
         else [p]
     )
     if p.is_dir():
+        stats = [(f, f.stat()) for f in files]  # one stat per file
         memo = (str(p.resolve()),) + tuple(
-            (str(f.relative_to(p)), f.stat().st_mtime, f.stat().st_size)
-            for f in files
+            (str(f.relative_to(p)), st.st_mtime, st.st_size)
+            for f, st in stats
         )
     else:
         st = p.stat()

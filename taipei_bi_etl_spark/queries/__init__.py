@@ -46,7 +46,15 @@ _TRACKED: list[DataFrame] = []
 
 #: (name, thread_ident) of the registry query currently holding the
 #: persist-instrumentation window; None when closed (r05 ADVICE #5).
+#: Guarded by _ACTIVE_LOCK: the check-and-set must be atomic or two
+#: concurrent driver threads could both observe None and cross-track
+#: silently — the exact failure the guard exists to make loud (r06
+#: code review).
 _ACTIVE_QUERY: tuple[str, int] | None = None
+
+import threading as _threading  # noqa: E402
+
+_ACTIVE_LOCK = _threading.Lock()
 
 
 def release_tracked() -> None:
@@ -92,20 +100,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
             import threading
 
             global _ACTIVE_QUERY
-            if _ACTIVE_QUERY is not None:
-                raise RuntimeError(
-                    "registry cache contract violated: query "
-                    f"{name!r} invoked while {_ACTIVE_QUERY[0]!r} holds "
-                    "the persist instrumentation window (nested or "
-                    "concurrent registry call; compose queries by "
-                    "calling the RAW functions, and drive the registry "
-                    "from one thread)"
-                )
-            _ACTIVE_QUERY = (name, threading.get_ident())
+            with _ACTIVE_LOCK:  # atomic check-and-set
+                if _ACTIVE_QUERY is not None:
+                    raise RuntimeError(
+                        "registry cache contract violated: query "
+                        f"{name!r} invoked while {_ACTIVE_QUERY[0]!r} "
+                        "holds the persist instrumentation window "
+                        "(nested or concurrent registry call; compose "
+                        "queries by calling the RAW functions, and "
+                        "drive the registry from one thread)"
+                    )
+                _ACTIVE_QUERY = (name, threading.get_ident())
             try:
                 return _wrapped_inner(spark, sf_dir)
             finally:
-                _ACTIVE_QUERY = None
+                with _ACTIVE_LOCK:
+                    _ACTIVE_QUERY = None
 
         def _wrapped_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
             release_tracked()

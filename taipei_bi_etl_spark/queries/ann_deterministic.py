@@ -408,7 +408,9 @@ def _pq_assign(dims: DataFrame, books) -> DataFrame:
     )
 
 
-def _train_pq_books(quant: DataFrame) -> list[list[list[int]]]:
+def _train_pq_books(
+    quant: DataFrame, dims: DataFrame | None = None
+) -> list[list[list[int]]]:
     """All PQ_M codebooks trained JOINTLY with relational Lloyd
     rounds: assignment is a codebook join + two hash aggregates, the
     update is one more grouped sum — every step whole-stage codegen,
@@ -427,7 +429,8 @@ def _train_pq_books(quant: DataFrame) -> list[list[list[int]]]:
         ]
         for m in range(PQ_M)
     ]
-    dims = _pq_dims(quant).persist()
+    if dims is None:
+        dims = _pq_dims(quant).persist()
     for _ in range(DKM_ITERS):
         assigned = _pq_assign(dims, books)
         sums = (
@@ -488,22 +491,24 @@ def pq_adc_deterministic_topk(
         ).alias("qv"),
     ).persist()
 
-    books = _train_pq_books(quant)
+    dims = _pq_dims(quant).persist()
+    books = _train_pq_books(quant, dims)
 
-    # encode: 4-bit code per subspace (relational argmin, then pivot
-    # the PQ_M rows back to code0..code{PQ_M-1} columns)
-    best = _pq_assign(_pq_dims(quant), books)
-    codes = (
-        best.groupBy("vec_id")
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("m") == m, F.col("cell"))
-                ).alias(f"code{m}")
-                for m in range(PQ_M)
-            ]
-        )
-        .join(quant, "vec_id")
+    # encode: 4-bit code per subspace (relational argmin over the SAME
+    # persisted dims frame the trainer used, then pivot the PQ_M rows
+    # back to code0..code{PQ_M-1} columns).  Candidates carry ONLY
+    # their codes into the search — never the raw qv array — which is
+    # the PQ value proposition (r06 code review dropped a stray
+    # join(quant) that dragged the 64-long array through the
+    # cross-join).
+    best = _pq_assign(dims, books)
+    codes = best.groupBy("vec_id").agg(
+        *[
+            F.max(
+                F.when(F.col("m") == m, F.col("cell"))
+            ).alias(f"code{m}")
+            for m in range(PQ_M)
+        ]
     )
     queries = quant.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")

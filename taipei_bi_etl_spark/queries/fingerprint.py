@@ -50,7 +50,11 @@ from taipei_bi_etl_spark.queries import query
 if TYPE_CHECKING:
     import pandas as pd
 
-#: every DUP_MOD-th image gets a planted noisy copy at id + COPY_OFFSET
+#: every DUP_MOD-th image gets a planted noisy copy at id + COPY_OFFSET.
+#: DOMAIN BOUND (enforced loudly in the synthesizers): doc_id must be
+#: < COPY_OFFSET or planted-copy ids would collide with real ids — at
+#: ~6.6k docs per 0.1 sf unit the bound holds to sf ≈ 150; a larger
+#: corpus raises the offsets.
 PHASH_DUP_MOD = 10
 PHASH_COPY_OFFSET = 10_000_000
 PHASH_RADIUS = 7  # ≤ 7 over 8 bands: pigeonhole-complete band join
@@ -181,6 +185,12 @@ def phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             mids, payloads = [], []
             for i in pdf["doc_id"]:
                 i = int(i)
+                if i >= offset:
+                    raise ValueError(
+                        f"doc_id {i} >= copy offset {offset}: planted-"
+                        "copy ids would collide with real ids (raise "
+                        "PHASH_COPY_OFFSET for this corpus)"
+                    )
                 mids.append(i)
                 payloads.append(ppm_for(i, False))
                 if i % dup_mod == 0:
@@ -361,7 +371,7 @@ def audio_fingerprint_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     nf, fl, sr, amp = AF_FRAMES, AF_FRAME_LEN, AF_SR, AF_AMP
-    offset, mixmod = AF_COPY_OFFSET, AF_MIX_MOD
+    offset, mixmod, dup_mod = AF_COPY_OFFSET, AF_MIX_MOD, AF_DUP_MOD
 
     # SELF-CONTAINED closure (foreign-cwd driver: workers cannot
     # import the package).
@@ -394,9 +404,15 @@ def audio_fingerprint_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             mids, payloads = [], []
             for i in pdf["doc_id"]:
                 i = int(i)
+                if i >= offset:
+                    raise ValueError(
+                        f"doc_id {i} >= copy offset {offset}: planted-"
+                        "copy ids would collide with real ids (raise "
+                        "AF_COPY_OFFSET for this corpus)"
+                    )
                 mids.append(i)
                 payloads.append(wav_for(i, False))
-                if i % AF_DUP_MOD == 5:
+                if i % dup_mod == 5:
                     mids.append(i + offset)
                     payloads.append(wav_for(i, True))
             yield pd.DataFrame({"media_id": mids, "payload": payloads})

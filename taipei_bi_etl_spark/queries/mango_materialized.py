@@ -54,27 +54,16 @@ def _flat_events_dir(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{content_key(src)}:flat_v1".encode()
     ).hexdigest()[:16]
-    out = os.path.join(tempfile.gettempdir(), f"taipei_mango_flat_{key}")
-    if os.path.isdir(out):
-        return out
-    flat = flat_events_full(
-        unnest_events_full(synthesize_full_pings(spark, sf_dir))
-    )
-    build = tempfile.mkdtemp(prefix=f"taipei_mango_flat_build_{key}_")
-    data = os.path.join(build, "data")
-    flat.write.mode("overwrite").parquet(data)
-    try:
-        os.rename(data, out)
-    except OSError:
-        # lost publish race is benign (the winner's fixture is
-        # byte-equivalent); anything else must surface here
-        if not os.path.isdir(out):
-            raise
-    finally:
-        import shutil
+    from taipei_bi_etl_spark.io import publish_fixture
 
-        shutil.rmtree(build, ignore_errors=True)
-    return out
+    out = os.path.join(tempfile.gettempdir(), f"taipei_mango_flat_{key}")
+
+    def build(data: str) -> None:
+        flat_events_full(
+            unnest_events_full(synthesize_full_pings(spark, sf_dir))
+        ).write.mode("overwrite").parquet(data)
+
+    return publish_fixture(out, build)
 
 
 def read_mango_flat(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,52 +58,47 @@ def _fixture_dir(sf_dir: str) -> str:
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{content_key(src)}:v4".encode()
     ).hexdigest()[:16]
+    from taipei_bi_etl_spark.io import publish_fixture
+
     out = os.path.join(tempfile.gettempdir(), f"taipei_tar_fixture_{key}")
-    if os.path.isdir(out):
-        return out
-    t = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
-    docs = sorted(
-        zip(
-            t["doc_id"].to_pylist(),
-            t["text"].to_pylist(),
-            t["lang"].to_pylist(),
-            t["source"].to_pylist(),
+
+    def build(data: str) -> None:
+        os.makedirs(data)
+        t = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
+        docs = sorted(
+            zip(
+                t["doc_id"].to_pylist(),
+                t["text"].to_pylist(),
+                t["lang"].to_pylist(),
+                t["source"].to_pylist(),
+            )
         )
-    )
-    build = tempfile.mkdtemp(prefix=f"taipei_tar_build_{key}_")
-    tars = [
-        tarfile.open(os.path.join(build, f"docs-{s:03d}.tar"), "w")
-        for s in range(N_SHARDS)
-    ]
+        tars = [
+            tarfile.open(os.path.join(data, f"docs-{s:03d}.tar"), "w")
+            for s in range(N_SHARDS)
+        ]
 
-    def add(tf: tarfile.TarFile, name: str, payload: bytes) -> None:
-        info = tarfile.TarInfo(name=name)
-        info.size = len(payload)
-        tf.addfile(info, io.BytesIO(payload))
+        def add(tf: tarfile.TarFile, name: str, payload: bytes) -> None:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
 
-    for doc_id, text, lang, source in docs:
-        if text is None or lang is None or source is None:
-            # a tar member cannot carry NULL — such docs are excluded
-            # from the WebDataset (and from the oracle's WHERE)
-            continue
-        tf = tars[doc_id % N_SHARDS]
-        k = f"{doc_id:08d}"
-        add(tf, f"{k}.txt", text.encode("utf-8"))
-        if doc_id % DUP_MOD == 0:
-            add(tf, f"{k}.txt", (text + "!v2").encode("utf-8"))
-        add(tf, f"{k}.lang", lang.encode("utf-8"))
-        add(tf, f"{k}.src", source.encode("utf-8"))
-    for tf in tars:
-        tf.close()
-    try:
-        os.rename(build, out)
-    except OSError:
-        # another process won the build race — its directory is
-        # byte-identical (the build is a pure function of sf_dir)
-        import shutil
+        for doc_id, text, lang, source in docs:
+            if text is None or lang is None or source is None:
+                # a tar member cannot carry NULL — such docs are
+                # excluded from the WebDataset (and the oracle's WHERE)
+                continue
+            tf = tars[doc_id % N_SHARDS]
+            k = f"{doc_id:08d}"
+            add(tf, f"{k}.txt", text.encode("utf-8"))
+            if doc_id % DUP_MOD == 0:
+                add(tf, f"{k}.txt", (text + "!v2").encode("utf-8"))
+            add(tf, f"{k}.lang", lang.encode("utf-8"))
+            add(tf, f"{k}.src", source.encode("utf-8"))
+        for tf in tars:
+            tf.close()
 
-        shutil.rmtree(build, ignore_errors=True)
-    return out
+    return publish_fixture(out, build)
 
 
 _TAR_ORACLE = f"""

@@ -55,32 +55,20 @@ def _variant_events_dir(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{content_key(src)}:v1".encode()
     ).hexdigest()[:16]
+    from taipei_bi_etl_spark.io import publish_fixture
+
     out = os.path.join(
         tempfile.gettempdir(), f"taipei_variant_events_{key}"
     )
-    if os.path.isdir(out):
-        return out
-    ev = read_table(spark, sf_dir, "events")
-    typed = ev.select(
-        "event_id", "ts", "user_id", "event_type", "value", "props",
-        F.try_parse_json("props").alias("props_v"),
-    )
-    build = tempfile.mkdtemp(prefix=f"taipei_variant_build_{key}_")
-    data = os.path.join(build, "data")
-    typed.write.mode("overwrite").parquet(data)
-    try:
-        os.rename(data, out)
-    except OSError:
-        # only a LOST PUBLISH RACE is benign (the winner's fixture is
-        # byte-equivalent); any other rename failure must surface here,
-        # not as a PATH_NOT_FOUND in an unrelated downstream read
-        if not os.path.isdir(out):
-            raise
-    finally:
-        import shutil
 
-        shutil.rmtree(build, ignore_errors=True)
-    return out
+    def build(data: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        ev.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+            F.try_parse_json("props").alias("props_v"),
+        ).write.mode("overwrite").parquet(data)
+
+    return publish_fixture(out, build)
 
 
 def read_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,8 +80,9 @@ def read_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Validity note: inclusion below is ``props_v IS NOT NULL`` alone —
 # try_parse_json is strictly STRICTER than get_json_object's parser
 # (hostile shape battery: no input parses as variant but fails gjo),
-# so the one materialized bit reproduces the two-term guard exactly,
-# and the DuckDB twin stays `json_valid` like the string-parse forms.
+# so the one materialized bit reproduces the two-term guard exactly.
+# The DuckDB twin is functions.json_valid_strict_sql (r06): json_valid
+# minus dup-key / bare-or-nested-nan shapes, matching try_parse_json.
 
 _KV_ORACLE = """
 SELECT event_type,

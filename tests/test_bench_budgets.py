@@ -79,3 +79,18 @@ def test_headline_budget_coverage():
     # silently skip a regression in a new headline query.
     missing = [n for n in bench.HEADLINE if n not in bench.BUDGETS]
     assert missing == []
+
+
+def test_catastrophic_uniform_slowdown_still_breaches():
+    # r06 code review: inflation is capped, so a session-wide genuine
+    # regression (flipped conf, codegen fallback) that slows EVERY
+    # query 3x must still redden the run — only weather-band uniform
+    # inflation (< 2x) is absorbed.
+    hot = {n: 3.0 * b for n, b in BUDGETS.items()}
+    infl, breaches = bench.compute_breaches(hot, BUDGETS)
+    assert infl == 2.0  # capped
+    # every multi-second entry is past 2.0 * 1.5 = 3.0x? exactly at
+    # 3.0x the budget == the limit -> not strictly greater; use 3.2x
+    hot = {n: 3.2 * b for n, b in BUDGETS.items()}
+    infl, breaches = bench.compute_breaches(hot, BUDGETS)
+    assert breaches, "uniform catastrophic slowdown must fire"

@@ -143,6 +143,16 @@ def _hostile_events(out: str) -> None:
         # try_parse_json — so both shapes live in the battery.
         (14, "click", 10.5, '{"k": 1, "k": 2}'),
         (13, "click", 11.5, "nan"),
+        # r06 code review: NESTED nan/inf (Spark rejects, DuckDB
+        # json_valid accepts — now gated by string-stripped raw-text
+        # detection), plus the two shapes the detector must ADMIT:
+        # nan inside a string literal and the 1e999 overflow number
+        # (Spark accepts both; a canonical-form detector would
+        # false-reject 1e999, which DuckDB renders as Infinity).
+        (14, "click", 16.5, '{"k": 5, "j": nan}'),
+        (13, "click", 17.5, '{"k": [1, Infinity]}'),
+        (14, "click", 18.5, '{"k": "a, nan, b"}'),
+        (13, "click", 19.5, '{"k": 1e999}'),
         # r06 (ADVICE medium): integral-text overflow — digits pass the
         # regex but exceed BIGINT (both engines: try_cast -> NULL, no
         # ANSI crash) / fit BIGINT but exceed INT (BIGINT paths keep
