@@ -478,3 +478,60 @@ def test_content_key_sees_inplace_partfile_rewrite(tmp_path):
     f = tmp_path / "single.parquet"
     f.write_bytes(b"CCCC")
     assert content_key(str(f)) == content_key(str(f))
+
+
+def test_publish_fixture_atomicity(tmp_path):
+    """r06: the shared fixture-publish helper — a build that CRASHES
+    must leave no partial `out` (next caller rebuilds), a lost publish
+    race must return the winner's directory, and the build temp dir is
+    always cleaned up."""
+    import glob
+    import os
+
+    import pytest
+
+    from taipei_bi_etl_spark.io import publish_fixture
+
+    out = str(tmp_path / "fx")
+
+    def crashing(data):
+        os.makedirs(data)
+        (tmp_path / "fx_partial_marker").write_text("x")
+        raise RuntimeError("builder died")
+
+    with pytest.raises(RuntimeError, match="builder died"):
+        publish_fixture(out, crashing)
+    assert not os.path.isdir(out)  # nothing published
+    assert not glob.glob(str(tmp_path / "fx_build_*"))  # temp cleaned?
+    # (build dirs live in the system tmp, prefixed by basename — check
+    # there instead)
+    import tempfile
+
+    assert not glob.glob(os.path.join(tempfile.gettempdir(), "fx_build_*"))
+
+    calls = {"n": 0}
+
+    def good(data):
+        calls["n"] += 1
+        os.makedirs(data)
+        with open(os.path.join(data, "f.txt"), "w") as f:
+            f.write("v1")
+
+    assert publish_fixture(out, good) == out
+    assert calls["n"] == 1
+    # second call: cache hit, no rebuild
+    assert publish_fixture(out, good) == out
+    assert calls["n"] == 1
+
+    # lost race: out appears between the isdir check and the rename —
+    # simulate by a builder that publishes `out` itself mid-build
+    out2 = str(tmp_path / "fx2")
+
+    def racing(data):
+        os.makedirs(data)
+        os.makedirs(out2)  # the "other process" wins while we build
+        with open(os.path.join(out2, "winner.txt"), "w") as f:
+            f.write("winner")
+
+    assert publish_fixture(out2, racing) == out2
+    assert os.path.exists(os.path.join(out2, "winner.txt"))
