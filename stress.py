@@ -40,6 +40,8 @@ STRESS_QUERIES = [
     # materialized pre-cascade surface (fixture rebuilt per K)
     "multimodal_phash_dedup",
     "multimodal_audio_fingerprint",
+    "multimodal_video_phash_dedup",
+    "ann_ivf_recall_report",
     "ann_ivf_deterministic_topk",
     "pq_adc_deterministic_topk",
     "mango_feature_surface_materialized",

