@@ -236,7 +236,7 @@ def _train_centroids(quant: DataFrame, k: int = DKM_K) -> list[list[int]]:
     tags=("similarity", "extension", "trained-state"),
 )
 def ann_ivf_deterministic_topk(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, quant: DataFrame | None = None
 ) -> DataFrame:
     """IVF-MIPS top-{TOP_K} with a DETERMINISTIC integer-quantized
     coarse quantizer — the trained-state ANN entry with a full DuckDB
@@ -244,15 +244,20 @@ def ann_ivf_deterministic_topk(
 
     Plan: quantize (map-side) → {DKM_ITERS} Lloyd rounds (one narrow
     shuffle each + a bounded codebook collect) → final assignment
-    (map-side) → probe join on cell → integer-dot re-rank window."""
-    emb = read_embeddings(spark, sf_dir)
-    quant = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * PICO).cast("long"),
-        ).alias("qv"),
-    ).persist()
+    (map-side) → probe join on cell → integer-dot re-rank window.
+
+    ``quant`` lets a composing query (ann_ivf_recall_report) hand in
+    its own persisted quantized frame so the embeddings table is
+    scanned and cached once, not twice (r06 review)."""
+    if quant is None:
+        emb = read_embeddings(spark, sf_dir)
+        quant = emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * PICO).cast("long"),
+            ).alias("qv"),
+        ).persist()
     cents = _train_centroids(quant)
     assigned = quant.withColumn(
         "cell", _argmin_cells(F.col("qv"), cents, 1)[0]
@@ -639,7 +644,9 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
-    ivf = ann_ivf_deterministic_topk(spark, sf_dir).select(
+    # reuse the SAME persisted quant frame for the IVF side — one
+    # embeddings scan, one cached copy (r06 review)
+    ivf = ann_ivf_deterministic_topk(spark, sf_dir, quant=quant).select(
         "query_id", F.col("neighbor_id").alias("ivf_neighbor")
     )
     hits = (

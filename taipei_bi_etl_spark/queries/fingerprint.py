@@ -55,8 +55,8 @@ if TYPE_CHECKING:
 #: < COPY_OFFSET or planted-copy ids would collide with real ids.
 #: Offsets sit in the BILLIONS (r06: the stress harness replicates
 #: docs at +replica·10⁷, which collided with the first-cut 10⁷/2·10⁷
-#: offsets — the loud check caught it); the bound now holds to
-#: ~15 million sf units of corpus growth.
+#: offsets — the loud check caught it); at ~66k docs per sf unit the
+#: 10⁹ bound holds to ~15,000 sf units of corpus growth.
 PHASH_DUP_MOD = 10
 PHASH_COPY_OFFSET = 1_000_000_000
 PHASH_RADIUS = 7  # ≤ 7 over 8 bands: pigeonhole-complete band join
@@ -736,9 +736,14 @@ def multimodal_video_phash_dedup(
     per-frame dHash → exact row-byte inverted-index join keyed on
     (frame, row, byte) → a pair is a duplicate when ≥{VID_ROW_MATCH}
     of 8 row-bytes match on ≥{VID_FRAME_MATCH} of {VID_FRAMES} aligned
-    frames.  The sparse-noise planted copies flip ≤4 dHash bits per
-    frame, so ≥4 row-bytes stay intact per frame (pigeonhole) and
-    every copy is recovered; measured natural pairs align ≤2 frames.
+    frames.  The pigeonhole argument guarantees candidate
+    COMPLETENESS (≥5 equal rows ⇒ one disjoint pair fully equal, so
+    the pair index finds every qualifying frame); planted-copy
+    RECOVERY is empirical, not proven — the sparse noise flips ≤4
+    dHash bits per frame, which GUARANTEES only ≥4 intact rows, one
+    short of the threshold; measured at n=600 the noise never
+    degrades 4 distinct rows and copies match 6/6 frames with ≥5-of-6
+    slack, while natural pairs align ≤2 frames.
 
     100 TB: decode+hash is map-side (48 narrow rows per video); the
     join shuffles on the (frame, row, byte) inverted index — candidate

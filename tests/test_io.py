@@ -487,27 +487,30 @@ def test_publish_fixture_atomicity(tmp_path):
     always cleaned up."""
     import glob
     import os
+    import tempfile
+    import uuid
 
     import pytest
 
     from taipei_bi_etl_spark.io import publish_fixture
 
-    out = str(tmp_path / "fx")
+    # UNIQUE basename: build dirs land in the SHARED system tmp
+    # prefixed by the fixture basename, so the cleanup assertion must
+    # glob a name no other run can create (r06 review: a global
+    # 'fx_build_*' glob could flag another worker's leftovers)
+    base = f"fxtest_{uuid.uuid4().hex[:12]}"
+    out = str(tmp_path / base)
 
     def crashing(data):
         os.makedirs(data)
-        (tmp_path / "fx_partial_marker").write_text("x")
         raise RuntimeError("builder died")
 
     with pytest.raises(RuntimeError, match="builder died"):
         publish_fixture(out, crashing)
     assert not os.path.isdir(out)  # nothing published
-    assert not glob.glob(str(tmp_path / "fx_build_*"))  # temp cleaned?
-    # (build dirs live in the system tmp, prefixed by basename — check
-    # there instead)
-    import tempfile
-
-    assert not glob.glob(os.path.join(tempfile.gettempdir(), "fx_build_*"))
+    assert not glob.glob(
+        os.path.join(tempfile.gettempdir(), f"{base}_build_*")
+    )  # build temp cleaned up
 
     calls = {"n": 0}
 
