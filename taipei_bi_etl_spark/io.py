@@ -600,7 +600,49 @@ def publish_fixture(out: str, build) -> str:
     return out
 
 
-_CONTENT_KEYS: dict[tuple, str] = {}
+def content_keyed_fixture(
+    sf_dir: str,
+    source_file: str,
+    prefix: str,
+    version: str,
+    build,
+) -> str:
+    """The content-keyed /tmp fixture discipline in ONE code path (r06
+    VERDICT #4 — this existed as three hand-rolled copies in
+    tar_ingest / variant_ingest / mango_materialized):
+
+    * the cache key is the md5 of ``(abs sf_dir, content_key(source),
+      version)`` — a TRUE content digest of the source parquet bytes,
+      computed BEFORE any table read, so doctored corpora (hostile /
+      scale sweeps) always get their own builds and a cache hit never
+      loads the corpus just to derive its key;
+    * ``version`` re-keys when the fixture SCHEMA changes (a code
+      change that alters what ``build`` writes must bump it);
+    * publish is atomic via :func:`publish_fixture` (build into temp +
+      ``os.rename``; lost race falls back to the byte-equivalent
+      winner).
+
+    ``build(data_path)`` writes the fixture into ``data_path``.
+    Callers adding a new fixture get tests/test_fixture_hostility.py's
+    source-swap/stale-dir coverage by joining its caller
+    parametrization."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, source_file)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{content_key(src)}:{version}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+    return publish_fixture(out, build)
+
+
+#: resolved path -> (stats fingerprint, digest).  Keyed by PATH with the
+#: fingerprint as part of the VALUE (r06 ADVICE #3): a rewrite replaces
+#: the entry instead of accumulating one dead tuple per rebuild, so a
+#: long-lived session rebuilding fixtures holds O(paths) memo entries,
+#: not O(paths × rebuilds × directory size).
+_CONTENT_KEYS: dict[str, tuple[tuple, str]] = {}
 
 
 def content_key(path: str) -> str:
@@ -611,12 +653,12 @@ def content_key(path: str) -> str:
     for /tmp fixture caches (tar shards, VARIANT ingest; r04 ADVICE #3
     + r05 review).
 
-    Memo key (r05 ADVICE #3): for a FILE, (path, mtime, size); for a
+    Stats fingerprint (r05 ADVICE #3): for a FILE, (mtime, size); for a
     DIRECTORY, the sorted tuple of every contained file's
     (relpath, mtime, size) — a directory's own stat does not change
     when a part-file is rewritten in place (and its st_size is
-    meaningless as a content proxy), so keying on the directory stat
-    could serve a stale digest within a process."""
+    meaningless as a content proxy), so fingerprinting the directory
+    stat could serve a stale digest within a process."""
     import hashlib
     import pathlib as _pl
 
@@ -631,16 +673,17 @@ def content_key(path: str) -> str:
     )
     if p.is_dir():
         stats = [(f, f.stat()) for f in files]  # one stat per file
-        memo = (str(p.resolve()),) + tuple(
+        fingerprint = tuple(
             (str(f.relative_to(p)), st.st_mtime, st.st_size)
             for f, st in stats
         )
     else:
         st = p.stat()
-        memo = (str(p.resolve()), st.st_mtime, st.st_size)
-    hit = _CONTENT_KEYS.get(memo)
-    if hit is not None:
-        return hit
+        fingerprint = (st.st_mtime, st.st_size)
+    memo_key = str(p.resolve())
+    hit = _CONTENT_KEYS.get(memo_key)
+    if hit is not None and hit[0] == fingerprint:
+        return hit[1]
     h = hashlib.md5()
     for f in files:
         h.update(str(f.relative_to(p) if p.is_dir() else f.name).encode())
@@ -648,5 +691,5 @@ def content_key(path: str) -> str:
             for chunk in iter(lambda: fh.read(1 << 20), b""):
                 h.update(chunk)
     digest = h.hexdigest()
-    _CONTENT_KEYS[memo] = digest
+    _CONTENT_KEYS[memo_key] = (fingerprint, digest)
     return digest

@@ -323,16 +323,29 @@ AF_MATCH_MIN = 10       # landmark matches ≥ 10 ⇒ duplicate pair
 AF_MIX_MOD = 999983     # large prime ≫ max doc_id: no seed aliasing
 
 #: frame k of seed s is a pure sine EXACTLY on rfft bin
-#:   b(s,k) = 5 + ((37s² + 13k² + 31ks + k³) % AF_MIX_MOD) % 100
+#:   b(s,k) = 5 + ((37·sr² + 13k² + 31k·sr + k³) % AF_MIX_MOD) % 100
+#:   where sr = s % AF_MIX_MOD
 #: (periodic over the frame ⇒ the FFT magnitude peak is exactly at b —
 #: int16 rounding sidelobes are orders of magnitude below the peak;
 #: verified numerically incl. the 0.8-amplitude copies).  The planted
 #: copy detunes ONLY frame k=3 by +1 bin (an "edited re-encode"),
 #: losing 2 of the 15 landmarks → 13 matches vs threshold 10; measured
 #: natural coincidence tail at n=1000 tracks: 3 pairs ≥ 10, max 13.
+#:
+#: LOUD-DOMAIN ARITHMETIC (r06 VERDICT #2): the seed is reduced mod
+#: AF_MIX_MOD BEFORE squaring in BOTH engines — an exact identity
+#: ((37s²+31ks) ≡ (37·sr²+31k·sr) mod m), and it keeps every
+#: intermediate < 37·10¹² ≪ int64 for ALL s below AF_COPY_OFFSET.
+#: Unreduced, DuckDB's BIGINT 37·s² overflows (throws) at s ≥ ~5×10⁸
+#: while Python computes on with arbitrary precision — an asymmetric
+#: failure inside the id-collision guard's admitted domain.  The
+#: phash/video pixel polynomials are LINEAR in the seed (max term
+#: s + 16·12 < 2×10⁹ + 2⁸) so the id guard alone bounds them.
 
 _AF_BIN_SQL = (
-    "5 + ((37*s*s + 13*k*k + 31*k*s + k*k*k) % {mod}) % 100"
+    "5 + ((37*(CAST(s AS BIGINT) % {mod})*(CAST(s AS BIGINT) % {mod})"
+    " + 13*k*k + 31*k*(CAST(s AS BIGINT) % {mod})"
+    " + k*k*k) % {mod}) % 100"
     " + CASE WHEN noisy AND k = 3 THEN 1 ELSE 0 END"
 ).format(mod=AF_MIX_MOD)
 
@@ -390,8 +403,9 @@ def audio_fingerprint_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         def wav_for(s: int, noisy: bool) -> bytes:
             a = int(amp * 0.8) if noisy else amp
             frames = []
+            sr = s % mixmod  # reduce BEFORE squaring (see _AF_BIN_SQL)
             for k in range(nf):
-                b = 5 + ((37 * s * s + 13 * k * k + 31 * k * s + k**3) % mixmod) % 100
+                b = 5 + ((37 * sr * sr + 13 * k * k + 31 * k * sr + k**3) % mixmod) % 100
                 if noisy and k == 3:
                     b += 1
                 t = np.arange(fl)

@@ -70,11 +70,30 @@ def _split_key(name: str) -> tuple[str, str]:
     return (posixpath.join(head, stem) if head else stem), ext
 
 
-def read_tar_members(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_tar_members(
+    spark: SparkSession,
+    path_glob: str,
+    allow_trimmed_eof: bool = False,
+) -> DataFrame:
     """One row per tar member: (shard, key, member, ext, pos, n_bytes,
     payload) where ``pos`` is the member's ordinal within its shard.
-    Zero shuffle — binaryFile scan + per-shard decode."""
+    Zero shuffle — binaryFile scan + per-shard decode.
+
+    END-OF-ARCHIVE CONTRACT (r06 ADVICE #2): by default the reader is
+    STRICT — an archive must extend ≥1024 bytes (the POSIX two-zero-block
+    end-of-archive marker) past its last member, because python tarfile
+    treats an abruptly-ending archive as clean EOF and a truncation that
+    lands exactly on a member boundary would otherwise SILENTLY DROP
+    every member after the cut (hostile pass #5 found this live; the
+    boundary-cut case is byte-indistinguishable from a trimmed-padding
+    writer, so no check can accept one and reject the other).  Writers
+    that legally trim trailing zero blocks exist; for archives from such
+    writers pass ``allow_trimmed_eof=True``, which accepts an all-ZERO
+    tail shorter than the marker (a cut INTO a member or a non-zero
+    garbage tail still fails loudly in both modes — the per-member
+    payload-length check is unconditional)."""
     shards = spark.read.format("binaryFile").load(path_glob)
+    _allow_trimmed = bool(allow_trimmed_eof)
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # self-contained closure: no references to module-level helpers,
@@ -125,11 +144,22 @@ def read_tar_members(spark: SparkSession, path_glob: str) -> DataFrame:
                             (shard, key, m.name, ext, pos, len(payload),
                              payload)
                         )
-                if len(blob) < last_end + 1024:
+                # End-of-archive check — see the docstring contract:
+                # strict mode requires the full 1024-byte marker (a
+                # boundary-landing truncation is indistinguishable from
+                # trimmed padding, so strictness is the only way to
+                # catch it); trimmed mode accepts an all-zero short
+                # tail for writers that legally trim trailing blocks.
+                tail = blob[last_end:]
+                if len(tail) < 1024 and (
+                    not _allow_trimmed or tail.strip(b"\x00")
+                ):
                     raise ValueError(
-                        f"truncated tar shard {shard}: archive ends at "
-                        f"{len(blob)} bytes, expected ≥ {last_end + 1024} "
-                        "(member data + end-of-archive marker)"
+                        f"truncated tar shard {shard}: {len(tail)} "
+                        f"bytes after the last member (expected the "
+                        "1024-byte end-of-archive marker; pass "
+                        "allow_trimmed_eof=True for writers that trim "
+                        "trailing zero padding)"
                     )
             yield pd.DataFrame(
                 rows,
@@ -144,9 +174,15 @@ def read_tar_members(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
-def read_tar_samples(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_tar_samples(
+    spark: SparkSession,
+    path_glob: str,
+    allow_trimmed_eof: bool = False,
+) -> DataFrame:
     """One row per SAMPLE: (shard, key, exts, parts map<ext, binary>,
     n_members, n_bytes) — the WebDataset sample view.
+    ``allow_trimmed_eof`` passes through to :func:`read_tar_members`
+    (see its end-of-archive contract).
 
     Tar archives legally contain duplicate member names; extraction
     semantics are LAST WINS, so ``parts`` keeps, per ext, the payload
@@ -156,7 +192,9 @@ def read_tar_samples(spark: SparkSession, path_glob: str) -> DataFrame:
     (shard, key, ext) then (shard, key) — the first combines map-side
     and carries one payload per ext into the second.
     """
-    members = read_tar_members(spark, path_glob)
+    members = read_tar_members(
+        spark, path_glob, allow_trimmed_eof=allow_trimmed_eof
+    )
     per_ext = members.groupBy("shard", "key", "ext").agg(
         F.max_by("payload", "pos").alias("payload"),
         F.count(F.lit(1)).cast("int").alias("ext_members"),

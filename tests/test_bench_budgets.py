@@ -31,10 +31,12 @@ def test_uniformly_throttled_run_no_breach():
     # The r05 driver scenario, exaggerated: EVERY query 1.9× its budget
     # (each individually past the absolute 1.5× tripwire for the
     # multi-second entries).  The common mode is session weather, not a
-    # plan change — nothing may fire.
+    # plan change — nothing may fire.  r07: inflation caps at 1.5 (just
+    # above the ±40% weather band), so 1.9× reads back capped; 1.9b is
+    # still under the capped limit max(1.5·1.5·b, b+0.5) = 2.25b.
     hot = {n: 1.9 * b for n, b in BUDGETS.items()}
     infl, breaches = bench.compute_breaches(hot, BUDGETS)
-    assert abs(infl - 1.9) < 1e-9
+    assert abs(infl - 1.5) < 1e-9
     assert breaches == {}
 
 
@@ -82,15 +84,28 @@ def test_headline_budget_coverage():
 
 
 def test_catastrophic_uniform_slowdown_still_breaches():
-    # r06 code review: inflation is capped, so a session-wide genuine
-    # regression (flipped conf, codegen fallback) that slows EVERY
-    # query 3x must still redden the run — only weather-band uniform
-    # inflation (< 2x) is absorbed.
-    hot = {n: 3.0 * b for n, b in BUDGETS.items()}
+    # r06 code review (tightened r07 per ADVICE #1): inflation is
+    # capped at 1.5, so a session-wide genuine regression (flipped
+    # conf, codegen fallback) that slows EVERY query past the capped
+    # limit (2.25× for proportional-dominated entries) must still
+    # redden the run — only weather-band uniform inflation is absorbed.
+    hot = {n: 2.5 * b for n, b in BUDGETS.items()}
     infl, breaches = bench.compute_breaches(hot, BUDGETS)
-    assert infl == 2.0  # capped
-    # every multi-second entry is past 2.0 * 1.5 = 3.0x? exactly at
-    # 3.0x the budget == the limit -> not strictly greater; use 3.2x
-    hot = {n: 3.2 * b for n, b in BUDGETS.items()}
-    infl, breaches = bench.compute_breaches(hot, BUDGETS)
+    assert infl == 1.5  # capped
     assert breaches, "uniform catastrophic slowdown must fire"
+
+
+def test_jitter_floor_not_inflated():
+    # ADVICE r06 #1: the +0.5 s floor must NOT scale with session
+    # inflation — in a 1.4×-hot (band-edge) session, a 0.3 s-budget
+    # query at 0.95 s is a real regression (old formula absorbed it at
+    # limit 1.4·max(0.45, 0.8) = 1.12; new limit max(1.4·0.45, 0.8) =
+    # 0.8 fires), while the same query at hot-session jitter levels
+    # (1.4·0.3 + 0.3 ≈ 0.72) stays inside the un-inflated floor.
+    t = {n: 1.4 * b for n, b in BUDGETS.items()}
+    t["q3"] = 0.95  # budget 0.3
+    infl, breaches = bench.compute_breaches(t, BUDGETS)
+    assert "q3" in breaches
+    t["q3"] = 0.72
+    infl, breaches = bench.compute_breaches(t, BUDGETS)
+    assert breaches == {}

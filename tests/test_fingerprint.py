@@ -90,3 +90,42 @@ def test_video_phash_finds_every_planted_copy(spark):
         if i % 4 == 2 and i % (VID_DUP_MOD * 2) == 2
     }
     assert expected and found >= expected
+
+
+def test_audio_seed_arithmetic_safe_across_admitted_domain():
+    """r06 VERDICT #2: the seed polynomial must not overflow BIGINT for
+    ANY doc_id the loud id-collision guard admits (s < AF_COPY_OFFSET =
+    2×10⁹).  Unreduced, DuckDB threw on 37·s² at s ≥ ~5×10⁸ while the
+    Python generator computed on with arbitrary precision — an
+    asymmetric engine failure.  Both engines now reduce s % AF_MIX_MOD
+    before squaring (an exact mod-arithmetic identity); pin the two
+    implementations against each other at the domain edge."""
+    import duckdb
+
+    from taipei_bi_etl_spark.queries.fingerprint import (
+        _AF_BIN_SQL,
+        AF_COPY_OFFSET,
+        AF_FRAMES,
+        AF_MIX_MOD,
+    )
+
+    con = duckdb.connect()
+    # seeds spanning the admitted domain, incl. the old overflow zone
+    # [5×10⁸, 2×10⁹) and the exact guard edge
+    seeds = [1, 77, 499_999_999, 500_000_000, 1_234_567_891,
+             AF_COPY_OFFSET - 1]
+    for s in seeds:
+        sr = s % AF_MIX_MOD
+        for noisy in (False, True):
+            got = con.execute(
+                f"SELECT k.k, {_AF_BIN_SQL} FROM (SELECT {s} AS s, "
+                f"{noisy} AS noisy), "
+                f"LATERAL (SELECT UNNEST(range(0, {AF_FRAMES})) AS k) k "
+                "ORDER BY 1"
+            ).fetchall()
+            want = [
+                (k, 5 + ((37 * sr * sr + 13 * k * k + 31 * k * sr + k**3)
+                         % AF_MIX_MOD) % 100 + (1 if noisy and k == 3 else 0))
+                for k in range(AF_FRAMES)
+            ]
+            assert got == want, f"seed {s} noisy={noisy}"

@@ -480,6 +480,27 @@ def test_content_key_sees_inplace_partfile_rewrite(tmp_path):
     assert content_key(str(f)) == content_key(str(f))
 
 
+def test_content_key_memo_bounded_per_path(tmp_path):
+    """r06 ADVICE #3: repeated rewrites of the same path must REPLACE
+    the memo entry, not accumulate one dead key tuple per rebuild —
+    long-lived sessions rebuilding fixtures stay O(paths)."""
+    import time
+
+    from taipei_bi_etl_spark import io as tio
+
+    d = tmp_path / "table"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    before = len(tio._CONTENT_KEYS)
+    digests = set()
+    for i in range(5):
+        part.write_bytes(f"content-{i}".encode())
+        time.sleep(0.01)
+        digests.add(tio.content_key(str(d)))
+    assert len(digests) == 5  # every rewrite re-hashed
+    assert len(tio._CONTENT_KEYS) == before + 1  # one live entry
+
+
 def test_publish_fixture_atomicity(tmp_path):
     """r06: the shared fixture-publish helper — a build that CRASHES
     must leave no partial `out` (next caller rebuilds), a lost publish

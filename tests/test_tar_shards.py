@@ -138,6 +138,53 @@ def test_write_tar_shards_roundtrip(spark, tmp_path):
         assert bytes(r.parts["meta"]) == f"m{i}".encode()
 
 
+def test_trimmed_trailing_padding_contract(spark, tmp_path):
+    """r06 ADVICE #2: writers that trim the trailing zero-block padding
+    produce legal archives.  A short all-zero tail is byte-identical to
+    a truncation landing exactly on a member boundary (which SILENTLY
+    drops members — the r06 hostile find), so acceptance is an explicit
+    OPT-IN: strict default rejects loudly, ``allow_trimmed_eof=True``
+    reads cleanly, and a NON-ZERO short tail fails in both modes."""
+    import pytest
+
+    s = {"000001": {"txt": b"hello"}, "000002": {"txt": b"world"}}
+    full = os.path.join(tmp_path, "full.tar")
+    _make_shard(full, s)
+    blob = open(full, "rb").read()
+    # last member ends at the last 512-boundary before the zero padding
+    data_end = len(blob.rstrip(b"\x00"))
+    last_end = (data_end + 511) // 512 * 512
+
+    trimmed_dir = tmp_path / "trimmed"
+    trimmed_dir.mkdir()
+    # (a) padding fully trimmed; (b) a short all-zero tail
+    (trimmed_dir / "a.tar").write_bytes(blob[:last_end])
+    (trimmed_dir / "b.tar").write_bytes(blob[: last_end + 512])
+    with pytest.raises(Exception, match="truncated tar"):
+        read_tar_members(spark, f"{trimmed_dir}/*.tar").count()
+    rows = read_tar_members(
+        spark, f"{trimmed_dir}/*.tar", allow_trimmed_eof=True
+    ).collect()
+    assert len(rows) == 4  # both shards, both members each
+    assert {bytes(r.payload) for r in rows} == {b"hello", b"world"}
+
+    # non-zero garbage tail shorter than the marker: loud in both modes
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    (bad_dir / "c.tar").write_bytes(blob[:last_end] + b"\x00garbage")
+    for trimmed in (False, True):
+        with pytest.raises(Exception, match="truncated tar"):
+            read_tar_members(
+                spark, f"{bad_dir}/*.tar", allow_trimmed_eof=trimmed
+            ).count()
+
+    # sample view passes the flag through
+    samples = read_tar_samples(
+        spark, f"{trimmed_dir}/*.tar", allow_trimmed_eof=True
+    ).collect()
+    assert len(samples) == 4
+
+
 def test_split_key_closure_copy_agrees(spark, tmp_path):
     """read_tar_members' worker-side split_key is a by-value COPY of
     _split_key (self-contained-closure requirement); pin the two
