@@ -254,33 +254,126 @@ def int_text(col: Column) -> Column:
     return F.when(col.rlike(INT_TEXT_RE), col.try_cast("long"))
 
 
-def json_valid_strict_sql(s: str) -> str:
-    """DuckDB twin of Spark's ``try_parse_json({s}) IS NOT NULL`` guard.
+#: Escape-aware JSON string literal (matches one quoted string incl.
+#: ``\"`` escapes) and key-position variant (a quoted string followed
+#: by ``:``).  SINGLE SOURCE for the textual props contract below —
+#: the identical literals are passed to Spark (Java regex) and DuckDB
+#: (RE2); both flavors agree on every construct used ([^"\\], \\.,
+#: \s, alternation, greedy *).
+JSON_STR_RE = r'"([^"\\]|\\.)*"'
+JSON_KEY_RE = r'"(([^"\\]|\\.)*)"\s*:'
 
-    DuckDB's ``json_valid`` accepts two shapes Spark's parser rejects
-    (r05 BACKLOG residuals, now gated per r05 VERDICT next-round #4):
+#: STRICT-PROPS TEXTUAL CONTRACT (r06 VERDICT #3 + ADVICE #4): the two
+#: engines' JSON parsers disagree on residual shapes in BOTH directions
+#: — Spark's try_parse_json rejects duplicate keys at ANY depth but
+#: accepts trailing garbage (``{"k":1} x``, ``{"k":1}}``,
+#: ``{"k":1} {"j":2}``); DuckDB's json_valid is the exact opposite.  No
+#: predicate inside either parser can re-admit or re-reject the other
+#: engine's shapes, so the agreed contract is TEXTUAL, computed
+#: identically in both engines on the raw string:
+#:
+#:   stripped := regexp_replace(s, JSON_STR_RE, '0')   -- placeholder,
+#:     NOT '' — a trailing STRING garbage token must stay visible
+#:   1. object root, nothing after the final close:
+#:        trim(stripped) starts '{' and ends '}'
+#:   2. balanced braces and brackets: count('{')=count('}'),
+#:        count('[')=count(']') on stripped
+#:   3. no root concatenation: stripped !~ '\}\s*\{'  (between '}' and
+#:        '{' legal JSON always has ',' or ':'; only concatenated
+#:        roots leave pure whitespace there)
+#:   4. no repeated key TEXT anywhere: the list of JSON_KEY_RE captures
+#:        over the raw text is duplicate-free.  DELIBERATELY
+#:        conservative: also rejects the same key name in two
+#:        DIFFERENT objects (legal JSON) — acceptability per corpus
+#:        contract: repeated-key props are quarantined, not parsed.
+#:   5. no trailing comma: stripped !~ ',\s*[}\]]'  (legal JSON never
+#:        puts ',' directly before a close; probed live — DuckDB's
+#:        json_valid ACCEPTS '{"k":1,}' / '[1,2,]' where Spark
+#:        rejects, the one leniency its parser has)
+#:
+#: Residual (documented, microscopic): duplicate keys distinguishable
+#: only after unicode-escape decoding (``{"a":{"k":1,"k":2}}``)
+#: in NESTED objects — Spark rejects, the textual rule sees two
+#: different key texts, and DuckDB json_keys only reads the top level
+#: (where the existing json_keys term does catch the decoded dup).
+_STRICT_TAIL_RE = r"\}\s*\{"
+_STRICT_TRAILING_COMMA_RE = r",\s*[}\]]"
+
+
+def json_strict(col: Column) -> Column:
+    """Spark-side strict props guard: the parser check
+    (``try_parse_json`` — strictly STRICTER than ``get_json_object``'s
+    parser on the r04 hostile shape battery, so a separate gjo('$')
+    term is implied and deliberately omitted) AND the textual contract
+    above, so admission matches :func:`json_valid_strict_sql` row for
+    row.  Pure Column expressions — JVM-side.
+
+    LET-BINDING (r07 bench tripwire find): ``stripped`` feeds six
+    textual terms and ``keys`` two — as plain subtrees each reference
+    re-evaluates its regex, and Catalyst's predicate pushdown then
+    INLINES the whole guard into pushed filters (an ``int_text`` over
+    a guarded extraction re-evaluated the full stack 3× per row —
+    scd2 went 1.7 → 7.3 s before the tripwire fired).  Binding both
+    via ``transform`` over a one-element array makes each compute
+    exactly ONCE per guard evaluation (lambda variables are
+    materialized struct fields), cutting the guard to parser terms +
+    one regexp_replace + one regexp_extract_all + cheap scalar ops."""
+    bound = F.transform(
+        F.array(
+            F.struct(
+                F.regexp_replace(col, JSON_STR_RE, "0").alias("st"),
+                F.regexp_extract_all(
+                    col, F.lit(JSON_KEY_RE), F.lit(1)
+                ).alias("ks"),
+            )
+        ),
+        lambda x: _json_textual_ok(x["st"], x["ks"]),
+    )
+    return F.try_parse_json(col).isNotNull() & F.element_at(bound, 1)
+
+
+def _json_textual_ok(stripped: Column, keys: Column) -> Column:
+    """Textual-contract terms over pre-bound ``stripped`` / ``keys``."""
+    t = F.trim(stripped)
+
+    def n(c: Column, ch: str) -> Column:
+        return F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit("")))
+
+    return (
+        t.startswith("{")
+        & t.endswith("}")
+        & (n(stripped, "{") == n(stripped, "}"))
+        & (n(stripped, "[") == n(stripped, "]"))
+        & ~stripped.rlike(_STRICT_TAIL_RE)
+        & ~stripped.rlike(_STRICT_TRAILING_COMMA_RE)
+        & (F.size(keys) == F.size(F.array_distinct(keys)))
+    )
+
+
+def json_valid_strict_sql(s: str) -> str:
+    """DuckDB twin of :func:`json_strict` (the strict props guard).
+
+    Engine-parser terms (r05 VERDICT #4, r06): ``json_valid`` MINUS the
+    shapes DuckDB alone accepts —
 
     * **top-level duplicate-key objects** (``{"k":1,"k":2}``) —
-      detected via ``json_keys`` (which preserves duplicates) vs its
-      ``list_distinct``;
+      ``json_keys`` (which preserves duplicates) vs ``list_distinct``;
+      kept alongside textual rule 4 because json_keys compares DECODED
+      keys (catches ``"k"`` vs ``"\\u006b"`` at the top level);
     * **non-standard number literals at ANY nesting depth** (``nan`` /
       ``inf`` / ``Infinity``, any case — r06 code review found the
       first-cut top-level-only regex let ``{"j": nan}`` diverge):
-      string literals are stripped from the RAW text first (the
-      escape-aware ``"([^"\\]|\\.)*"`` regex), after which any
-      remaining nan/inf substring can only be a bare literal — JSON
-      numbers (incl. the ``1e999`` overflow Spark ACCEPTS and DuckDB
-      canonicalizes to Infinity) and ``true/false/null`` cannot
-      contain those letters.  Detection runs on the RAW text, not the
-      ``json()`` canonical form, exactly so ``1e999`` stays admitted
-      in both engines.
+      string literals are replaced first (escape-aware JSON_STR_RE),
+      after which any remaining nan/inf substring can only be a bare
+      literal — JSON numbers (incl. the ``1e999`` overflow Spark
+      ACCEPTS and DuckDB canonicalizes to Infinity) and
+      ``true/false/null`` cannot contain those letters.  Detection
+      runs on the RAW text, not the ``json()`` canonical form, exactly
+      so ``1e999`` stays admitted in both engines.
 
-    Documented residual boundary (NOT covered, same as before):
-    duplicate keys in *nested* objects (``json()`` preserves them and
-    ``json_keys`` only reads the top level; the corpora's props are
-    flat), and the reverse-direction shapes Spark alone accepts
-    (trailing garbage ``{"k":1} x``) — no DuckDB predicate can admit
-    those without a lenient re-parser.
+    PLUS the textual contract (module comment above) closing the last
+    one-way shapes in BOTH directions (r06 VERDICT #3): nested
+    duplicate keys (rule 4) and trailing garbage (rules 1–3).
     """
     # ORDER-INDEPENDENT: DuckDB's optimizer reorders AND conjuncts by
     # cost, so a guard that relies on short-circuit (CASE or conjunct
@@ -288,11 +381,20 @@ def json_valid_strict_sql(s: str) -> str:
     # Null-guarding every json-consuming input makes each term total:
     # f(NULL) -> NULL -> the comparison is NULL -> falsy.
     g = f"(CASE WHEN json_valid({s}) THEN {s} END)"
-    strip = "regexp_replace(" + g + ", '\"([^\"\\\\]|\\\\.)*\"', '', 'g')"
+    strip = f"regexp_replace({g}, '{JSON_STR_RE}', '0', 'g')"
+    keys = f"regexp_extract_all({s}, '{JSON_KEY_RE}', 1)"
     return (
         f"(json_valid({s}) "
         f"AND NOT regexp_matches({strip}, '(nan|inf)', 'i') "
-        f"AND len(json_keys({g})) = len(list_distinct(json_keys({g}))))"
+        f"AND len(json_keys({g})) = len(list_distinct(json_keys({g}))) "
+        f"AND trim({strip}) LIKE '{{%}}' "
+        "AND len(replace(" + strip + ", '{', '')) = "
+        "len(replace(" + strip + ", '}', '')) "
+        "AND len(replace(" + strip + ", '[', '')) = "
+        "len(replace(" + strip + ", ']', '')) "
+        f"AND NOT regexp_matches({strip}, '{_STRICT_TAIL_RE}') "
+        f"AND NOT regexp_matches({strip}, '{_STRICT_TRAILING_COMMA_RE}') "
+        f"AND len({keys}) = len(list_distinct({keys})))"
     )
 
 

@@ -74,25 +74,29 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Strict-props guard (r07): functions.json_strict — parser terms +
+    # the textual contract, the exact twin of the oracle's
+    # json_valid_strict_sql, so trailing-garbage and dup-key shapes are
+    # excluded IDENTICALLY in both engines.  STAGED into its own
+    # projection: int_text(col) references its argument twice
+    # (rlike guard + try_cast), and inlining would evaluate the whole
+    # regex/parse guard stack 2x per row — the r07 bench tripwire
+    # caught exactly that (scd2 1.7 -> 7.3 s).  A non-cheap alias
+    # referenced twice blocks CollapseProject (the r03 atom-projection
+    # mechanism), so the guard evaluates ONCE per row here.
     src = ev.select(
         "user_id",
         "ts",
         "event_id",
-        # Strictness guard, single-parse spelling (r04 VERDICT #2): the
-        # downstream attr_k.isNotNull() filter makes the old
-        # get_json_object('$') validity term REDUNDANT — a non-NULL
-        # '$.k' extraction already proves the (more lenient) gjo parser
-        # accepted the document, and try_parse_json is strictly stricter
-        # (proven on the hostile shape battery: no input has
-        # try_parse_json non-NULL with gjo('$') NULL).  2 parses per
-        # valid row instead of 3; results bit-identical (measured
-        # row-identical at sf0.1, 1.61s -> 1.19s cold median).
-        FN.int_text(
-            F.when(
-                F.try_parse_json("props").isNotNull(),
-                F.get_json_object("props", "$.k"),
-            )
-        ).try_cast("int").alias("attr_k"),
+        F.when(
+            FN.json_strict(F.col("props")),
+            F.get_json_object("props", "$.k"),
+        ).alias("__k_text"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        FN.int_text(F.col("__k_text")).try_cast("int").alias("attr_k"),
     ).filter(  # only attribute-carrying events update the dimension
         F.col("attr_k").isNotNull()
     )
@@ -310,25 +314,29 @@ def pit_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Strict-props guard (r07): functions.json_strict — parser terms +
+    # the textual contract, the exact twin of the oracle's
+    # json_valid_strict_sql, so trailing-garbage and dup-key shapes are
+    # excluded IDENTICALLY in both engines.  STAGED into its own
+    # projection: int_text(col) references its argument twice
+    # (rlike guard + try_cast), and inlining would evaluate the whole
+    # regex/parse guard stack 2x per row — the r07 bench tripwire
+    # caught exactly that (scd2 1.7 -> 7.3 s).  A non-cheap alias
+    # referenced twice blocks CollapseProject (the r03 atom-projection
+    # mechanism), so the guard evaluates ONCE per row here.
     src = ev.select(
         "user_id",
         "ts",
         "event_id",
-        # Strictness guard, single-parse spelling (r04 VERDICT #2): the
-        # downstream attr_k.isNotNull() filter makes the old
-        # get_json_object('$') validity term REDUNDANT — a non-NULL
-        # '$.k' extraction already proves the (more lenient) gjo parser
-        # accepted the document, and try_parse_json is strictly stricter
-        # (proven on the hostile shape battery: no input has
-        # try_parse_json non-NULL with gjo('$') NULL).  2 parses per
-        # valid row instead of 3; results bit-identical (measured
-        # row-identical at sf0.1, 1.61s -> 1.19s cold median).
-        FN.int_text(
-            F.when(
-                F.try_parse_json("props").isNotNull(),
-                F.get_json_object("props", "$.k"),
-            )
-        ).try_cast("int").alias("attr_k"),
+        F.when(
+            FN.json_strict(F.col("props")),
+            F.get_json_object("props", "$.k"),
+        ).alias("__k_text"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        FN.int_text(F.col("__k_text")).try_cast("int").alias("attr_k"),
     ).filter(  # only attribute-carrying events update the dimension
         F.col("attr_k").isNotNull()
     )

@@ -26,9 +26,7 @@ VARIANT ingest, one level higher in the DAG.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,27 +41,21 @@ def _flat_events_dir(spark: SparkSession, sf_dir: str) -> str:
     ``variant_ingest._variant_events_dir``: md5 of the SOURCE PARQUET
     BYTES keys the cache, build-into-temp + atomic rename publishes,
     so doctored corpora (hostile / scale sweeps) get their own builds."""
-    from taipei_bi_etl_spark.io import content_key
+    from taipei_bi_etl_spark.io import content_keyed_fixture
     from taipei_bi_etl_spark.plans.telemetry_pipeline import (
         flat_events_full,
         synthesize_full_pings,
         unnest_events_full,
     )
 
-    src = os.path.join(sf_dir, "events.parquet")
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{content_key(src)}:flat_v1".encode()
-    ).hexdigest()[:16]
-    from taipei_bi_etl_spark.io import publish_fixture
-
-    out = os.path.join(tempfile.gettempdir(), f"taipei_mango_flat_{key}")
-
     def build(data: str) -> None:
         flat_events_full(
             unnest_events_full(synthesize_full_pings(spark, sf_dir))
         ).write.mode("overwrite").parquet(data)
 
-    return publish_fixture(out, build)
+    return content_keyed_fixture(
+        sf_dir, "events.parquet", "taipei_mango_flat", "flat_v1", build
+    )
 
 
 def read_mango_flat(spark: SparkSession, sf_dir: str) -> DataFrame:

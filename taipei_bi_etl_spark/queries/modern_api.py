@@ -242,10 +242,16 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.try_parse_json("props")
     # TEXT extraction + integral-text contract (functions.int_text):
     # the typed bigint get coerces true->1 and truncates 1.5->1 where
-    # the oracle's text TRY_CAST diverges (r05 code review)
+    # the oracle's text TRY_CAST diverges (r05 code review).  The
+    # json_strict gate (r07) matches the oracle's strict CASE: a
+    # variant-parseable doc failing the textual contract (trailing
+    # garbage) carries no k, but still counts toward n.
     from taipei_bi_etl_spark import functions as FN
 
-    k = FN.int_text(F.try_variant_get(v, "$.k", "string"))
+    k = F.when(
+        FN.json_strict(F.col("props")),
+        FN.int_text(F.try_variant_get(v, "$.k", "string")),
+    )
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -22,7 +22,6 @@ this engine's large-scale multimodal equivalent (SURVEY §2.1 S4 family).
 
 from __future__ import annotations
 
-import hashlib
 import io
 import os
 import tarfile
@@ -48,19 +47,9 @@ def _fixture_dir(sf_dir: str) -> str:
     """
     import pyarrow.parquet as pq
 
-    # Key on a TRUE content digest of the source parquet bytes (r04
-    # ADVICE #3; shared helper io.content_key, r05 review): computed
-    # BEFORE any table read, so a fixture-cache hit never re-loads the
-    # corpus into memory just to derive its own key.
+    from taipei_bi_etl_spark.io import content_keyed_fixture
+
     src = os.path.join(sf_dir, "documents.parquet")
-    from taipei_bi_etl_spark.io import content_key
-
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{content_key(src)}:v4".encode()
-    ).hexdigest()[:16]
-    from taipei_bi_etl_spark.io import publish_fixture
-
-    out = os.path.join(tempfile.gettempdir(), f"taipei_tar_fixture_{key}")
 
     def build(data: str) -> None:
         os.makedirs(data)
@@ -98,7 +87,9 @@ def _fixture_dir(sf_dir: str) -> str:
         for tf in tars:
             tf.close()
 
-    return publish_fixture(out, build)
+    return content_keyed_fixture(
+        sf_dir, "documents.parquet", "taipei_tar_fixture", "v4", build
+    )
 
 
 _TAR_ORACLE = f"""

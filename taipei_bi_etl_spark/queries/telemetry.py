@@ -343,20 +343,16 @@ GROUP BY event_type
 def json_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract a typed value from a JSON props column and aggregate (F18 +
     A1/A2).  get_json_object stays JVM-side; no Python."""
-    # parseable-JSON precondition, mirrored as closely as the engines
-    # allow: the Spark guard is get_json_object('$') AND try_parse_json
-    # both non-NULL (rejects NULL/empty/malformed/single-quoted), the
-    # DuckDB twin is functions.json_valid_strict_sql (r06): json_valid
-    # MINUS the two shapes DuckDB alone accepts — top-level dup-key
-    # objects and bare nan/inf — both now in the hostile battery.
-    # Residual boundary: shapes Spark ALONE accepts (trailing garbage
-    # '{"k":1} x', extra closing braces) stay documented-not-gated; no
-    # DuckDB predicate can re-admit them without a lenient re-parser.
+    # strict-props precondition (r07 closes the last one-way shapes):
+    # functions.json_strict = both lenient-parser terms PLUS the
+    # textual contract (object root / balance / no concatenated roots /
+    # no repeated key text), mirrored exactly by the DuckDB twin
+    # functions.json_valid_strict_sql — trailing garbage and nested
+    # dup-key shapes are now excluded IDENTICALLY in both engines
+    # (hostile battery rows pin it).
     # Non-numeric k values are valid JSON → NULL via try_cast BOTH sides.
     ev = read_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull()
-        & F.get_json_object("props", "$").isNotNull()
-        & F.try_parse_json("props").isNotNull()
+        F.col("event_type").isNotNull() & FN.json_strict(F.col("props"))
     )
     # integral-text contract (functions.int_text) — see history.py
     k = FN.int_text(F.get_json_object("props", "$.k"))

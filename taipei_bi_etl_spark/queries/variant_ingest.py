@@ -33,9 +33,7 @@ exactly the corpus they doctored.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,26 +47,28 @@ from taipei_bi_etl_spark.queries import query
 def _variant_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per source-content digest) the events table
     with a parsed ``props_v`` VARIANT column; return the table path."""
-    from taipei_bi_etl_spark.io import content_key
-
-    src = os.path.join(sf_dir, "events.parquet")
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{content_key(src)}:v1".encode()
-    ).hexdigest()[:16]
-    from taipei_bi_etl_spark.io import publish_fixture
-
-    out = os.path.join(
-        tempfile.gettempdir(), f"taipei_variant_events_{key}"
-    )
+    from taipei_bi_etl_spark.io import content_keyed_fixture
 
     def build(data: str) -> None:
         ev = read_table(spark, sf_dir, "events")
         ev.select(
             "event_id", "ts", "user_id", "event_type", "value", "props",
             F.try_parse_json("props").alias("props_v"),
+            # the full strict-props decision (parser terms + textual
+            # contract, functions.json_strict) computed ONCE at ingest
+            # — downstream consumers read one boolean instead of
+            # re-running four regexes per query (the same
+            # hoist-the-parse argument as props_v itself)
+            F.coalesce(
+                FN.json_strict(F.col("props")), F.lit(False)
+            ).alias("props_strict"),
         ).write.mode("overwrite").parquet(data)
 
-    return publish_fixture(out, build)
+    # :v2 — r07 adds the materialized props_strict bit (strict textual
+    # contract); the version bump re-keys fixtures built before it
+    return content_keyed_fixture(
+        sf_dir, "events.parquet", "taipei_variant_events", "v2", build
+    )
 
 
 def read_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,12 +77,12 @@ def read_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_variant_events_dir(spark, sf_dir))
 
 
-# Validity note: inclusion below is ``props_v IS NOT NULL`` alone —
-# try_parse_json is strictly STRICTER than get_json_object's parser
-# (hostile shape battery: no input parses as variant but fails gjo),
-# so the one materialized bit reproduces the two-term guard exactly.
-# The DuckDB twin is functions.json_valid_strict_sql (r06): json_valid
-# minus dup-key / bare-or-nested-nan shapes, matching try_parse_json.
+# Validity note (r07): inclusion below is the materialized
+# ``props_strict`` bit — functions.json_strict computed once at ingest
+# (parser terms + the textual contract closing trailing-garbage and
+# nested-dup-key shapes in BOTH directions).  props_strict implies
+# props_v IS NOT NULL (json_strict contains the try_parse_json term).
+# The DuckDB twin is functions.json_valid_strict_sql.
 
 _KV_ORACLE = """
 SELECT event_type,
@@ -111,10 +111,10 @@ GROUP BY event_type
 def variant_ingest_kv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`json_kv_extract` routed through the VARIANT ingest: identical
     result (same oracle text), zero downstream JSON parses — validity
-    is the materialized ``props_v IS NOT NULL`` bit, extraction is a
-    typed offset lookup (shredded: a plain column read)."""
+    is the materialized ``props_strict`` bit, extraction is a typed
+    offset lookup (shredded: a plain column read)."""
     ev = read_events_variant(spark, sf_dir).filter(
-        F.col("event_type").isNotNull() & F.col("props_v").isNotNull()
+        F.col("event_type").isNotNull() & F.col("props_strict")
     )
     # extract as TEXT then apply the integral-text contract: a typed
     # variant get coerces booleans (true->1) and truncates decimals,
@@ -177,7 +177,13 @@ def variant_ingest_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        FN.int_text(F.try_variant_get("props_v", "$.k", "string"))
+        # props_strict gate (r07): a variant-parseable doc that fails
+        # the textual contract (e.g. trailing garbage) must not carry
+        # an attribute — matches the oracle's strict WHERE
+        F.when(
+            F.col("props_strict"),
+            FN.int_text(F.try_variant_get("props_v", "$.k", "string")),
+        )
         .try_cast("int")
         .alias("attr_k"),
     ).filter(F.col("attr_k").isNotNull())

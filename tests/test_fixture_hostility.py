@@ -57,56 +57,62 @@ def test_truncated_tar_member_fails_loudly(spark, tmp_path):
         shutil.rmtree(fixture, ignore_errors=True)
 
 
-def test_source_swap_rekeys_tar_fixture(tmp_path):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+# Every content-keyed fixture builder in the engine (all routed
+# through io.content_keyed_fixture since r07 — VERDICT r06 #4).  A new
+# fixture joins this list and inherits the source-swap coverage free.
+def _tar_builder(spark, sf):
     from taipei_bi_etl_spark.queries.tar_ingest import _fixture_dir
 
-    sf = _private_corpus(tmp_path)
-    first = _fixture_dir(sf)
-    second = None
-    try:
-        # swap the source parquet for a different table (new bytes)
-        t = pq.read_table(os.path.join(sf, "documents.parquet"))
-        pq.write_table(
-            t.slice(0, max(1, t.num_rows // 2)),
-            os.path.join(sf, "documents.parquet"),
-        )
-        second = _fixture_dir(sf)
-        assert second != first, "stale fixture served after source swap"
-        # the first fixture is untouched (other readers may hold it)
-        assert os.path.isdir(first)
-    finally:
-        shutil.rmtree(first, ignore_errors=True)
-        if second:
-            shutil.rmtree(second, ignore_errors=True)
+    return _fixture_dir(sf)
 
 
-def test_source_swap_rekeys_variant_fixture(spark, tmp_path):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+def _variant_builder(spark, sf):
     from taipei_bi_etl_spark.queries.variant_ingest import (
         _variant_events_dir,
     )
 
-    d = tmp_path / "corpus2"
-    d.mkdir()
-    shutil.copy(
-        os.path.join(SF_DIR, "events.parquet"), d / "events.parquet"
+    return _variant_events_dir(spark, sf)
+
+
+def _mango_flat_builder(spark, sf):
+    from taipei_bi_etl_spark.queries.mango_materialized import (
+        _flat_events_dir,
     )
+
+    return _flat_events_dir(spark, sf)
+
+
+FIXTURE_BUILDERS = [
+    pytest.param("documents.parquet", _tar_builder, id="tar_shards"),
+    pytest.param("events.parquet", _variant_builder, id="variant_ingest"),
+    pytest.param("events.parquet", _mango_flat_builder, id="mango_flat"),
+]
+
+
+@pytest.mark.parametrize("source_file,builder", FIXTURE_BUILDERS)
+def test_source_swap_rekeys_fixture(spark, tmp_path, source_file, builder):
+    """A source-parquet swap must re-key (rebuild) the fixture, never
+    serve the stale one — parametrized over every content-keyed
+    fixture builder (r06 VERDICT #4)."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "corpus_swap"
+    d.mkdir()
+    for f in {"documents.parquet", "events.parquet"}:
+        shutil.copy(os.path.join(SF_DIR, f), d / f)
     sf = str(d)
-    first = _variant_events_dir(spark, sf)
+    first = builder(spark, sf)
     second = None
     try:
-        t = pq.read_table(os.path.join(sf, "events.parquet"))
+        # swap the source parquet for a different table (new bytes)
+        t = pq.read_table(os.path.join(sf, source_file))
         pq.write_table(
             t.slice(0, max(1, t.num_rows // 2)),
-            os.path.join(sf, "events.parquet"),
+            os.path.join(sf, source_file),
         )
-        second = _variant_events_dir(spark, sf)
-        assert second != first
+        second = builder(spark, sf)
+        assert second != first, "stale fixture served after source swap"
+        # the first fixture is untouched (other readers may hold it)
         assert os.path.isdir(first)
     finally:
         shutil.rmtree(first, ignore_errors=True)

@@ -159,6 +159,28 @@ def _hostile_events(out: str) -> None:
         # the value, INT paths NULL it in both engines).
         (14, "click", 12.5, '{"k": "99999999999999999999"}'),
         (13, "click", 13.5, '{"k": "9999999999"}'),
+        # r07 (r06 VERDICT #3 / ADVICE #4): the LAST one-way shapes,
+        # now excluded IDENTICALLY by the agreed textual contract
+        # (functions.json_strict ↔ json_valid_strict_sql):
+        # trailing garbage (Spark's parser alone accepts — three
+        # variants: junk token, extra close, concatenated roots) and
+        # NESTED duplicate keys incl. array-nested (DuckDB json_valid
+        # alone accepts; Spark rejects at any depth).
+        (14, "click", 20.5, '{"k": 3} x'),
+        (13, "click", 21.5, '{"k": 4}}'),
+        (14, "click", 22.5, '{"k": 5} {"k": 6}'),
+        (13, "click", 23.5, '{"a": {"k": 1, "k": 2}}'),
+        (14, "click", 24.5, '{"a": [{"k": 7, "k": 8}], "k": 9}'),
+        # …and shapes the textual contract must ADMIT: repeated-key
+        # TEXT inside a string VALUE (not a key), an escaped quote
+        # before a colon-bearing value, braces/colons inside strings.
+        (13, "click", 25.5, '{"k": 10, "note": "\\"k\\": 11 looks like a key"}'),
+        (14, "click", 26.5, '{"k": 12, "s": "{ ] } : , nan"}'),
+        # r07 probe find: DuckDB json_valid is lenient on TRAILING
+        # COMMAS ('{"k":1,}' is valid to DuckDB, rejected by Spark) —
+        # textual rule 5 excludes identically in both engines.
+        (13, "click", 27.5, '{"k": 13,}'),
+        (14, "click", 28.5, '{"k": [14,]}'),
     ]
     extra = pa.table(
         {
