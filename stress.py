@@ -34,6 +34,9 @@ from taipei_bi_etl_spark.session import get_spark  # noqa: E402
 
 #: events-shaped and documents-shaped heavy queries.
 STRESS_QUERIES = [
+    # r07: incremental image dedup (delta probe vs band index — should
+    # scale with batch + bucket collisions, like the full band join)
+    "multimodal_phash_dedup_incremental",
     # r06 additions: perceptual fingerprints (documents-driven media
     # synthesis, band/landmark inverted-index joins), deterministic
     # trained-state ANN (embeddings K×), and the cascade over the

@@ -390,3 +390,151 @@ def retention_state_advance(
         )
     )
     return _ret_commit(spark, state_dir, v + 1, new_state, new_pivot, t_str)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash band index (r06 VERDICT #5) — the stored-state form
+# of queries.fingerprint.multimodal_phash_dedup_incremental: the image
+# twin of the text family's minhash band index.  New images hash ONCE
+# and probe the stored 8-band index; history is never re-hashed or
+# re-scanned (in production the index parquet is written bucketed on
+# (band, val) — scale.write_bucketed — so the probe co-locates without
+# shuffling history).
+# ---------------------------------------------------------------------------
+
+PHASH_INDEX_SCHEMA = (
+    "media_id long, "
+    + ", ".join(f"r{j} long" for j in range(8))
+    + ", band int, val long"
+)
+PHASH_META_SCHEMA = "max_media_id long, n_images long"
+
+
+def read_phash_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, int, int, int]:
+    """(band_index, max_media_id, n_images, version) of the latest
+    committed phash-index version."""
+    v = latest_version(state_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed state under {state_dir}")
+    vdir = _version_dir(state_dir, v)
+    index = spark.read.schema(PHASH_INDEX_SCHEMA).parquet(
+        os.path.join(vdir, "index")
+    )
+    meta = (
+        spark.read.schema(PHASH_META_SCHEMA)
+        .parquet(os.path.join(vdir, "meta"))
+        .collect()[0]
+    )
+    return index, int(meta["max_media_id"]), int(meta["n_images"]), v
+
+
+def _phash_commit(
+    spark: SparkSession,
+    state_dir: str,
+    v: int,
+    index: DataFrame,
+    max_media_id: int,
+    n_images: int,
+) -> int:
+    """Write phash-index version ``v`` (idempotent on retry), marker
+    last — same protocol as the packing/retention stores."""
+    import shutil
+
+    vdir = _version_dir(state_dir, v)
+    if os.path.isdir(vdir):
+        if os.path.exists(os.path.join(vdir, "_COMMITTED")):
+            raise FileExistsError(  # see _commit — same protocol
+                f"version {v} already committed under {state_dir} by a "
+                "concurrent writer; re-read latest_version and retry"
+            )
+        shutil.rmtree(vdir)  # crashed UNCOMMITTED attempt — retry wins
+    index.write.mode("overwrite").parquet(os.path.join(vdir, "index"))
+    spark.createDataFrame(
+        [(int(max_media_id), int(n_images))], PHASH_META_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(vdir, "meta"))
+    # O_EXCL publish — single-writer contract, violation -> error
+    with open(os.path.join(vdir, "_COMMITTED"), "x"):
+        pass
+    return v
+
+
+def phash_index_init(
+    spark: SparkSession, hashes: DataFrame, state_dir: str
+) -> int:
+    """Bootstrap the band index from a hashed corpus
+    (``queries.fingerprint.phash_hashes`` output) — commit v1.
+
+    The base-id watermark for the append-only contract is computed on
+    ``media_id % PHASH_COPY_OFFSET`` so a planted copy in the billions
+    does not poison the watermark for ordinary ids."""
+    from taipei_bi_etl_spark.queries.fingerprint import (
+        PHASH_COPY_OFFSET,
+        phash_band_index,
+    )
+
+    stats = hashes.agg(
+        F.max(F.col("media_id") % PHASH_COPY_OFFSET).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    index = phash_band_index(hashes)
+    return _phash_commit(
+        spark, state_dir, 1, index, int(stats["mx"]), int(stats["n"])
+    )
+
+
+def phash_index_advance(
+    spark: SparkSession, new_hashes: DataFrame, state_dir: str
+) -> tuple[DataFrame, int]:
+    """Probe the stored index with a NEW batch of hashed images and
+    advance the store: returns (pairs touching the new batch, new
+    committed version).
+
+    Append-only contract (CHECKED, fail-closed like the other stores):
+    every new base id (``media_id % PHASH_COPY_OFFSET``) must be
+    strictly greater than the stored watermark — a replayed or
+    overlapping batch raises before any write, so a crash-after-commit
+    retry cannot double-insert index rows (duplicate band rows would
+    not change pair RESULTS — the probe distincts — but would grow the
+    store unboundedly).
+
+    Cost ∝ |batch| + matched band buckets: the new batch is hashed by
+    the caller (once), banded here, and equi-joined against the stored
+    index — history rows participate only when their band key collides
+    with a new image.  Guarantee (pinned in pytest):
+    ``full_pairs(history ∪ new) = full_pairs(history) ∪ advance(new)``.
+    """
+    from taipei_bi_etl_spark.queries.fingerprint import (
+        PHASH_COPY_OFFSET,
+        phash_band_index,
+        phash_pairs_from_bands,
+    )
+
+    index, watermark, n_images, v = read_phash_state(spark, state_dir)
+    stats = new_hashes.agg(
+        F.min(F.col("media_id") % PHASH_COPY_OFFSET).alias("mn"),
+        F.max(F.col("media_id") % PHASH_COPY_OFFSET).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        raise ValueError("empty batch: nothing to advance")
+    if int(stats["mn"]) <= watermark:
+        raise ValueError(
+            f"append-only contract violated: batch min base id "
+            f"{stats['mn']} <= stored watermark {watermark} "
+            "(replayed or overlapping batch)"
+        )
+    new_bands = phash_band_index(new_hashes)
+    pairs = phash_pairs_from_bands(
+        new_bands, index.unionByName(new_bands)
+    )
+    _phash_commit(
+        spark,
+        state_dir,
+        v + 1,
+        index.unionByName(new_bands),
+        int(stats["mx"]),
+        n_images + int(stats["n"]),
+    )
+    return pairs, v + 1
