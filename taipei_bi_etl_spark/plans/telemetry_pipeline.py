@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark import functions as FN
 
-from taipei_bi_etl_spark.feature_mapping import feature_mapping_mapped
+from taipei_bi_etl_spark.feature_mapping import feature_mapping_nolambda
 from taipei_bi_etl_spark.functions import kv_get
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.udfs import cleanup_extra, json_extract_events
@@ -100,7 +100,11 @@ def map_features(unnested: DataFrame) -> DataFrame:
         F.coalesce(F.lower(F.col("extra.key")), F.lit("")).alias("extra_key"),
         F.coalesce(F.lower(F.col("extra.value")), F.lit("")).alias("extra_value"),
     )
-    mapped = feature_mapping_mapped(flat, out="map")
+    # r07 (VERDICT r06 #1): the LAMBDA-FREE compile — array_compact's
+    # filter-lambda rewrite is CodegenFallback and excluded the cascade
+    # pick from whole-stage codegen; measured 9.45 -> 7.77 s median on
+    # the full rollup at sf0.1 (interleaved, SCALE.md r07 section)
+    mapped = feature_mapping_nolambda(flat, out="map")
     # 3-way fan-out: Feature rows (one per mapped feature) ∪ Vertical ∪ App,
     # expressed as one explode over a built array instead of 3 passes
     # (SURVEY §2.7 U1 preferred form).
@@ -546,7 +550,11 @@ def mapped_fanout_from(flat: DataFrame) -> DataFrame:
     """The CASCADE half of :func:`map_features_full`: D4 rule cascade +
     3-way Feature/Vertical/App fan-out over a ``FLAT_SURFACE_COLS``
     frame (live or materialized)."""
-    mapped = feature_mapping_mapped(flat, out="map")
+    # r07 (VERDICT r06 #1): the LAMBDA-FREE compile — array_compact's
+    # filter-lambda rewrite is CodegenFallback and excluded the cascade
+    # pick from whole-stage codegen; measured 9.45 -> 7.77 s median on
+    # the full rollup at sf0.1 (interleaved, SCALE.md r07 section)
+    mapped = feature_mapping_nolambda(flat, out="map")
     fan = F.concat(
         F.transform(
             F.col("map.feature"),

@@ -403,6 +403,21 @@ def test_mapped_compile_equals_column_compile(spark):
     ).select(*cols, "map").collect()
     assert sorted(map(tuple, a), key=repr) == sorted(map(tuple, c), key=repr)
 
+    # lambda-free compile (r07 codegen experiment — array_compact's
+    # filter-lambda rewrite is CodegenFallback, excluding the cascade
+    # projection from WSCG; this variant removes every higher-order
+    # function): must stay row-identical too
+    from taipei_bi_etl_spark.feature_mapping import feature_mapping_nolambda
+
+    d = feature_mapping_nolambda(
+        df,
+        out="map",
+        event_method="m", event_object="o", event_value="v",
+        extra_key="ek", extra_value="ev", event_vertical="vert",
+        settings_search_engine="se",
+    ).select(*cols, "map").collect()
+    assert sorted(map(tuple, a), key=repr) == sorted(map(tuple, d), key=repr)
+
 
 def test_null_inputs_agree_with_sql_twin(spark):
     """r03 ADVICE #2 regression: a FIRED rule whose item expression
