@@ -228,6 +228,7 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     variant_ingest,
     sparse_sim,
     cdc,
+    paragraph_dedup,
     fingerprint,
     ann_deterministic,
 )

@@ -374,9 +374,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_a, doc_b, hamming).
     """
+    fps = simhash_fingerprints(_doc_shingles(spark, sf_dir))
+    blocked = simhash_block_index(fps)
+    return simhash_pairs_from_blocks(blocked, blocked)
+
+
+def simhash_fingerprints(docs_sh: DataFrame) -> DataFrame:
+    """(doc_id, fp): the 60-bit SimHash per document from its shingle
+    set — the hash-once stage an incremental pipeline persists."""
     from taipei_bi_etl_spark.queries.text import _char_array, poly_hash
 
-    docs_sh = _doc_shingles(spark, sf_dir)
     chars = _char_array(F.col("s"))
     hashed = docs_sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id",
@@ -405,7 +412,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(SIMHASH_BITS)
         ],
     )
-    fps = votes.select("doc_id", fp.alias("fp"))
+    return votes.select("doc_id", fp.alias("fp"))
+
+
+@query(
+    "dedup_simhash_incremental",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "ivm", "extension"),
+)
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash dedup against a persisted block index — the
+    third member of the incremental-dedup family (text MinHash:
+    `dedup_incremental`; images: `multimodal_phash_dedup_incremental`):
+    history documents hash once into the {SIMHASH_BLOCKS}-block index;
+    a new batch (doc_id % 4 == 3, ~25%) hashes only itself and probes
+    it, so daily cost is ∝ |batch| + matched block buckets.
+
+    IVM identity, hash-proven by the driver gate: the ORACLE is the
+    FULL all-pairs recompute; this plan computes
+    ``pairs(history) ∪ probe(new, index(history) ∪ index(new))`` —
+    equal because the block join is pigeonhole-complete and the
+    normalize+distinct covers each unordered pair once."""
+    fps = simhash_fingerprints(_doc_shingles(spark, sf_dir)).persist()
+    hist = simhash_block_index(fps.filter(F.col("doc_id") % 4 != 3))
+    new = simhash_block_index(fps.filter(F.col("doc_id") % 4 == 3))
+    yesterday = simhash_pairs_from_blocks(hist, hist)
+    delta = simhash_pairs_from_blocks(new, hist.unionByName(new))
+    return yesterday.unionByName(delta).distinct()
+
+
+def simhash_block_index(fps: DataFrame) -> DataFrame:
+    """(doc_id, fp, block_id, block_val) rows — the persistable SimHash
+    block index (same role as the minhash band index above: bucketed on
+    (block_id, block_val) in production so incremental probes co-locate
+    without shuffling history)."""
     block_w = SIMHASH_BITS // SIMHASH_BLOCKS
     blocks = F.array(
         *[
@@ -418,21 +458,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(SIMHASH_BLOCKS)
         ]
     )
-    blocked = fps.select("doc_id", "fp", F.explode(blocks).alias("b")).select(
+    return fps.select("doc_id", "fp", F.explode(blocks).alias("b")).select(
         "doc_id", "fp", "b.block_id", "b.block_val"
     )
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+
+
+def simhash_pairs_from_blocks(
+    probe: DataFrame, index: DataFrame
+) -> DataFrame:
+    """Hamming-≤-{HAMMING_T} pairs with at least one side in ``probe``
+    (pass the same frame twice for the full self-join) — pigeonhole-
+    complete over the {SIMHASH_BLOCKS}-block decomposition."""
+    a = probe.alias("a")
+    b = index.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (
         a.join(b, ["block_id", "block_val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(ham <= HAMMING_T)
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             ham.alias("hamming"),
         )
+        .filter(F.col("hamming") <= HAMMING_T)
         .distinct()
     )
 

@@ -201,3 +201,204 @@ def numeric_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_HI_SQL).alias("hi_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation (MRR / precision@k / NDCG@k) — the eval
+# harness every search/RAG pipeline runs against labeled queries.  The
+# reference has no retrieval surface; this extends the search family
+# (BASELINE north star) with the measurement half.
+#
+# Determinism: ranking is by INTEGER (tf DESC, doc_id ASC) — no float
+# enters the ordering; the log2 rank discounts are precomputed PYTHON
+# integer-micro literals embedded identically in both plans (no libm at
+# query time), so DCG/IDCG are exact integer sums and the single final
+# division of identical integers yields the identical double in both
+# engines (ROUND 8 is then byte-stable).
+#
+# Scale note: an eval runs over a LABELED query set — the per-query
+# window is bounded by the matching-doc count, and eval corpora are
+# small by construction.  For web-scale ad-hoc ranking the BM25 top-k
+# above (TakeOrderedAndProject) is the serving path; this operator
+# measures it.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: (query_id, ranking term, relevance-intent term): a doc is RELEVANT
+#: to the query iff it contains BOTH terms; ranking uses only the
+#: ranking term's tf, so NDCG genuinely measures how well tf-ranking
+#: surfaces the two-term intent (not 1.0 by construction).
+EVAL_QUERIES = (
+    ("q_spark_join", "spark", "join"),
+    ("q_vector_merge", "vector", "merge"),
+    ("q_table_scan", "table", "scan"),
+    ("q_row_filter", "row", "filter"),
+)
+EVAL_K = 10
+
+#: floor(1e6 / log2(rank+1)) for rank 1..K — integer literals shared by
+#: both engines; position 1 is exactly 1_000_000.
+_DISCOUNT_MICROS = tuple(
+    int(_math.floor(1_000_000 / _math.log2(r + 1)))
+    for r in range(1, EVAL_K + 1)
+)
+
+
+def _rank_eval_oracle() -> str:
+    disc = ", ".join(str(d) for d in _DISCOUNT_MICROS)
+    branches = "\n  UNION ALL\n".join(
+        f"""  SELECT '{qid}' AS query_id,
+         doc_id,
+         len(list_filter({_TOKENIZE_DUCK}, t -> t = '{rank_t}')) AS tf,
+         CASE WHEN len(list_filter({_TOKENIZE_DUCK}, t -> t = '{rank_t}')) > 0
+               AND len(list_filter({_TOKENIZE_DUCK}, t -> t = '{rel_t}')) > 0
+              THEN 1 ELSE 0 END AS rel
+  FROM documents WHERE text IS NOT NULL"""
+        for qid, rank_t, rel_t in EVAL_QUERIES
+    )
+    return f"""
+WITH per_doc AS (
+{branches}
+), matched AS (
+  SELECT * FROM per_doc WHERE tf > 0
+), totals AS (
+  SELECT query_id,
+         CAST(COUNT(*) AS INT) AS n_matched,
+         CAST(SUM(rel) AS INT) AS n_relevant
+  FROM matched GROUP BY 1
+), ranked AS (
+  SELECT query_id, doc_id, rel,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY tf DESC, doc_id) AS INT) AS rnk
+  FROM matched
+  QUALIFY rnk <= {EVAL_K}
+), disc(rnk, w) AS (
+  SELECT CAST(UNNEST(range(1, {EVAL_K} + 1)) AS INT),
+         UNNEST([{disc}])
+), agg AS (
+  SELECT r.query_id,
+         CAST(COALESCE(MIN(CASE WHEN r.rel = 1 THEN r.rnk END), 0) AS INT)
+           AS first_rel_rank,
+         CAST(SUM(r.rel) AS INT) AS n_rel_topk,
+         CAST(SUM(r.rel * d.w) AS BIGINT) AS dcg_micros
+  FROM ranked r JOIN disc d ON d.rnk = r.rnk
+  GROUP BY 1
+)
+SELECT t.query_id,
+       t.n_matched,
+       t.n_relevant,
+       a.first_rel_rank,
+       CAST(CASE WHEN a.first_rel_rank > 0
+                 THEN 1000000 // a.first_rel_rank ELSE 0 END AS BIGINT)
+         AS mrr_micros,
+       a.n_rel_topk,
+       a.dcg_micros,
+       CAST((SELECT COALESCE(SUM(w), 0) FROM disc
+             WHERE rnk <= LEAST(t.n_relevant, {EVAL_K})) AS BIGINT)
+         AS idcg_micros,
+       ROUND(CASE WHEN t.n_relevant > 0
+                  THEN CAST(a.dcg_micros AS DOUBLE) /
+                       CAST((SELECT SUM(w) FROM disc
+                             WHERE rnk <= LEAST(t.n_relevant, {EVAL_K}))
+                            AS DOUBLE)
+                  ELSE 0.0 END, 8) AS ndcg_at_k
+FROM totals t JOIN agg a USING (query_id)
+"""
+
+
+@query(
+    "search_rank_eval",
+    oracle=_rank_eval_oracle(),
+    tags=("text", "eval", "extension"),
+)
+def search_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / NDCG@{EVAL_K} / precision components for the labeled query
+    set: one scan builds per-(query, doc) tf + relevance via an explode
+    over the query array; ranking is integer (tf DESC, doc_id); the
+    discount table is a broadcast literal."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = _tokens()
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.size(F.filter(toks, _eq(rank_t))).alias("tf"),
+                F.when(
+                    (F.size(F.filter(toks, _eq(rank_t))) > 0)
+                    & (F.size(F.filter(toks, _eq(rel_t))) > 0),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .alias("rel"),
+            )
+            for qid, rank_t, rel_t in EVAL_QUERIES
+        ]
+    )
+    matched = (
+        docs.select("doc_id", F.explode(per_q).alias("q"))
+        .select("doc_id", "q.query_id", "q.tf", "q.rel")
+        .filter(F.col("tf") > 0)
+    )
+    totals = matched.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_matched"),
+        F.sum("rel").cast("int").alias("n_relevant"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("tf").desc(), F.col("doc_id")
+    )
+    ranked = (
+        matched.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= EVAL_K)
+    )
+    # rank -> discount-micros literal map
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _DISCOUNT_MICROS]), F.col("rnk")
+    )
+    agg = ranked.groupBy("query_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0)
+        )
+        .cast("int")
+        .alias("first_rel_rank"),
+        F.sum("rel").cast("int").alias("n_rel_topk"),
+        F.sum(F.col("rel") * disc).cast("long").alias("dcg_micros"),
+    )
+    # IDCG = prefix sums of the discount literals, indexed by
+    # min(n_relevant, K) — a pure literal lookup, no join
+    prefix = [0]
+    for d in _DISCOUNT_MICROS:
+        prefix.append(prefix[-1] + d)
+    idcg = F.element_at(
+        F.array(*[F.lit(p) for p in prefix]),
+        F.least(F.col("n_relevant"), F.lit(EVAL_K)) + 1,
+    ).cast("long")
+    return (
+        totals.join(agg, "query_id")
+        .select(
+            "query_id",
+            "n_matched",
+            "n_relevant",
+            "first_rel_rank",
+            F.when(
+                F.col("first_rel_rank") > 0,
+                (F.lit(1_000_000) / F.col("first_rel_rank")).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mrr_micros"),
+            "n_rel_topk",
+            "dcg_micros",
+            idcg.alias("idcg_micros"),
+            F.round(
+                F.when(
+                    F.col("n_relevant") > 0,
+                    F.col("dcg_micros").cast("double")
+                    / idcg.cast("double"),
+                ).otherwise(F.lit(0.0)),
+                8,
+            ).alias("ndcg_at_k"),
+        )
+    )

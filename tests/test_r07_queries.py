@@ -1,0 +1,84 @@
+"""r07 additions: paragraph dedup, incremental SimHash, retrieval eval."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_paragraph_dedup_drops_planted_duplicate(spark, tmp_path):
+    """A segment repeated verbatim in a later document must be dropped
+    from the later doc only; unique segments survive everywhere."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from taipei_bi_etl_spark.queries.paragraph_dedup import SEG_WORDS
+
+    boiler = " ".join(f"b{i}" for i in range(SEG_WORDS))
+    uniq_a = " ".join(f"a{i}" for i in range(SEG_WORDS))
+    uniq_b = " ".join(f"c{i}" for i in range(SEG_WORDS))
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            boiler + " " + uniq_a,  # first occurrence of boiler
+            boiler + " " + uniq_b,  # duplicate boiler — must drop 1 seg
+            uniq_a,                 # duplicate of doc 1's tail segment
+        ],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [1, 1, 1],
+    }
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table(rows), d / "documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["paragraph_dedup_report"].fn(spark, str(d)).collect()
+    }
+    assert out[1].n_segments == 2 and out[1].n_kept == 2
+    assert out[2].n_segments == 2 and out[2].n_kept == 1
+    assert out[3].n_segments == 1 and out[3].n_kept == 0
+    assert abs(out[2].retained_ratio - 0.5) < 1e-9
+
+
+def test_simhash_incremental_matches_full(spark):
+    full = {
+        tuple(r)
+        for r in REGISTRY["dedup_simhash"].fn(spark, SF_DIR).collect()
+    }
+    inc = {
+        tuple(r)
+        for r in REGISTRY["dedup_simhash_incremental"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert inc == full
+    # non-degenerate split
+    from taipei_bi_etl_spark.queries.dedup import (
+        _doc_shingles,
+        simhash_fingerprints,
+    )
+
+    fps = simhash_fingerprints(_doc_shingles(spark, SF_DIR))
+    assert fps.filter(F.col("doc_id") % 4 == 3).count() > 0
+    assert fps.filter(F.col("doc_id") % 4 != 3).count() > 0
+
+
+def test_rank_eval_metrics_sane(spark):
+    rows = {r.query_id: r for r in
+            REGISTRY["search_rank_eval"].fn(spark, SF_DIR).collect()}
+    assert rows, "no eval queries matched"
+    for qid, r in rows.items():
+        assert 0 <= r.n_rel_topk <= 10
+        assert r.n_rel_topk <= r.n_relevant <= r.n_matched
+        assert 0 <= r.first_rel_rank <= 10
+        if r.first_rel_rank == 1:
+            assert r.mrr_micros == 1_000_000
+        assert 0.0 <= r.ndcg_at_k <= 1.0
+        if r.n_relevant > 0 and r.first_rel_rank == 0:
+            assert r.dcg_micros == 0 and r.ndcg_at_k == 0.0
+    # the eval must not be vacuous: at least one query has a relevant
+    # hit in the top-10 and at least one NDCG is strictly inside (0,1)
+    assert any(r.first_rel_rank > 0 for r in rows.values())
