@@ -229,6 +229,7 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     sparse_sim,
     cdc,
     paragraph_dedup,
+    journey,
     fingerprint,
     ann_deterministic,
 )
