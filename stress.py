@@ -34,9 +34,16 @@ from taipei_bi_etl_spark.session import get_spark  # noqa: E402
 
 #: events-shaped and documents-shaped heavy queries.
 STRESS_QUERIES = [
-    # r07: incremental image dedup (delta probe vs band index — should
-    # scale with batch + bucket collisions, like the full band join)
+    # r07: incremental dedup forms (delta probe vs band/block index —
+    # should scale with batch + bucket collisions like the full joins),
+    # paragraph dedup (digest-keyed groupBys), retrieval eval +
+    # journey analytics (bounded-key rollups over one user/query pass)
     "multimodal_phash_dedup_incremental",
+    "dedup_simhash_incremental",
+    "paragraph_dedup_report",
+    "search_rank_eval",
+    "event_transition_matrix",
+    "funnel_conversion_fold",
     # r06 additions: perceptual fingerprints (documents-driven media
     # synthesis, band/landmark inverted-index joins), deterministic
     # trained-state ANN (embeddings K×), and the cascade over the
