@@ -41,9 +41,13 @@ STRESS_QUERIES = [
     "multimodal_phash_dedup_incremental",
     "dedup_simhash_incremental",
     "paragraph_dedup_report",
+    "paragraph_dedup_incremental",
     "search_rank_eval",
     "event_transition_matrix",
     "funnel_conversion_fold",
+    "session_path_topk",
+    "multimodal_video_scene_cuts",
+    "multimodal_audio_segments",
     # r06 additions: perceptual fingerprints (documents-driven media
     # synthesis, band/landmark inverted-index joins), deterministic
     # trained-state ANN (embeddings K×), and the cascade over the

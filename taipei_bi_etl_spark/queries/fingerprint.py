@@ -884,3 +884,382 @@ def multimodal_video_phash_dedup(
         .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
         .filter(F.col("n_frames_matched") >= VID_FRAME_MATCH)
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection (r07): the temporal-segmentation half of
+# video preprocessing — a training pipeline samples frames PER SCENE,
+# so cut detection runs before frame sampling.  Frames within a scene
+# are identical by construction (seed = s + stride·(f // SCENE_LEN)),
+# cuts occur at scene boundaries; detection = per-frame dHash Hamming
+# against the previous frame.
+# ---------------------------------------------------------------------------
+
+SCENE_LEN = 3           # frames per scene in the synthetic corpus
+SCENE_FRAMES = 9        # frames per video (3 scenes)
+SCENE_CUT_T = 1         # hamming ≥ 1 vs previous frame ⇒ cut
+
+_SCENE_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id AS s FROM documents
+  WHERE doc_id % 4 = 2
+), px AS (
+  SELECT media_id, f.f,
+         (x.x * 9) // (16 + s % 17) AS gx,
+         (y.y * 8) // (12 + s % 13) AS gy,
+         {_phash_pixels_sql("FALSE", seed=f"s + {VID_FRAME_SEED} * (f.f // {SCENE_LEN})")} AS gray
+  FROM ids,
+       LATERAL (SELECT UNNEST(range(0, {SCENE_FRAMES})) AS f) f,
+       LATERAL (SELECT UNNEST(range(0, 16 + s % 17)) AS x) x,
+       LATERAL (SELECT UNNEST(range(0, 12 + s % 13)) AS y) y
+), blocks AS (
+  SELECT media_id, f, gy, gx,
+         CAST(SUM(gray) AS BIGINT) AS bs,
+         CAST(COUNT(*) AS BIGINT) AS bn
+  FROM px GROUP BY 1, 2, 3, 4
+), bits AS (
+  SELECT a.media_id, a.f, a.gy, a.gx,
+         CASE WHEN a.bs * b.bn > b.bs * a.bn THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks b
+    ON b.media_id = a.media_id AND b.f = a.f AND b.gy = a.gy
+   AND b.gx = a.gx + 1
+  WHERE a.gx < 8
+), rows_ AS (
+  SELECT media_id, f, gy,
+         CAST(SUM(bit << CAST(gx AS INT)) AS BIGINT) AS rb
+  FROM bits GROUP BY 1, 2, 3
+), diffs AS (
+  SELECT a.media_id, a.f,
+         CAST(SUM(bit_count(xor(a.rb, b.rb))) AS BIGINT) AS hamming
+  FROM rows_ a JOIN rows_ b
+    ON b.media_id = a.media_id AND b.gy = a.gy AND b.f = a.f - 1
+  WHERE a.f >= 1
+  GROUP BY 1, 2
+)
+SELECT media_id,
+       CAST({SCENE_FRAMES} AS INT) AS n_frames,
+       CAST(COUNT(CASE WHEN hamming >= {SCENE_CUT_T} THEN 1 END) AS INT)
+         AS n_cuts,
+       COALESCE(array_to_string(
+           list_sort(list(CAST(f AS VARCHAR))
+                     FILTER (WHERE hamming >= {SCENE_CUT_T})), ','), '')
+         AS cut_frames_csv,
+       CAST(MAX(hamming) AS BIGINT) AS max_hamming
+FROM diffs GROUP BY 1
+"""
+
+
+def scene_video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-structured containers: {SCENE_FRAMES} frames, the pixel
+    seed advances only every {SCENE_LEN} frames (identical frames
+    within a scene, a content change at each boundary)."""
+    from taipei_bi_etl_spark.io import read_table
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 4 == 2
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    nf, stride, scene = SCENE_FRAMES, VID_FRAME_SEED, SCENE_LEN
+
+    # SELF-CONTAINED closure (foreign-cwd driver discipline)
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def frame(s: int, f: int, w: int, h: int):
+            sf = s + stride * (f // scene)
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            pix = (
+                3 * x * (1 + sf % 5) + 5 * y * (1 + sf % 7) + 7 * c + sf
+                + 16 * ((x * (1 + sf % 11) + y) % 13)
+            ) % 256
+            return pix.astype(np.uint8)
+
+        for pdf in batches:
+            mids, payloads = [], []
+            for i in pdf["doc_id"]:
+                s = int(i)
+                w, h = 16 + s % 17, 12 + s % 13
+                frames = b"".join(
+                    frame(s, f, w, h).tobytes() for f in range(nf)
+                )
+                mids.append(s)
+                payloads.append(f"VID0\n{nf} {w} {h}\n".encode() + frames)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    oracle=_SCENE_ORACLE,
+    tags=("multimodal", "extension"),
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL decoded containers: per-frame
+    dHash (the same decode kernel as the dedup family), Hamming vs the
+    previous frame via a self-join on (media_id, f-1), a frame with
+    hamming ≥ {SCENE_CUT_T} is a cut.  Output per video: frame count,
+    cut count, the cut-frame list, and the max inter-frame distance.
+
+    The closed-form oracle recomputes the whole chain (grid → dHash →
+    consecutive Hamming) from the id arithmetic, so the driver hash
+    certifies encode → decode → hash → temporal diff end to end.
+
+    100 TB: decode+hash is map-side; the only shuffles are the
+    per-video (media_id) consecutive-frame join and the final rollup —
+    both keyed on media_id, no cross-video work at all.
+
+    Note: a cut is MISSED if two adjacent scenes hash identically
+    (inherent to hash-based detection and identically computed by both
+    engines); within-scene frames are byte-identical so hamming is
+    exactly 0 there."""
+    hashes = video_frame_hashes(scene_video_media(spark, sf_dir)).persist()
+    prev = hashes.select(
+        "media_id",
+        (F.col("f") + 1).alias("f"),
+        *[F.col(f"r{j}").alias(f"p{j}") for j in range(8)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"r{j}").bitwiseXOR(F.col(f"p{j}")))
+        for j in range(8)
+    )
+    diffs = (
+        hashes.join(prev, ["media_id", "f"])
+        .select("media_id", "f", ham.cast("long").alias("hamming"))
+    )
+    return diffs.groupBy("media_id").agg(
+        F.lit(SCENE_FRAMES).cast("int").alias("n_frames"),
+        F.count(F.when(F.col("hamming") >= SCENE_CUT_T, 1))
+        .cast("int")
+        .alias("n_cuts"),
+        F.coalesce(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("hamming") >= SCENE_CUT_T,
+                            F.col("f").cast("string"),
+                        )
+                    )
+                ),
+                ",",
+            ),
+            F.lit(""),
+        ).alias("cut_frames_csv"),
+        F.max("hamming").alias("max_hamming"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio activity segmentation (r07): the VAD-shaped preprocessing step
+# — split a track into active segments over silent gaps before
+# transcription/feature windows.  Frame k of seed s is SILENT iff
+# (s % AF_MIX_MOD + k) % 4 == 0 (closed-form, so the whole chain —
+# encode → PCM16 decode → integer energy → threshold → islands — is
+# driver-hashable); active frames carry the fingerprint family's sine.
+# ---------------------------------------------------------------------------
+
+_SEG_SILENT_SQL = f"((CAST(s AS BIGINT) % {AF_MIX_MOD} + k) % 4 = 0)"
+
+_AUDIO_SEG_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id AS s FROM documents
+  WHERE doc_id % 2 = 1
+), frames AS (
+  SELECT media_id, k.k,
+         CASE WHEN {_SEG_SILENT_SQL} THEN 1 ELSE 0 END AS silent
+  FROM ids, LATERAL (SELECT UNNEST(range(0, {AF_FRAMES})) AS k) k
+), starts AS (
+  SELECT media_id, k, silent,
+         CASE WHEN silent = 0 AND COALESCE(LAG(silent) OVER (
+              PARTITION BY media_id ORDER BY k), 1) = 1
+              THEN 1 ELSE 0 END AS seg_start
+  FROM frames
+), segs AS (
+  SELECT media_id, k,
+         SUM(seg_start) OVER (
+             PARTITION BY media_id ORDER BY k) AS seg_no
+  FROM starts WHERE silent = 0
+), spans AS (
+  SELECT media_id, seg_no, MIN(k) AS lo, MAX(k) AS hi
+  FROM segs GROUP BY 1, 2
+)
+SELECT f.media_id,
+       CAST(16 AS INT) AS n_frames,
+       CAST(f.silent AS INT) AS n_silent,
+       CAST(COALESCE(sp.n_segments, 0) AS INT) AS n_segments,
+       COALESCE(sp.segments_csv, '') AS segments_csv
+FROM (SELECT media_id, SUM(silent) AS silent FROM frames GROUP BY 1) f(media_id, silent)
+LEFT JOIN (
+  SELECT media_id, CAST(COUNT(*) AS INT) AS n_segments,
+         array_to_string(list_sort(list(
+             CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR))), ',')
+           AS segments_csv
+  FROM spans GROUP BY 1
+) sp USING (media_id)
+"""
+
+
+def audio_segmented_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/WAVE tracks with silence structure: frame k of seed s is
+    all-zero samples iff (s % AF_MIX_MOD + k) % 4 == 0, else the
+    fingerprint family's bin-exact sine."""
+    from taipei_bi_etl_spark.io import read_table
+
+    ids = read_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    nf, fl, sr, amp, mixmod = AF_FRAMES, AF_FRAME_LEN, AF_SR, AF_AMP, AF_MIX_MOD
+
+    # SELF-CONTAINED closure (foreign-cwd driver discipline)
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def wav_for(s: int) -> bytes:
+            srd = s % mixmod
+            frames = []
+            for k in range(nf):
+                if (srd + k) % 4 == 0:
+                    frames.append(np.zeros(fl, dtype="<i2"))
+                    continue
+                b = 5 + ((37 * srd * srd + 13 * k * k + 31 * k * srd + k**3) % mixmod) % 100
+                t = np.arange(fl)
+                frames.append(
+                    np.round(amp * np.sin(2 * np.pi * b * t / fl)).astype("<i2")
+                )
+            data = np.concatenate(frames).tobytes()
+            hdr = struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+                1, 1, sr, sr * 2, 2, 16, b"data", len(data),
+            )
+            return hdr + data
+
+        for pdf in batches:
+            mids, payloads = [], []
+            for i in pdf["doc_id"]:
+                s = int(i)
+                mids.append(s)
+                payloads.append(wav_for(s))
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def audio_frame_energy(media: DataFrame) -> DataFrame:
+    """Decode WAV bytes → per-frame INTEGER energy (sum of squared
+    int16 samples — max {AF_FRAME_LEN}·{AF_AMP}² ≈ 2×10¹⁰ ≪ int64),
+    one Arrow pass."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("energy", T.LongType(), False),
+        ]
+    )
+    nf, fl = AF_FRAMES, AF_FRAME_LEN
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def energies(payload: bytes):
+            payload = bytes(payload)
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            data = payload[44 : 44 + nf * fl * 2]
+            x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            return (x.reshape(nf, fl) ** 2).sum(axis=1)
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for k, e in enumerate(energies(payload)):
+                    rows.append((int(mid), k, int(e)))
+            yield pd.DataFrame(rows, columns=["media_id", "k", "energy"])
+
+    return media.mapInPandas(run, schema=schema)
+
+
+@query(
+    "multimodal_audio_segments",
+    oracle=_AUDIO_SEG_ORACLE,
+    tags=("multimodal", "extension"),
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-shaped segmentation over REAL decoded PCM16:
+    per-frame integer energy, silence = energy 0, active segments =
+    gaps-and-islands over the frame sequence.  Per track: frame count,
+    silent count, segment count, and the segment span list — all
+    derivable closed-form by the oracle, so the driver hash certifies
+    encode → decode → energy → threshold → islands end to end.
+
+    100 TB: decode+energy is map-side (one narrow row per frame); the
+    islands pass is one per-track window (media_id-keyed, {AF_FRAMES}
+    rows per key) and one rollup — no cross-track work."""
+    en = audio_frame_energy(audio_segmented_media(spark, sf_dir))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("media_id").orderBy("k")
+    flagged = en.select(
+        "media_id",
+        "k",
+        F.when(F.col("energy") == 0, 1).otherwise(0).alias("silent"),
+    )
+    starts = flagged.withColumn(
+        "seg_start",
+        F.when(
+            (F.col("silent") == 0)
+            & (F.coalesce(F.lag("silent").over(w), F.lit(1)) == 1),
+            1,
+        ).otherwise(0),
+    )
+    segs = starts.filter(F.col("silent") == 0).withColumn(
+        "seg_no", F.sum("seg_start").over(w)
+    )
+    spans = segs.groupBy("media_id", "seg_no").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    )
+    span_agg = spans.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws(
+                        "-",
+                        F.col("lo").cast("string"),
+                        F.col("hi").cast("string"),
+                    )
+                )
+            ),
+            ",",
+        ).alias("segments_csv"),
+    )
+    totals = flagged.groupBy("media_id").agg(
+        F.lit(AF_FRAMES).cast("int").alias("n_frames"),
+        F.sum("silent").cast("int").alias("n_silent"),
+    )
+    return totals.join(span_agg, "media_id", "left").select(
+        "media_id",
+        "n_frames",
+        "n_silent",
+        F.coalesce("n_segments", F.lit(0)).cast("int").alias("n_segments"),
+        F.coalesce("segments_csv", F.lit("")).alias("segments_csv"),
+    )

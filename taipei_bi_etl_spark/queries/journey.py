@@ -199,3 +199,113 @@ def funnel_conversion_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_1_3"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top session paths: the third journey shape — which opening event
+# sequences dominate sessions (onboarding/abandonment analysis over
+# the same 30-min-gap sessions the engine's W2/W3 operators use).
+# ---------------------------------------------------------------------------
+
+PATH_LEN = 4       # first K event types form the path
+PATH_TOP = 20      # report the top N paths
+
+_PATH_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR datediff('millisecond', LAG(ts) OVER w, ts)
+                  > 30 * 60 * 1000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WHERE event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_start) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM marked
+), paths AS (
+  SELECT user_id, session_no,
+         array_to_string(
+             (list(event_type ORDER BY ts, event_id))[1:{PATH_LEN}], '>')
+           AS path,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY 1, 2
+), counted AS (
+  SELECT path,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(n_events) AS BIGINT) AS n_events
+  FROM paths GROUP BY 1
+)
+SELECT path, n_sessions, n_events,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS INT)
+         AS rank
+FROM counted
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP}
+"""
+
+
+@query(
+    "session_path_topk",
+    oracle=_PATH_ORACLE,
+    tags=("telemetry", "W2", "extension"),
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top {PATH_TOP} session-opening paths (first {PATH_LEN} event
+    types, 30-min-gap sessions — the same session definition as
+    lead_sessionize/W2): (path, n_sessions, n_events, rank).
+
+    Scale: one user_id shuffle serves the gap window AND the
+    per-session rollup (session keys prefix with user_id); path counts
+    aggregate on the bounded path-string key space; the final top-k is
+    TakeOrderedAndProject (local heaps, no global sort)."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / 1000
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_ms > 30 * 60 * 1000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn("session_no", F.sum("is_start").over(w))
+    paths = sess.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                PATH_LEN,
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+    ranked = counted.orderBy(
+        F.col("n_sessions").desc(), F.col("path")
+    ).limit(PATH_TOP)
+    wr = W.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return ranked.select(
+        "path",
+        "n_sessions",
+        "n_events",
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )

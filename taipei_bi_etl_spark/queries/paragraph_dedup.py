@@ -80,12 +80,16 @@ def paragraph_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The keeper digest folds seg_idx so the oracle and the plan agree on
     WHICH copies survived, not just how many."""
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.trim("text") != "")
-    )
+    segs = _segments(read_table(spark, sf_dir, "documents"))
+    return _report(segs, _first_occurrence(segs))
+
+
+def _segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, seg_idx, seg, h): fixed-window segments + md5."""
+    docs = docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
     tok = F.split(F.col("text"), r"\s+")
     n_seg = F.ceil(F.size(tok) / F.lit(SEG_WORDS)).cast("int")
-    segs = (
+    return (
         docs.select(
             "doc_id",
             F.explode(
@@ -103,20 +107,28 @@ def paragraph_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "s.seg_idx", "s.seg")
         .withColumn("h", F.md5("seg"))
     )
-    # first occurrence per segment hash: map-side-combinable min(struct)
+
+
+def _first_occurrence(segs: DataFrame) -> DataFrame:
+    """(doc_id, seg_idx) of each segment hash's first occurrence —
+    map-side-combinable min(struct), no global-sort window."""
     firsts = segs.groupBy("h").agg(
         F.min(F.struct("doc_id", "seg_idx")).alias("keeper")
     )
-    kept = segs.join(firsts, "h").filter(
-        (F.col("doc_id") == F.col("keeper.doc_id"))
-        & (F.col("seg_idx") == F.col("keeper.seg_idx"))
-    ).select("doc_id", "seg_idx", "seg")
-    kept_flag = kept.withColumn("kept", F.lit(1))
-    joined = segs.join(
-        kept_flag.select("doc_id", "seg_idx", "kept"),
-        ["doc_id", "seg_idx"],
-        "left",
+    return (
+        segs.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") == F.col("keeper.doc_id"))
+            & (F.col("seg_idx") == F.col("keeper.seg_idx"))
+        )
+        .select("doc_id", "seg_idx")
     )
+
+
+def _report(segs: DataFrame, kept: DataFrame) -> DataFrame:
+    """Per-doc retention report given the surviving (doc_id, seg_idx)."""
+    kept_flag = kept.withColumn("kept", F.lit(1))
+    joined = segs.join(kept_flag, ["doc_id", "seg_idx"], "left")
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_segments"),
         F.count("kept").cast("int").alias("n_kept"),
@@ -143,4 +155,49 @@ def paragraph_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(""),
             )
         ).alias("cleaned_md5"),
+    )
+
+
+@query(
+    "paragraph_dedup_incremental",
+    oracle=_PARA_ORACLE,
+    tags=("dedup", "text", "ivm", "extension"),
+)
+def paragraph_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental paragraph dedup against a persisted first-occurrence
+    index — the daily-batch form (same IVM-identity pattern as the
+    incremental MinHash/SimHash/image entries: the ORACLE is the FULL
+    recompute, so the driver hash gate proves the equivalence).
+
+    APPEND-ONLY split: new batch = doc_ids above the 75th-percentile id
+    cut (computed as one 1-row aggregate and broadcast).  Because every
+    new id exceeds every history id, the full recompute's global
+    first-occurrence decomposes exactly:
+
+    * a HISTORY segment's keeper is unchanged by the new batch (new
+      docs sort after it) — yesterday's report rows are final;
+    * a NEW segment survives iff its hash is absent from the history
+      index (anti-join probe) AND it is the batch-local first
+      occurrence.
+
+    Daily cost ∝ |batch| + probed index keys; history text is never
+    re-segmented in the stored-state deployment (here both sides are
+    derived in-plan from one corpus so the driver can hash the whole
+    thing — the `ivm_store` pattern applies verbatim if persisted)."""
+    segs = _segments(read_table(spark, sf_dir, "documents")).persist()
+    cut = segs.agg(
+        (F.max("doc_id") - (F.max("doc_id") - F.min("doc_id")) / 4)
+        .cast("long")
+        .alias("cut")
+    )
+    segs_c = segs.crossJoin(F.broadcast(cut))
+    hist = segs_c.filter(F.col("doc_id") <= F.col("cut")).drop("cut")
+    new = segs_c.filter(F.col("doc_id") > F.col("cut")).drop("cut")
+    hist_kept = _first_occurrence(hist)
+    # probe: new segments whose hash exists in history are dropped
+    # outright; survivors compete batch-locally
+    new_fresh = new.join(hist.select("h").distinct(), "h", "left_anti")
+    new_kept = _first_occurrence(new_fresh)
+    return _report(hist, hist_kept).unionByName(
+        _report(new, new_kept)
     )

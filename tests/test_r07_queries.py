@@ -82,3 +82,68 @@ def test_rank_eval_metrics_sane(spark):
     # the eval must not be vacuous: at least one query has a relevant
     # hit in the top-10 and at least one NDCG is strictly inside (0,1)
     assert any(r.first_rel_rank > 0 for r in rows.values())
+
+
+def test_paragraph_incremental_matches_full(spark):
+    full = {
+        tuple(r)
+        for r in REGISTRY["paragraph_dedup_report"].fn(spark, SF_DIR).collect()
+    }
+    inc = {
+        tuple(r)
+        for r in REGISTRY["paragraph_dedup_incremental"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert inc == full and full
+
+
+def test_scene_cuts_land_on_scene_boundaries(spark):
+    from taipei_bi_etl_spark.queries.fingerprint import (
+        SCENE_FRAMES,
+        SCENE_LEN,
+    )
+
+    rows = REGISTRY["multimodal_video_scene_cuts"].fn(spark, SF_DIR).collect()
+    assert rows
+    boundaries = {
+        str(f) for f in range(SCENE_LEN, SCENE_FRAMES, SCENE_LEN)
+    }
+    for r in rows:
+        got = set(r.cut_frames_csv.split(",")) if r.cut_frames_csv else set()
+        # cuts may only occur at scene boundaries (within-scene frames
+        # are byte-identical); a boundary may be missed only by hash
+        # coincidence
+        assert got <= boundaries
+    # non-vacuous: the overwhelming majority detect every boundary
+    n_all = sum(
+        1 for r in rows
+        if set(r.cut_frames_csv.split(",")) == boundaries
+    )
+    assert n_all >= 0.9 * len(rows)
+
+
+def test_audio_segments_match_silence_arithmetic(spark):
+    from taipei_bi_etl_spark.queries.fingerprint import AF_FRAMES, AF_MIX_MOD
+
+    rows = REGISTRY["multimodal_audio_segments"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:50]:
+        silent = [
+            k for k in range(AF_FRAMES)
+            if (r.media_id % AF_MIX_MOD + k) % 4 == 0
+        ]
+        assert r.n_silent == len(silent)
+        # reconstruct expected spans
+        spans, start = [], None
+        for k in range(AF_FRAMES):
+            if k in silent:
+                if start is not None:
+                    spans.append(f"{start}-{k - 1}")
+                    start = None
+            elif start is None:
+                start = k
+        if start is not None:
+            spans.append(f"{start}-{AF_FRAMES - 1}")
+        assert r.segments_csv == ",".join(sorted(spans))
+        assert r.n_segments == len(spans)
