@@ -48,6 +48,13 @@ STRESS_QUERIES = [
     "session_path_topk",
     "multimodal_video_scene_cuts",
     "multimodal_audio_segments",
+    # r07: prefix-filtered Jaccard join — candidate volume must stay
+    # bounded by the prefix postings (Σp ≈ 0.4·Σn), not Σdf²
+    "dedup_jaccard_prefix_filter",
+    # r07: fuzzy linkage — customer is a DIMENSION (copied unchanged by
+    # this harness), so the row pins fixed-cost behavior; posting
+    # growth is (L+1)/record (linear) by construction
+    "fuzzy_name_linkage",
     # r06 additions: perceptual fingerprints (documents-driven media
     # synthesis, band/landmark inverted-index joins), deterministic
     # trained-state ANN (embeddings K×), and the cascade over the

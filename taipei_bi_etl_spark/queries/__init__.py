@@ -230,6 +230,7 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     cdc,
     paragraph_dedup,
     journey,
+    linkage,
     fingerprint,
     ann_deterministic,
 )

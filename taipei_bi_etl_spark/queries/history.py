@@ -36,6 +36,13 @@ WITH src AS (
                          THEN json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') END AS INT)
              AS attr_k
     FROM events
+    -- agreed textual prefilter (r07, both engines): a row can carry
+    -- $.k only if the literal key text '"k"' appears; evaluating the
+    -- cheap substring test ahead of the parse/regex guard stack skips
+    -- the expensive path for non-carrying rows.  Deliberate semantic
+    -- narrowing, pinned by a battery row: a unicode-ESCAPED key
+    -- ('{"\\u006b": 1}') is excluded in BOTH engines.
+    WHERE props LIKE '%"k"%'
 ), src2 AS (
     -- only attribute-carrying events update the dimension (SCD rule)
     SELECT * FROM src WHERE attr_k IS NOT NULL
@@ -71,8 +78,18 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans ONE exchange.  At 100 TB this is the standard way to derive a
     dimension-history table from an event log without a self-join
     (the MERGE-per-day alternative reads the dimension N times).
+
+    r07 prefilter: a cheap ``contains('"k"')`` conjunct ahead of the
+    guard stack (the pushed filter inlines one full copy of the
+    parse/regex guard — not preventable, so make rows cheap to reject:
+    ~25% measured at sf0.1).  This is an AGREED TEXTUAL EXCLUSION
+    applied identically in the oracle (``LIKE '%"k"%'``): a
+    unicode-escaped key (``{"\\u006b": 1}``) no longer updates the
+    dimension in EITHER engine — battery-pinned.
     """
-    ev = read_table(spark, sf_dir, "events")
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("props").contains('"k"')
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # Strict-props guard (r07): functions.json_strict — parser terms +
     # the textual contract, the exact twin of the oracle's

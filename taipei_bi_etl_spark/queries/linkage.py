@@ -1,0 +1,151 @@
+"""Record linkage / fuzzy string join — deletion-neighborhood blocking
+(FastSS, Bocek et al. 2007 / the Mor-Fraenkel method) with exact
+Levenshtein verification.
+
+The reference cleans identifier-shaped strings with exact equality
+only; a curation pipeline also needs the TYPO-TOLERANT join: find all
+pairs of records whose names differ by at most one edit (substitution,
+insertion, or deletion).  A naive self-join computes n² Levenshtein
+distances; blocking must cut candidates WITHOUT losing pairs.
+
+Positional half-blocking (the SimHash pigeonhole) is degenerate here:
+every TPC-H name shares the constant 9-char prefix (``Customer#``), so
+the first-half block collects the whole table.  Deletion neighborhoods
+are shape-proof: index each name under itself PLUS its |s| one-char
+deletions; lev(s,t) ≤ 1 guarantees a shared variant —
+
+* t = s: share s itself;
+* one substitution at i: deleting position i from both yields the
+  same string;
+* one insertion/deletion: the longer string minus the edited char IS
+  the shorter string.
+
+Sharing a variant does NOT bound the distance (``ab``/``ba`` share
+``a``), so candidates are verified with the real ``levenshtein`` —
+present with identical semantics in Spark (`F.levenshtein`) and DuckDB.
+
+100 TB design: postings = (L+1) per record — linear, not quadratic;
+bucket keys are near-unique variant strings (uniform shuffle); the
+verify join ships names only for candidate pairs.  The n² form never
+exists in the plan, and the ORACLE uses the same neighborhood
+construction (completeness is proved once, above) so the sf0.1 sweep
+stays linear too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries import query
+
+# ASCII guard (agreed exclusion, battery-pinned): DuckDB's levenshtein
+# is BYTE-based ('café'→'cafe' = 2: é is two UTF-8 bytes) while
+# Spark's is CHARACTER-based (= 1) — on ASCII text bytes == chars and
+# the engines agree exactly.  Both sides therefore restrict linkage to
+# ASCII names; a non-ASCII typo row lives in the hostile battery to
+# pin that BOTH engines exclude it (rather than silently disagreeing
+# on its distance).
+_FUZZY_ORACLE = """
+WITH names AS (
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_name IS NOT NULL AND regexp_matches(c_name, '^[\\x00-\\x7f]*$')
+), vars AS (
+    SELECT c_custkey,
+           unnest(list_distinct(list_prepend(c_name,
+               list_transform(range(1, len(c_name) + 1),
+                   i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))))
+             AS v
+    FROM names
+), cand AS (
+    SELECT DISTINCT a.c_custkey AS k_a, b.c_custkey AS k_b
+    FROM vars a JOIN vars b USING (v)
+    WHERE a.c_custkey < b.c_custkey
+)
+SELECT k_a AS custkey_a, k_b AS custkey_b,
+       na.c_name AS name_a, nb.c_name AS name_b,
+       CAST(levenshtein(na.c_name, nb.c_name) AS INT) AS dist
+FROM cand
+JOIN names na ON na.c_custkey = k_a
+JOIN names nb ON nb.c_custkey = k_b
+WHERE levenshtein(na.c_name, nb.c_name) <= 1
+"""
+
+
+def deletion_neighborhood(s: Column) -> Column:
+    """Distinct array of ``s`` plus every one-char-deletion variant —
+    the FastSS index keys for edit distance ≤ 1."""
+    return F.array_distinct(
+        F.concat(
+            F.array(s),
+            F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.concat(
+                    s.substr(F.lit(1), i - 1),
+                    s.substr(i + 1, F.length(s)),
+                ),
+            ),
+        )
+    )
+
+
+def fuzzy_pairs_lev1(
+    recs: DataFrame, key: str, name: str
+) -> DataFrame:
+    """All (key_a, key_b, name_a, name_b, dist) pairs with
+    levenshtein ≤ 1 over a (key, name) frame — deletion-neighborhood
+    candidates, exact verify.  Completeness proof in the module doc.
+
+    ASCII-only contract (agreed with the oracle): DuckDB levenshtein
+    counts BYTES, Spark counts CHARS — identical only on ASCII, so
+    non-ASCII names are excluded in BOTH engines (battery-pinned)."""
+    # base feeds three subtrees (index + both verify sides); persist so
+    # the scan + guard run once per job (same pattern as the shingle
+    # index families)
+    base = (
+        recs.filter(
+            F.col(name).isNotNull() & F.col(name).rlike("^[\\x00-\\x7f]*$")
+        )
+        .select(key, name)
+        .persist()
+    )
+    idx = base.select(
+        F.col(key).alias("k"),
+        F.explode(deletion_neighborhood(F.col(name))).alias("v"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("a.k") < F.col("b.k"))
+        .select(F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"))
+        .distinct()
+    )
+    na = base.select(F.col(key).alias("k_a"), F.col(name).alias("name_a"))
+    nb = base.select(F.col(key).alias("k_b"), F.col(name).alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.join(na, "k_a")
+        .join(nb, "k_b")
+        .filter(dist <= 1)
+        .select(
+            F.col("k_a").alias("custkey_a"),
+            F.col("k_b").alias("custkey_b"),
+            "name_a",
+            "name_b",
+            dist.cast("int").alias("dist"),
+        )
+    )
+
+
+@query("fuzzy_name_linkage", oracle=_FUZZY_ORACLE, tags=("linkage", "extension"))
+def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-name record linkage at edit distance ≤ 1: every pair of
+    customers whose names differ by one substitution, insertion, or
+    deletion (TPC-H's fixed-format ids make these one-digit typos).
+    FastSS deletion-neighborhood candidates + exact levenshtein verify;
+    the oracle replays the SAME neighborhood construction, so both
+    engines stay linear in postings (never n² distances)."""
+    return fuzzy_pairs_lev1(
+        read_table(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )

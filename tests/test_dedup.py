@@ -211,3 +211,51 @@ def test_dedup_impact_report_zero_token_source(spark, tmp_path):
     )
     compare(out, con, _DEDUP_IMPACT_ORACLE)
     con.close()
+
+
+def test_prefix_filter_identity_and_volume(spark):
+    """The prefix-filtered Jaccard join must (a) return EXACTLY the
+    full-index form's pairs (the completeness lemma, checked on the
+    real corpus), (b) index strictly fewer postings, and (c) compute
+    ``⌈0.6·n⌉`` in exact integer arithmetic — ``ceil(0.6 * n)`` in
+    doubles over-shrinks the prefix at n = 5k (0.6·5 rounds to
+    3.0000000000000004), a silent completeness hole."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+    from taipei_bi_etl_spark.queries.pipeline import (
+        _tokens,
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+    from taipei_bi_etl_spark.io import read_table
+
+    d = read_table(spark, SF_DIR, "documents")
+    docs_sh = d.select(
+        "doc_id", shingle_hash_array(_tokens()).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    full = ngram_jaccard_pairs(d.select("doc_id", _tokens().alias("tok")))
+    pref = jaccard_prefix_filter_pairs(docs_sh)
+    assert full.exceptAll(pref).count() == 0
+    assert pref.exceptAll(full).count() == 0
+
+    # posting volume: Σ p(doc) < Σ n(doc)
+    vol = docs_sh.select(
+        F.sum(F.size("sh")).alias("full"),
+        F.sum(
+            F.size("sh")
+            - F.floor((F.size("sh") * 3 + 4) / F.lit(5))
+            + 1
+        ).alias("pref"),
+    ).collect()[0]
+    assert vol.pref < vol.full
+    # t = 3/5 exactly: prefix ≈ (1 - t) of the index
+    assert vol.pref / vol.full < 0.45
+
+    # the integer ceil identity on the formula's own domain
+    for n in range(1, 200):
+        assert (n * 3 + 4) // 5 == math.ceil(Fraction(3, 5) * n)

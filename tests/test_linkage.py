@@ -1,0 +1,74 @@
+"""Fuzzy linkage (FastSS deletion-neighborhood + levenshtein verify)."""
+
+from pyspark.sql import functions as F
+
+from taipei_bi_etl_spark.io import read_table
+from taipei_bi_etl_spark.queries.linkage import (
+    deletion_neighborhood,
+    fuzzy_pairs_lev1,
+)
+from tests.conftest import SF_DIR
+
+
+def test_blocking_equals_bruteforce(spark):
+    """The deletion-neighborhood candidates + verify must return
+    EXACTLY the n² brute-force lev ≤ 1 pairs (completeness lemma,
+    checked on the real corpus)."""
+    cust = read_table(spark, SF_DIR, "customer")
+    blocked = fuzzy_pairs_lev1(cust, "c_custkey", "c_name")
+    base = cust.select("c_custkey", "c_name")
+    a = base.select(
+        F.col("c_custkey").alias("custkey_a"), F.col("c_name").alias("name_a")
+    )
+    b = base.select(
+        F.col("c_custkey").alias("custkey_b"), F.col("c_name").alias("name_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    brute = (
+        a.crossJoin(b)
+        .filter((F.col("custkey_a") < F.col("custkey_b")) & (dist <= 1))
+        .select(
+            "custkey_a",
+            "custkey_b",
+            "name_a",
+            "name_b",
+            dist.cast("int").alias("dist"),
+        )
+    )
+    assert brute.exceptAll(blocked).count() == 0
+    assert blocked.exceptAll(brute).count() == 0
+    assert blocked.count() > 0  # TPC-H one-digit neighbors exist
+
+
+def test_contract_rows(spark):
+    """The battery shapes, asserted positively: an ASCII insertion typo
+    PAIRS at dist 1; a non-ASCII typo is EXCLUDED by the agreed ASCII
+    guard (DuckDB levenshtein is byte-based — on 'Customér' the engines
+    would disagree 1 vs 2); NULL names are dropped; duplicate adjacent
+    chars don't produce duplicate pairs."""
+    rows = [
+        (1, "Customer#000000001"),
+        (2, "Customer#000000001x"),  # insertion, dist 1
+        (3, "Customér#000000001"),   # non-ASCII: excluded
+        (4, None),
+        (5, "aab"),
+        (6, "ab"),                   # dist 1 to aab (delete one a)
+    ]
+    recs = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        (r.custkey_a, r.custkey_b, r.dist)
+        for r in fuzzy_pairs_lev1(recs, "c_custkey", "c_name").collect()
+    }
+    assert got == {(1, 2, 1), (5, 6, 1)}
+
+
+def test_deletion_neighborhood_edges(spark):
+    """Empty string → just itself; adjacent duplicate chars dedup."""
+    df = spark.createDataFrame([("",), ("aab",)], "s string")
+    out = df.select(
+        F.col("s"), deletion_neighborhood(F.col("s")).alias("n")
+    ).collect()
+    by_s = {r.s: sorted(r.n) for r in out}
+    assert by_s[""] == [""]
+    # deletions of "aab": "ab" (twice, deduped), "aa"
+    assert by_s["aab"] == ["aa", "aab", "ab"]

@@ -181,6 +181,13 @@ def _hostile_events(out: str) -> None:
         # textual rule 5 excludes identically in both engines.
         (13, "click", 27.5, '{"k": 13,}'),
         (14, "click", 28.5, '{"k": [14,]}'),
+        # r07 scd2 prefilter: the agreed '"k"' textual prefilter drops
+        # a unicode-ESCAPED key in BOTH engines (contains('"k"') ↔
+        # LIKE '%"k"%') — the key parses as "k" but its TEXT never
+        # contains the literal '"k"'.  Control row: an escaped-elsewhere
+        # props that DOES carry a literal "k" key must still pass.
+        (13, "click", 29.5, '{"\\u006b": 30}'),
+        (14, "click", 30.5, '{"k": 31, "\\u006a": 1}'),
     ]
     extra = pa.table(
         {
@@ -289,6 +296,24 @@ def _hostile_relational(out: str) -> None:
             {"c_custkey": some_cust, "c_name": "hostile dup key",
              "c_nationkey": 1, "c_acctbal": 0.0,
              "c_mktsegment": "MACHINERY"},
+            # r07 fuzzy-linkage battery: NULL name (must not explode
+            # the deletion-neighborhood transform in either engine)
+            {"c_custkey": next_cust + 2, "c_name": None,
+             "c_nationkey": 2, "c_acctbal": 1.0,
+             "c_mktsegment": "BUILDING"},
+            # non-ASCII typo of a real name: Spark's CHAR levenshtein
+            # would call it distance 1, DuckDB's BYTE levenshtein 2 —
+            # the agreed ASCII guard excludes it in BOTH engines
+            {"c_custkey": next_cust + 3,
+             "c_name": "Customér#000000001",
+             "c_nationkey": 2, "c_acctbal": 2.0,
+             "c_mktsegment": "BUILDING"},
+            # ASCII control: a one-char INSERTION typo of a real name —
+            # must PAIR (dist 1) in both engines
+            {"c_custkey": next_cust + 4,
+             "c_name": "Customer#000000001x",
+             "c_nationkey": 2, "c_acctbal": 3.0,
+             "c_mktsegment": "BUILDING"},
         ],
     )
     t0 = _dt.datetime(2024, 2, 1, 0, 0, 0)
