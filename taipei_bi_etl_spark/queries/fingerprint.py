@@ -1093,7 +1093,7 @@ WITH ids AS (
   FROM segs GROUP BY 1, 2
 )
 SELECT f.media_id,
-       CAST(16 AS INT) AS n_frames,
+       CAST({AF_FRAMES} AS INT) AS n_frames,
        CAST(f.silent AS INT) AS n_silent,
        CAST(COALESCE(sp.n_segments, 0) AS INT) AS n_segments,
        COALESCE(sp.segments_csv, '') AS segments_csv

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
+from taipei_bi_etl_spark import functions as FN
 
 #: The standing funnel: signup → view → purchase, in timestamp order
 #: (strictly increasing ts across steps; ties broken by event_id so
@@ -259,16 +260,19 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user_id shuffle serves the gap window AND the
     per-session rollup (session keys prefix with user_id); path counts
     aggregate on the bounded path-string key space; the final top-k is
-    TakeOrderedAndProject (local heaps, no global sort)."""
-    from pyspark.sql import Window as W
+    TakeOrderedAndProject (local heaps, no global sort).
 
+    Gap semantics: ``FN.unix_ms`` truncate-then-subtract — the exact
+    twin of the oracle's ``datediff('millisecond', …)`` boundary count
+    (the house W2 pattern from lead_sessionize).  A fractional-ms diff
+    (``unix_micros/1000``) diverges on this corpus's sub-ms timestamps
+    whenever a user's gap straddles the 30-min boundary inside one
+    millisecond — caught by the r07 review pass."""
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
     )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ms = (
-        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    ) / 1000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = FN.unix_ms(F.col("ts")) - FN.unix_ms(F.lag("ts").over(w))
     marked = ev.withColumn(
         "is_start",
         F.when(
@@ -302,7 +306,7 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = counted.orderBy(
         F.col("n_sessions").desc(), F.col("path")
     ).limit(PATH_TOP)
-    wr = W.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
     return ranked.select(
         "path",
         "n_sessions",

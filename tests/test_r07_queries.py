@@ -147,3 +147,31 @@ def test_audio_segments_match_silence_arithmetic(spark):
             spans.append(f"{start}-{AF_FRAMES - 1}")
         assert r.segments_csv == ",".join(sorted(spans))
         assert r.n_segments == len(spans)
+
+
+def test_session_gap_millisecond_boundary_semantics(spark):
+    """The 30-min session gap must count MILLISECOND BOUNDARIES
+    (FN.unix_ms truncate-then-subtract, the oracle's
+    datediff('millisecond') twin) — a fractional-ms diff
+    (unix_micros/1000) would split a session whose gap is
+    1800000.999 ms while the oracle does not (r07 review find)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F, Window
+    from taipei_bi_etl_spark import functions as FN
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 0)
+    t1 = t0 + dt.timedelta(microseconds=1_800_000_999)  # 1800000.999 ms
+    ev = spark.createDataFrame(
+        [(1, t0, 10), (1, t1, 11)], "user_id long, ts timestamp, event_id long"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = FN.unix_ms(F.col("ts")) - FN.unix_ms(F.lag("ts").over(w))
+    got = (
+        ev.withColumn("gap", gap_ms)
+        .filter(F.col("gap").isNotNull())
+        .collect()[0]
+        .gap
+    )
+    assert got == 1_800_000  # boundaries crossed — NOT > threshold
+    assert not (got > 30 * 60 * 1000)

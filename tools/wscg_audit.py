@@ -116,10 +116,19 @@ def main() -> None:
     from taipei_bi_etl_spark.session import get_spark
 
     only = None
-    if "--only" in sys.argv:
-        i = sys.argv.index("--only")
-        arg = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
-        only = set(arg.split("=", 1)[-1].split(","))
+    for i, tok in enumerate(sys.argv):
+        if tok == "--only":
+            if i + 1 >= len(sys.argv):
+                sys.exit("usage: wscg_audit.py [--only a,b,c]")
+            only = set(sys.argv[i + 1].split(","))
+        elif tok.startswith("--only="):
+            only = set(tok.split("=", 1)[1].split(","))
+    if only is not None:
+        from taipei_bi_etl_spark.queries import REGISTRY as _r
+
+        unknown = sorted(only - set(_r))
+        if unknown or not only:
+            sys.exit(f"--only: not registered: {unknown or '(empty)'}")
 
     spark = get_spark(app_name="wscg_audit", shuffle_partitions=8)
     # AQE off for the audit: codegen exclusion is AQE-independent, and a
