@@ -55,6 +55,7 @@ STRESS_QUERIES = [
     # this harness), so the row pins fixed-cost behavior; posting
     # growth is (L+1)/record (linear) by construction
     "fuzzy_name_linkage",
+    "fuzzy_linkage_clusters",
     # r06 additions: perceptual fingerprints (documents-driven media
     # synthesis, band/landmark inverted-index joins), deterministic
     # trained-state ANN (embeddings K×), and the cascade over the

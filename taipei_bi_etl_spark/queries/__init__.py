@@ -231,6 +231,7 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     paragraph_dedup,
     journey,
     linkage,
+    privacy,
     fingerprint,
     ann_deterministic,
 )

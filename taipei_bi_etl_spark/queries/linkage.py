@@ -149,3 +149,128 @@ def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs_lev1(
         read_table(spark, sf_dir, "customer"), "c_custkey", "c_name"
     )
+
+
+# Entity-resolution clusters: same-nation fuzzy pairs → connected
+# components.  The nation block is the standard ER compound rule
+# ("same entity iff same region AND name within one edit") and bounds
+# both engines: Spark's component diameter and the oracle's recursive
+# reach relation stay within one nation's customers (NULL nations
+# drop out of the plain equality in BOTH engines).
+_CLUSTER_ORACLE = """
+WITH RECURSIVE names AS (
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    WHERE c_name IS NOT NULL AND regexp_matches(c_name, '^[\\x00-\\x7f]*$')
+), vars AS (
+    SELECT c_custkey,
+           unnest(list_distinct(list_prepend(c_name,
+               list_transform(range(1, len(c_name) + 1),
+                   i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))))
+             AS v
+    FROM names
+), cand AS (
+    SELECT DISTINCT a.c_custkey AS k_a, b.c_custkey AS k_b
+    FROM vars a JOIN vars b USING (v)
+    WHERE a.c_custkey < b.c_custkey
+), pairs AS (
+    SELECT k_a, k_b
+    FROM cand
+    JOIN names na ON na.c_custkey = k_a
+    JOIN names nb ON nb.c_custkey = k_b
+    WHERE levenshtein(na.c_name, nb.c_name) <= 1
+      AND na.c_nationkey = nb.c_nationkey
+), reach(node, root) AS (
+    SELECT d, d FROM (SELECT k_a AS d FROM pairs
+                      UNION SELECT k_b FROM pairs) t(d)
+    UNION
+    SELECT e.b, r.root
+    FROM reach r
+    JOIN (SELECT k_a AS a, k_b AS b FROM pairs
+          UNION SELECT k_b, k_a FROM pairs) e ON e.a = r.node
+)
+SELECT node AS c_custkey, CAST(MIN(root) AS BIGINT) AS entity_id
+FROM reach GROUP BY node
+"""
+
+
+@query(
+    "fuzzy_linkage_clusters",
+    oracle=_CLUSTER_ORACLE,
+    tags=("linkage", "graph", "extension"),
+)
+def fuzzy_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution clusters: customers whose names are within one
+    edit AND share a nation are the same entity; output (c_custkey,
+    entity_id = min custkey of the component) for every customer in at
+    least one fuzzy pair.
+
+    The compound blocking rule is the point at scale: the edit-distance
+    block alone chains one-digit typos across the whole id space (a
+    giant component and an unbounded oracle reach relation); the nation
+    conjunct caps every component at one nation's customers — the ER
+    analog of the df_cap/bucket_cap guards.
+
+    BECAUSE components are bounded by the block, the closure is one
+    ``applyInPandas`` union-find per nation — ONE shuffle on the block
+    key, no driver-side loop.  The iterative `min_label_components`
+    form was measured and REJECTED here: the fuzzy typo graph's
+    diameter pushes it past ~20 rounds, where the per-round checkpoint
+    cost doubles each round (measured 0.6 s → 136 s by round 20 at
+    sf0.1 on 11 K nodes — see SCALE.md "min-label round-cost doubling").
+    Iterative CC remains the right tool when components are UNBOUNDED
+    (dedup near-clique graphs: few rounds); blocked ER is exactly the
+    bounded case.
+
+    The pandas closure is SELF-CONTAINED (no module references) so the
+    driver's foreign-cwd workers can unpickle it."""
+    cust = read_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs_lev1(cust, "c_custkey", "c_name")
+    nat_a = cust.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    nat_b = cust.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    same_nation = (
+        pairs.join(nat_a, "custkey_a")
+        .join(nat_b, "custkey_b")
+        .filter(F.col("nat_a") == F.col("nat_b"))
+        .select("nat_a", "custkey_a", "custkey_b")
+    )
+
+    def _cc(pdf):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["custkey_a"], pdf["custkey_b"]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = {n: find(n) for n in parent}
+        ent: dict = {}
+        for n, r in roots.items():
+            ent[r] = min(ent.get(r, n), n)
+        return pd.DataFrame(
+            {
+                "c_custkey": list(roots),
+                "entity_id": [ent[r] for r in roots.values()],
+            }
+        )
+
+    return same_nation.groupBy("nat_a").applyInPandas(
+        _cc, "c_custkey long, entity_id long"
+    )

@@ -72,3 +72,25 @@ def test_deletion_neighborhood_edges(spark):
     assert by_s[""] == [""]
     # deletions of "aab": "ab" (twice, deduped), "aa"
     assert by_s["aab"] == ["aa", "aab", "ab"]
+
+
+def test_clusters_respect_nation_blocking(spark, tmp_path):
+    """Same-nation lev ≤ 1 pairs merge; a cross-nation typo pair must
+    NOT merge (the compound ER rule that bounds component size)."""
+    rows = [
+        (1, "Customer#000000001", 7),
+        (2, "Customer#000000002", 7),   # lev 1 to #1, same nation → merge
+        (3, "Customer#000000003", 8),   # lev 1 to #1/#2, other nation
+        (4, "Customer#000000013", 8),   # lev 1 to #3, same nation → merge
+    ]
+    d = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long"
+    )
+    d.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    from taipei_bi_etl_spark.queries.linkage import fuzzy_linkage_clusters
+
+    got = {
+        r.c_custkey: r.entity_id
+        for r in fuzzy_linkage_clusters(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
