@@ -190,6 +190,7 @@ def paragraph_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cut")
     )
+    # bounded: `cut` is a single-row global aggregate (one scalar)
     segs_c = segs.crossJoin(F.broadcast(cut))
     hist = segs_c.filter(F.col("doc_id") <= F.col("cut")).drop("cut")
     new = segs_c.filter(F.col("doc_id") > F.col("cut")).drop("cut")
