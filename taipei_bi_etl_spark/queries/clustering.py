@@ -75,6 +75,16 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     graphs are unions of near-cliques (diameter ~2-3), so convergence
     is a handful of rounds, not O(n).  The per-round count() action is
     the loop's convergence check — driver sees a scalar only.
+
+    ROUTING (r07, measured): this form is for small-DIAMETER graphs
+    only.  Min labels propagate one graph hop per round (the pointer
+    jump compresses the label forest, not graph distance), so chain-
+    shaped graphs need O(diameter) rounds — and past ~15 rounds the
+    per-round checkpoint job cost doubles each round (SCALE.md
+    "min-label round-cost doubling"; mechanism still open).  When a
+    blocking key bounds components (entity resolution), use per-block
+    union-find in one applyInPandas pass instead
+    (`linkage.fuzzy_linkage_clusters`).
     """
     edges = pairs.select(
         F.col(a).alias("src"), F.col(b).alias("dst")
