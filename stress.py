@@ -56,6 +56,7 @@ STRESS_QUERIES = [
     # growth is (L+1)/record (linear) by construction
     "fuzzy_name_linkage",
     "fuzzy_linkage_clusters",
+    "fuzzy_linkage_incremental",
     # r06 additions: perceptual fingerprints (documents-driven media
     # synthesis, band/landmark inverted-index joins), deterministic
     # trained-state ANN (embeddings K×), and the cascade over the

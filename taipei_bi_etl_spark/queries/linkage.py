@@ -90,37 +90,26 @@ def deletion_neighborhood(s: Column) -> Column:
     )
 
 
-def fuzzy_pairs_lev1(
-    recs: DataFrame, key: str, name: str
-) -> DataFrame:
-    """All (key_a, key_b, name_a, name_b, dist) pairs with
-    levenshtein ≤ 1 over a (key, name) frame — deletion-neighborhood
-    candidates, exact verify.  Completeness proof in the module doc.
+def _ascii_base(recs: DataFrame, key: str, name: str) -> DataFrame:
+    """(key, name) under the agreed ASCII / NOT NULL linkage contract."""
+    return recs.filter(
+        F.col(name).isNotNull() & F.col(name).rlike("^[\\x00-\\x7f]*$")
+    ).select(key, name)
 
-    ASCII-only contract (agreed with the oracle): DuckDB levenshtein
-    counts BYTES, Spark counts CHARS — identical only on ASCII, so
-    non-ASCII names are excluded in BOTH engines (battery-pinned)."""
-    # base feeds three subtrees (index + both verify sides); persist so
-    # the scan + guard run once per job (same pattern as the shingle
-    # index families)
-    base = (
-        recs.filter(
-            F.col(name).isNotNull() & F.col(name).rlike("^[\\x00-\\x7f]*$")
-        )
-        .select(key, name)
-        .persist()
-    )
-    idx = base.select(
+
+def _nbr_index(base: DataFrame, key: str, name: str) -> DataFrame:
+    """(k, v): each record under every deletion-neighborhood variant."""
+    return base.select(
         F.col(key).alias("k"),
         F.explode(deletion_neighborhood(F.col(name))).alias("v"),
     )
-    a, b = idx.alias("a"), idx.alias("b")
-    cand = (
-        a.join(b, "v")
-        .filter(F.col("a.k") < F.col("b.k"))
-        .select(F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"))
-        .distinct()
-    )
+
+
+def _verify_lev1(
+    cand: DataFrame, base: DataFrame, key: str, name: str
+) -> DataFrame:
+    """Exact-verify candidate (k_a, k_b) pairs: join names, keep
+    levenshtein ≤ 1, emit the linkage output columns."""
     na = base.select(F.col(key).alias("k_a"), F.col(name).alias("name_a"))
     nb = base.select(F.col(key).alias("k_b"), F.col(name).alias("name_b"))
     dist = F.levenshtein("name_a", "name_b")
@@ -136,6 +125,31 @@ def fuzzy_pairs_lev1(
             dist.cast("int").alias("dist"),
         )
     )
+
+
+def fuzzy_pairs_lev1(
+    recs: DataFrame, key: str, name: str
+) -> DataFrame:
+    """All (key_a, key_b, name_a, name_b, dist) pairs with
+    levenshtein ≤ 1 over a (key, name) frame — deletion-neighborhood
+    candidates, exact verify.  Completeness proof in the module doc.
+
+    ASCII-only contract (agreed with the oracle): DuckDB levenshtein
+    counts BYTES, Spark counts CHARS — identical only on ASCII, so
+    non-ASCII names are excluded in BOTH engines (battery-pinned)."""
+    # base feeds three subtrees (index + both verify sides); persist so
+    # the scan + guard run once per job (same pattern as the shingle
+    # index families)
+    base = _ascii_base(recs, key, name).persist()
+    idx = _nbr_index(base, key, name)
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("a.k") < F.col("b.k"))
+        .select(F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"))
+        .distinct()
+    )
+    return _verify_lev1(cand, base, key, name)
 
 
 @query("fuzzy_name_linkage", oracle=_FUZZY_ORACLE, tags=("linkage", "extension"))
@@ -274,3 +288,69 @@ def fuzzy_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return same_nation.groupBy("nat_a").applyInPandas(
         _cc, "c_custkey long, entity_id long"
     )
+
+
+@query(
+    "fuzzy_linkage_incremental",
+    oracle=_FUZZY_ORACLE,
+    tags=("linkage", "ivm", "extension"),
+)
+def fuzzy_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy linkage against a persisted deletion-
+    neighborhood index — the daily-batch form, completing the
+    incremental family (MinHash / SimHash / images / paragraphs /
+    names all share the pattern: the ORACLE is the FULL recompute, so
+    the driver hash gate proves the IVM identity).
+
+    APPEND-ONLY split: new batch = custkeys above the 75th-percentile
+    id cut (one 1-row aggregate, broadcast).  The full pair set
+    decomposes EXACTLY (no approximation — pairs are symmetric and
+    every pair has both ends in history, both in the batch, or one in
+    each):
+
+    * history × history: yesterday's stored pair set (derived in-plan
+      here so the driver can hash the union; `ivm_store` applies
+      verbatim if persisted);
+    * new × history: the new names' variants PROBE the history index —
+      daily cost ∝ |batch| postings + matched buckets;
+    * new × new: batch-local self-join.
+
+    History names are never re-indexed in the stored-state deployment;
+    all new ids exceed all history ids, so cross pairs are already
+    (history, new) = (smaller, larger) ordered."""
+    cust = read_table(spark, sf_dir, "customer")
+    base = _ascii_base(cust, "c_custkey", "c_name").persist()
+    cut = base.agg(
+        (
+            F.max("c_custkey")
+            - (F.max("c_custkey") - F.min("c_custkey")) / 4
+        )
+        .cast("long")
+        .alias("cut")
+    )
+    # bounded: `cut` is a single-row global aggregate (one scalar)
+    base_c = base.crossJoin(F.broadcast(cut))
+    hist = base_c.filter(F.col("c_custkey") <= F.col("cut")).drop("cut")
+    new = base_c.filter(F.col("c_custkey") > F.col("cut")).drop("cut")
+    idx_h = _nbr_index(hist, "c_custkey", "c_name")
+    idx_n = _nbr_index(new, "c_custkey", "c_name")
+
+    def _cand(left, right, strict):
+        cond = (
+            F.col("a.k") < F.col("b.k")
+            if strict
+            else F.lit(True)
+        )
+        return (
+            left.alias("a")
+            .join(right.alias("b"), "v")
+            .filter(cond)
+            .select(F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"))
+            .distinct()
+        )
+
+    hist_pairs = _cand(idx_h, idx_h, True)     # yesterday's stored set
+    cross_pairs = _cand(idx_h, idx_n, False)   # probe: hist < new always
+    new_pairs = _cand(idx_n, idx_n, True)      # batch-local
+    cand = hist_pairs.unionByName(cross_pairs).unionByName(new_pairs)
+    return _verify_lev1(cand, base, "c_custkey", "c_name")
