@@ -171,10 +171,28 @@ def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines: Spark's component diameter and the oracle's recursive
 # reach relation stay within one nation's customers (NULL nations
 # drop out of the plain equality in BOTH engines).
+#
+# CANONICAL-ROW CONTRACT (r07 second review pass): a duplicated
+# c_custkey with DIFFERENT (name, nation) rows would otherwise make
+# the engines diverge two ways — Spark's post-join nation check could
+# pair a name-row with the OTHER row's nation, and a dup key bridging
+# two nations would merge components globally in the oracle's reach
+# relation while landing in two per-nation groups in Spark.  ER
+# requires a well-formed record id, so BOTH engines first dedupe to
+# one canonical row per key (min (name, nation), nations NULLS FIRST
+# — explicit, because DuckDB default-sorts ASC NULLS LAST while
+# Spark sorts NULLS FIRST).  The hostile battery ships exactly the
+# dup-key shape, pinning the contract.
 _CLUSTER_ORACLE = """
 WITH RECURSIVE names AS (
-    SELECT c_custkey, c_name, c_nationkey FROM customer
-    WHERE c_name IS NOT NULL AND regexp_matches(c_name, '^[\\x00-\\x7f]*$')
+    SELECT c_custkey, c_name, c_nationkey FROM (
+        SELECT c_custkey, c_name, c_nationkey FROM customer
+        WHERE c_name IS NOT NULL
+          AND regexp_matches(c_name, '^[\\x00-\\x7f]*$')
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY c_custkey
+            ORDER BY c_name, c_nationkey NULLS FIRST) = 1
+    )
 ), vars AS (
     SELECT c_custkey,
            unnest(list_distinct(list_prepend(c_name,
@@ -236,22 +254,64 @@ def fuzzy_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded case.
 
     The pandas closure is SELF-CONTAINED (no module references) so the
-    driver's foreign-cwd workers can unpickle it."""
+    driver's foreign-cwd workers can unpickle it.
+
+    CANONICAL-ROW CONTRACT: both engines first dedupe to one row per
+    c_custkey (min (name, nation), NULLS FIRST explicit — DuckDB
+    defaults ASC NULLS LAST, Spark NULLS FIRST).  Without it a dup
+    key with differing rows decouples the name match from the nation
+    check and can bridge two nations' components — the second r07
+    review pass caught both as latent driver-gate divergences; the
+    hostile battery's dup-key customer pins the contract."""
+    from pyspark.sql import Window as _W
+
     cust = read_table(spark, sf_dir, "customer")
-    pairs = fuzzy_pairs_lev1(cust, "c_custkey", "c_name")
-    nat_a = cust.select(
-        F.col("c_custkey").alias("custkey_a"),
+    rn = F.row_number().over(
+        _W.partitionBy("c_custkey").orderBy(
+            F.col("c_name").asc(), F.col("c_nationkey").asc_nulls_first()
+        )
+    )
+    names = (
+        cust.filter(
+            F.col("c_name").isNotNull()
+            & F.col("c_name").rlike("^[\\x00-\\x7f]*$")
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
+    )
+    idx = _nbr_index(names, "c_custkey", "c_name")
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("a.k") < F.col("b.k"))
+        .select(F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"))
+        .distinct()
+    )
+    na = names.select(
+        F.col("c_custkey").alias("k_a"),
+        F.col("c_name").alias("name_a"),
         F.col("c_nationkey").alias("nat_a"),
     )
-    nat_b = cust.select(
-        F.col("c_custkey").alias("custkey_b"),
+    nb = names.select(
+        F.col("c_custkey").alias("k_b"),
+        F.col("c_name").alias("name_b"),
         F.col("c_nationkey").alias("nat_b"),
     )
     same_nation = (
-        pairs.join(nat_a, "custkey_a")
-        .join(nat_b, "custkey_b")
-        .filter(F.col("nat_a") == F.col("nat_b"))
-        .select("nat_a", "custkey_a", "custkey_b")
+        cand.join(na, "k_a")
+        .join(nb, "k_b")
+        .filter(
+            (F.levenshtein("name_a", "name_b") <= 1)
+            & (F.col("nat_a") == F.col("nat_b"))
+        )
+        .select(
+            F.col("nat_a"),
+            F.col("k_a").alias("custkey_a"),
+            F.col("k_b").alias("custkey_b"),
+        )
     )
 
     def _cc(pdf):
@@ -273,15 +333,13 @@ def fuzzy_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
             if ra != rb:
+                # union-by-min keeps the invariant root == component
+                # minimum, so the root IS the entity id
                 parent[max(ra, rb)] = min(ra, rb)
-        roots = {n: find(n) for n in parent}
-        ent: dict = {}
-        for n, r in roots.items():
-            ent[r] = min(ent.get(r, n), n)
         return pd.DataFrame(
             {
-                "c_custkey": list(roots),
-                "entity_id": [ent[r] for r in roots.values()],
+                "c_custkey": list(parent),
+                "entity_id": [find(n) for n in parent],
             }
         )
 

@@ -94,3 +94,42 @@ def test_clusters_respect_nation_blocking(spark, tmp_path):
         for r in fuzzy_linkage_clusters(spark, str(tmp_path)).collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_clusters_canonical_row_contract(spark, tmp_path):
+    """Duplicate c_custkey rows: both engines dedupe to the canonical
+    (min name, min nation) row BEFORE pairing — the dup row's other
+    nation must neither validate a pair (nation decoupled from the
+    matched name row) nor bridge two nations' components (second r07
+    review pass findings)."""
+    import duckdb
+
+    from taipei_bi_etl_spark.queries.linkage import (
+        _CLUSTER_ORACLE,
+        fuzzy_linkage_clusters,
+    )
+    from tests.oracle_utils import compare
+
+    rows = [
+        (1, "Customer#000000001", 7),
+        (1, "Zzz#unrelated#name1", 8),   # dup key, other nation: dropped
+        (2, "Customer#000000002", 7),    # pairs with canonical #1
+        (3, "Zzz#unrelated#name2", 8),   # lev 1 to the DROPPED row only
+    ]
+    d = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long"
+    )
+    d.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {
+        r.c_custkey: r.entity_id
+        for r in fuzzy_linkage_clusters(spark, str(tmp_path)).collect()
+    }
+    # node 3's only fuzzy neighbor is the non-canonical dropped row, so
+    # it must NOT appear; 1-2 merge in nation 7
+    assert got == {1: 1, 2: 1}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{tmp_path}/customer.parquet/*.parquet')"
+    )
+    compare(fuzzy_linkage_clusters(spark, str(tmp_path)), con, _CLUSTER_ORACLE)
+    con.close()
