@@ -53,7 +53,17 @@ def as_utc_ts(ts: Column | str) -> Column:
 
 
 def unix_ms(ts: Column | str) -> Column:
-    """Epoch milliseconds of a TIMESTAMP or TIMESTAMP_NTZ column."""
+    """Epoch milliseconds of a TIMESTAMP or TIMESTAMP_NTZ column.
+
+    POST-EPOCH ASSUMPTION (cross-engine contract): ``unix_millis``
+    truncates microseconds toward zero (Java long division), while the
+    DuckDB twin ``datediff('millisecond', epoch, ts)`` counts boundary
+    crossings (floor).  Truncate-toward-zero == floor only for ts >=
+    1970-01-01; a PRE-epoch sub-millisecond timestamp would diverge by
+    one.  Every corpus in the contract is post-epoch (testdata events
+    are 2024); if pre-1970 data ever enters, both sides must switch to
+    an explicit floor (``floor(unix_micros/1000)`` vs the same
+    datediff)."""
     return F.unix_millis(as_utc_ts(ts))
 
 

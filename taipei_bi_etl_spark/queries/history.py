@@ -85,7 +85,11 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~25% measured at sf0.1).  This is an AGREED TEXTUAL EXCLUSION
     applied identically in the oracle (``LIKE '%"k"%'``): a
     unicode-escaped key (``{"\\u006b": 1}``) no longer updates the
-    dimension in EITHER engine — battery-pinned.
+    dimension in EITHER engine — battery-pinned.  COUPLED-CHANGE RULE
+    (r07 ADVICE): if the attribute key ever changes from ``k``, three
+    sites must move together — this ``contains`` literal, the oracle's
+    ``LIKE '%"k"%'`` conjunct, and the hostile battery's escaped-key /
+    escaped-sibling rows — or the engines diverge on escaped keys.
     """
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("props").contains('"k"')

@@ -139,7 +139,10 @@ def fuzzy_pairs_lev1(
     non-ASCII names are excluded in BOTH engines (battery-pinned)."""
     # base feeds three subtrees (index + both verify sides); persist so
     # the scan + guard run once per job (same pattern as the shingle
-    # index families)
+    # index families).  No unpersist here by design: the returned frame
+    # still consumes the cache — the registry wrapper's release-on-next-
+    # invocation contract (queries/__init__._TRACKED) frees it, so
+    # registry-wide sweeps hold at most one query's caches.
     base = _ascii_base(recs, key, name).persist()
     idx = _nbr_index(base, key, name)
     a, b = idx.alias("a"), idx.alias("b")
@@ -220,7 +223,8 @@ WITH RECURSIVE names AS (
     JOIN (SELECT k_a AS a, k_b AS b FROM pairs
           UNION SELECT k_b, k_a FROM pairs) e ON e.a = r.node
 )
-SELECT node AS c_custkey, CAST(MIN(root) AS BIGINT) AS entity_id
+SELECT CAST(node AS BIGINT) AS c_custkey,
+       CAST(MIN(root) AS BIGINT) AS entity_id
 FROM reach GROUP BY node
 """
 
