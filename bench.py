@@ -182,10 +182,23 @@ def compute_breaches(
     proportional 1.5×budget term, never the +0.5 s jitter floor: in a
     hot session a sub-second query can no longer drift to
     ~budget + inflation×0.5 s without firing.
+
+    r08 (VERDICT r07 #3) — SUB-SECOND RATIO TIER: the +0.5 s floor is
+    itself capped at ``inflation × {RATIO_TRIP} × budget``.  For the
+    smallest budgets the absolute floor used to be the whole story (a
+    0.17 s entry could reach ~4× budget without firing); now any entry
+    whose median exceeds {RATIO_TRIP}× its (inflation-scaled) budget
+    fires regardless of the floor.  {RATIO_TRIP} = 2.5 sits well above
+    the worst median ratio ever observed on a hot driver session
+    (~1.7× raw, r07) and bench medians-of-3 already absorb single-pass
+    GC spikes, so the tier detects real plan regressions, not jitter.
+    For budgets ≥ 1 s the proportional 1.5× term dominates and the
+    tier changes nothing.
     """
     import statistics
 
     INFLATION_CAP = 1.5
+    RATIO_TRIP = 2.5
     ratios = [
         t / budgets[n] for n, t in timings.items() if n in budgets
     ]
@@ -196,7 +209,13 @@ def compute_breaches(
         )
 
     def _limit(budget: float) -> float:
-        return max(inflation * 1.5 * budget, budget + 0.5)
+        # floor-with-ratio-cap: the jitter floor cannot push the limit
+        # past RATIO_TRIP × the inflation-scaled budget (always ≥ the
+        # proportional 1.5× term, so only the floor is ever capped)
+        return min(
+            max(inflation * 1.5 * budget, budget + 0.5),
+            inflation * RATIO_TRIP * budget,
+        )
 
     breaches = {
         name: {

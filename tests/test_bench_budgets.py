@@ -61,12 +61,56 @@ def test_single_query_regression_fires_even_when_session_hot():
 
 
 def test_subsecond_jitter_floor():
-    # A 0.3 s query at 0.75 s is inside the +0.5 s absolute floor —
-    # per-query jitter on tiny entries must not fire.
+    # A 0.3 s query at 0.72 s (2.4× budget) is inside BOTH the +0.5 s
+    # absolute floor and the 2.5× ratio cap — per-query jitter on tiny
+    # entries must not fire.  (r08: was pinned at 0.79 = 2.63×, which
+    # the ratio tier now deliberately catches — see the tier tests.)
+    t = _at_budget()
+    t["q3"] = 0.72
+    infl, breaches = bench.compute_breaches(t, BUDGETS)
+    assert breaches == {}
+
+
+def test_subsecond_ratio_tier_fires_inside_floor():
+    # r08 (VERDICT r07 #3): a tiny-budget entry regressing past 2.5×
+    # its budget must fire EVEN under the +0.5 s floor.  q3 (budget
+    # 0.3) at 0.79 s = 2.63× sits inside the old floor limit (0.8 s)
+    # — the ratio cap (2.5 × 0.3 = 0.75) catches it.
     t = _at_budget()
     t["q3"] = 0.79
     infl, breaches = bench.compute_breaches(t, BUDGETS)
+    assert list(breaches) == ["q3"]
+    assert breaches["q3"]["limit"] == 0.75
+
+
+def test_subsecond_ratio_tier_scales_with_inflation():
+    # The ratio cap multiplies the session common mode like the
+    # proportional term.  Budget 0.15 in a 1.4×-hot session: cap =
+    # 1.4 × 2.5 × 0.15 = 0.525 (binding — below the 0.65 floor), so
+    # 0.45 s (3× raw but ≈2.1× normalized) must NOT fire while 0.55 s
+    # (>2.6× normalized) must.
+    budgets = dict(BUDGETS, tiny=0.15)
+    t = {n: 1.4 * b for n, b in budgets.items()}
+    t["tiny"] = 0.45
+    infl, breaches = bench.compute_breaches(t, budgets)
     assert breaches == {}
+    t["tiny"] = 0.55
+    infl, breaches = bench.compute_breaches(t, budgets)
+    assert list(breaches) == ["tiny"]
+    assert abs(breaches["tiny"]["limit"] - 0.525) < 1e-9
+
+
+def test_ratio_tier_inert_for_proportional_budgets():
+    # For budgets ≥ 1 s the 1.5× proportional term is the binding limit
+    # (2.5× > 1.5×); the tier must not loosen or tighten anything: a
+    # 2 s entry at 2.9 s (< 3.0 limit) stays green, 3.1 s fires.
+    t = _at_budget()
+    t["q2"] = 2.9
+    infl, breaches = bench.compute_breaches(t, BUDGETS)
+    assert breaches == {}
+    t["q2"] = 3.1
+    infl, breaches = bench.compute_breaches(t, BUDGETS)
+    assert list(breaches) == ["q2"]
 
 
 def test_unbudgeted_queries_ignored():
