@@ -103,6 +103,13 @@ HEADLINE = [
 #: tripping on per-query jitter; budgets are refreshed when a
 #: deliberate plan change moves a query.
 BUDGETS = {
+    # r08 (VERDICT r07 #1): the r07 driver artifact showed 0.907 s /
+    # 9.606 s on cohort_retention / dedup_embedding_lsh with unchanged
+    # plans — investigated with tools/drift_probe.py (5 quiet-machine
+    # interleaved passes, 3 stable controls): medians 0.476 s / 7.203 s
+    # at control inflation 1.106 ≈ 0.43 / 6.5 normalized, reproducing
+    # the r06 numbers exactly.  The drift was session weather; budgets
+    # confirmed, unchanged.
     "cohort_retention": 0.53,
     "active_user_counts": 0.32,
     "lead_sessionize": 0.33,

@@ -34,11 +34,25 @@ stays linear too.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.io import read_table
 from taipei_bi_etl_spark.queries import query
+
+#: Per-block candidate-edge cap for the ER closure (r08, VERDICT r07
+#: #2).  `fuzzy_linkage_clusters` ships ONE block's whole verified-edge
+#: list into one pandas union-find task; with skewed geography a hot
+#: nation's edge list is the binding constraint (the applyInPandas
+#: parallelism is <= |blocks|).  Blocks past this cap are routed to the
+#: iterative `min_label_components` path, which shuffles edges by node
+#: key across ALL cores — same answer (components are identical;
+#: entity_id = component minimum under both closures), different
+#: physical strategy.  2M edges ~ a few hundred MB as a pandas frame —
+#: comfortably one-task-sized; override for tests/stress via env.
+_ER_EDGE_CAP = int(os.environ.get("SPARK_GRAFT_ER_EDGE_CAP", "2000000"))
 
 # ASCII guard (agreed exclusion, battery-pinned): DuckDB's levenshtein
 # is BYTE-based ('café'→'cafe' = 2: é is two UTF-8 bytes) while
