@@ -133,3 +133,48 @@ def test_clusters_canonical_row_contract(spark, tmp_path):
     )
     compare(fuzzy_linkage_clusters(spark, str(tmp_path)), con, _CLUSTER_ORACLE)
     con.close()
+
+def test_blocked_components_edge_cap_routing(spark):
+    """r08 (VERDICT r07 #2): the edge-count guard must route an
+    oversized block to the iterative closure and return EXACTLY the
+    un-routed union-find answer.  Skewed corpus: nation 0 holds a
+    60-node near-clique chain (~50%+ of all edges), nations 1-3 hold
+    small components."""
+    from taipei_bi_etl_spark.queries.linkage import blocked_components
+
+    edges = []
+    # hot nation 0: chain 100..159 (one 60-node component, 59 edges)
+    # plus a clique 200..209 (45 edges) => 104 edges
+    edges += [(0, 100 + i, 101 + i) for i in range(59)]
+    edges += [
+        (0, 200 + i, 200 + j) for i in range(10) for j in range(i + 1, 10)
+    ]
+    # cool nations: one 3-node path each (2 edges)
+    for nat in (1, 2, 3):
+        edges += [(nat, 1000 * nat, 1000 * nat + 1),
+                  (nat, 1000 * nat + 1, 1000 * nat + 2)]
+    df = spark.createDataFrame(
+        edges, "nat_a long, custkey_a long, custkey_b long"
+    )
+    unrouted = {
+        (r.c_custkey, r.entity_id)
+        for r in blocked_components(df, edge_cap=10**9).collect()
+    }
+    routed = {
+        (r.c_custkey, r.entity_id)
+        for r in blocked_components(df, edge_cap=10).collect()
+    }
+    assert routed == unrouted
+    # sanity: the hot chain collapsed to its minimum, cliques intact
+    assert (159, 100) in routed and (209, 200) in routed
+    assert (3002, 3000) in routed
+
+
+def test_clusters_guard_default_cap_inert_on_corpus(spark, tmp_path):
+    """The production cap (2M edges) must never trip on the test corpus
+    — the driver-gated plan is the one-pass union-find."""
+    import os
+
+    from taipei_bi_etl_spark.queries import linkage
+
+    assert linkage._ER_EDGE_CAP == 2_000_000 or "SPARK_GRAFT_ER_EDGE_CAP" in os.environ
