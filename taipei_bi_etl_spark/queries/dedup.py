@@ -432,13 +432,17 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL all-pairs recompute; this plan computes
     ``pairs(history) ∪ probe(new, index(history) ∪ index(new))`` —
     equal because the block join is pigeonhole-complete and the
-    normalize+distinct covers each unordered pair once."""
+    normalize+distinct covers each unordered pair once (r08: plumbing
+    via the shared `incremental.incremental_pairs` scaffold)."""
+    from taipei_bi_etl_spark.queries.incremental import incremental_pairs
+
     fps = simhash_fingerprints(_doc_shingles(spark, sf_dir)).persist()
-    hist = simhash_block_index(fps.filter(F.col("doc_id") % 4 != 3))
-    new = simhash_block_index(fps.filter(F.col("doc_id") % 4 == 3))
-    yesterday = simhash_pairs_from_blocks(hist, hist)
-    delta = simhash_pairs_from_blocks(new, hist.unionByName(new))
-    return yesterday.unionByName(delta).distinct()
+    return incremental_pairs(
+        fps.filter(F.col("doc_id") % 4 != 3),
+        fps.filter(F.col("doc_id") % 4 == 3),
+        simhash_block_index,
+        simhash_pairs_from_blocks,
+    )
 
 
 def simhash_block_index(fps: DataFrame) -> DataFrame:

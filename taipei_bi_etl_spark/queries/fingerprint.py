@@ -369,17 +369,18 @@ def multimodal_phash_dedup_incremental(
     equality holds because the band join is pigeonhole-complete and
     every pair has a side ordering, so the union covers
     history×history (yesterday's answer), new×history and new×new
-    (today's delta) exactly once after the normalize+distinct."""
+    (today's delta) exactly once after the normalize+distinct (r08:
+    plumbing via the shared `incremental.incremental_pairs`
+    scaffold)."""
+    from taipei_bi_etl_spark.queries.incremental import incremental_pairs
+
     hashes = phash_hashes(phash_media(spark, sf_dir)).persist()
-    hist = hashes.filter(~_phash_is_new("media_id"))
-    new = hashes.filter(_phash_is_new("media_id"))
-    hist_bands = phash_band_index(hist)
-    new_bands = phash_band_index(new)
-    yesterday = phash_pairs_from_bands(hist_bands, hist_bands)
-    delta = phash_pairs_from_bands(
-        new_bands, hist_bands.unionByName(new_bands)
+    return incremental_pairs(
+        hashes.filter(~_phash_is_new("media_id")),
+        hashes.filter(_phash_is_new("media_id")),
+        phash_band_index,
+        phash_pairs_from_bands,
     )
-    return yesterday.unionByName(delta).distinct()
 
 
 # ---------------------------------------------------------------------------

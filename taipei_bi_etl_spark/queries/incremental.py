@@ -1,0 +1,93 @@
+"""Incremental-form scaffold (r08, VERDICT r07 #7).
+
+Every incremental operator in this engine repeats one shape — split the
+corpus into (history, new batch), index both sides, compute
+
+    full(history ∪ new)  =  yesterday(history)  ∪  probe(new, both)
+
+and prove the identity by giving the driver gate the FULL recompute as
+the oracle (the hash match IS the IVM proof).  Six operators grew the
+pattern independently (MinHash / SimHash / image phash / paragraph /
+fuzzy linkage / retention); this module is the one copy of the split
+and probe plumbing so the next incremental form is ~30 lines of
+domain code (index_fn + pairs_fn) instead of a re-derivation.
+
+Two batch-split conventions exist, both append-only (every new id
+exceeds every history id, so cross pairs are already ordered):
+
+* :func:`quantile_cut_split` — ids above the 75th-percentile cut are
+  the new batch (paragraph / linkage / n-gram families);
+* a modular predicate on the id (SimHash / phash families, where the
+  planted-copy offset must land copies in a known batch) — trivially
+  two filters, composed inline at the call site.
+
+In the stored-state deployment the history index is persisted bucketed
+on its join key (`scale.write_bucketed`; versioned commits in
+`ivm_store`), so probes co-locate without re-shuffling history; here
+both sides derive in-plan from one corpus so the driver can hash the
+whole union.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantile_cut_split(
+    base: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Append-only (history, new) split of ``base`` at the
+    75th-percentile id cut: ``new = id > max - (max - min)/4``.
+
+    The cut is ONE single-row global aggregate, broadcast into both
+    filters — no second scan, no driver-side value.  Because ids are
+    assigned monotonically in every corpus under this contract, the
+    split models "yesterday's table plus today's append" exactly, and
+    every cross pair is (history, new) = (smaller, larger) ordered."""
+    cut = base.agg(
+        (
+            F.max(id_col) - (F.max(id_col) - F.min(id_col)) / 4
+        )
+        .cast("long")
+        .alias("__cut")
+    )
+    # bounded: `__cut` is a single-row global aggregate (one scalar)
+    based = base.crossJoin(F.broadcast(cut))
+    hist = based.filter(F.col(id_col) <= F.col("__cut")).drop("__cut")
+    new = based.filter(F.col(id_col) > F.col("__cut")).drop("__cut")
+    return hist, new
+
+
+def incremental_pairs(
+    hist: DataFrame,
+    new: DataFrame,
+    index_fn: Callable[[DataFrame], DataFrame],
+    pairs_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    probe_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """``pairs(hist ∪ new)`` decomposed as
+    ``pairs_fn(index(hist), index(hist)) ∪ probe_fn(index(new),
+    index(hist) ∪ index(new))``, deduplicated.
+
+    ``pairs_fn(probe, index)`` must emit NORMALIZED pair rows (doc_a <
+    doc_b via least/greatest, or an equivalent ordering) for all pairs
+    with at least one side in ``probe`` — then the decomposition is
+    exact: history×history is yesterday's stored answer, and the probe
+    term covers new×history and new×new exactly once after the final
+    ``distinct``.  ``probe_fn`` defaults to ``pairs_fn``; pass a
+    separate probe form when the self-join shape uses a strict ``a <
+    b`` filter that the probe (where only ONE side is the batch) cannot
+    (the n-gram overlap family).
+
+    Daily cost is ∝ |batch| postings + matched index buckets — history
+    is re-read only where a key collides with the batch."""
+    hist_idx = index_fn(hist)
+    new_idx = index_fn(new)
+    yesterday = pairs_fn(hist_idx, hist_idx)
+    delta = (probe_fn or pairs_fn)(
+        new_idx, hist_idx.unionByName(new_idx)
+    )
+    return yesterday.unionByName(delta).distinct()

@@ -439,20 +439,11 @@ def fuzzy_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     History names are never re-indexed in the stored-state deployment;
     all new ids exceed all history ids, so cross pairs are already
     (history, new) = (smaller, larger) ordered."""
+    from taipei_bi_etl_spark.queries.incremental import quantile_cut_split
+
     cust = read_table(spark, sf_dir, "customer")
     base = _ascii_base(cust, "c_custkey", "c_name").persist()
-    cut = base.agg(
-        (
-            F.max("c_custkey")
-            - (F.max("c_custkey") - F.min("c_custkey")) / 4
-        )
-        .cast("long")
-        .alias("cut")
-    )
-    # bounded: `cut` is a single-row global aggregate (one scalar)
-    base_c = base.crossJoin(F.broadcast(cut))
-    hist = base_c.filter(F.col("c_custkey") <= F.col("cut")).drop("cut")
-    new = base_c.filter(F.col("c_custkey") > F.col("cut")).drop("cut")
+    hist, new = quantile_cut_split(base, "c_custkey")
     idx_h = _nbr_index(hist, "c_custkey", "c_name")
     idx_n = _nbr_index(new, "c_custkey", "c_name")
 

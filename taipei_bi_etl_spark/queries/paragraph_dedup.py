@@ -184,16 +184,10 @@ def paragraph_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-segmented in the stored-state deployment (here both sides are
     derived in-plan from one corpus so the driver can hash the whole
     thing — the `ivm_store` pattern applies verbatim if persisted)."""
+    from taipei_bi_etl_spark.queries.incremental import quantile_cut_split
+
     segs = _segments(read_table(spark, sf_dir, "documents")).persist()
-    cut = segs.agg(
-        (F.max("doc_id") - (F.max("doc_id") - F.min("doc_id")) / 4)
-        .cast("long")
-        .alias("cut")
-    )
-    # bounded: `cut` is a single-row global aggregate (one scalar)
-    segs_c = segs.crossJoin(F.broadcast(cut))
-    hist = segs_c.filter(F.col("doc_id") <= F.col("cut")).drop("cut")
-    new = segs_c.filter(F.col("doc_id") > F.col("cut")).drop("cut")
+    hist, new = quantile_cut_split(segs, "doc_id")
     hist_kept = _first_occurrence(hist)
     # probe: new segments whose hash exists in history are dropped
     # outright; survivors compete batch-locally
