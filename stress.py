@@ -40,6 +40,9 @@ STRESS_QUERIES = [
     # journey analytics (bounded-key rollups over one user/query pass)
     "multimodal_phash_dedup_incremental",
     "dedup_simhash_incremental",
+    # r08: seventh incremental form (scaffold-built) — probe volume
+    # bounded by batch postings + collided shingle buckets
+    "dedup_ngram_jaccard_incremental",
     "paragraph_dedup_report",
     "paragraph_dedup_incremental",
     "search_rank_eval",

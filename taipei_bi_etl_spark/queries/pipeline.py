@@ -166,6 +166,103 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d.select("doc_id", _tokens().alias("tok")))
 
 
+def _jaccard_from_index(
+    probe: DataFrame, index: DataFrame, normalized: bool,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Jaccard-≥-threshold pairs with at least one side in ``probe``
+    (postings frames of (doc_id, shingle)); sizes come from ``index``,
+    which must contain every doc either side of a pair (true in both
+    scaffold terms: yesterday passes hist twice; the probe term's
+    index is the full union).
+
+    ``normalized=False`` is the self-join shape (strict ``a < b`` —
+    each pair meets once per shared shingle, no dedup needed);
+    ``normalized=True`` is the probe shape, where only ONE side is the
+    batch, so cross pairs arrive (new, hist) = (larger, smaller) and
+    need least/greatest + a per-(pair, shingle) distinct (new×new
+    pairs meet in both orders)."""
+    sizes = index.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = probe.alias("a"), index.alias("b")
+    joined = a.join(b, "shingle")
+    if normalized:
+        hits = (
+            joined.filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                "shingle",
+            )
+            .distinct()
+        )
+    else:
+        hits = joined.filter(F.col("a.doc_id") < F.col("b.doc_id")).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "shingle",
+        )
+    pair_inter = hits.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        pair_inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_incremental",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "ivm", "extension"),
+)
+def dedup_ngram_jaccard_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental exact n-gram Jaccard dedup against a persisted
+    shingle-postings index — the SEVENTH incremental form, and the
+    first written ON the r08 scaffold (`incremental.quantile_cut_split`
+    + `incremental_pairs`): the domain code is one index (the shingle
+    postings the full `dedup_ngram_jaccard` already shuffles) and one
+    pair scorer (`_jaccard_from_index`), ~30 lines.
+
+    IVM identity, hash-proven by the driver gate: the ORACLE is the
+    FULL all-pairs recompute; the plan computes ``pairs(hist) ∪
+    probe(new, postings(hist) ∪ postings(new))``.  Exactness holds
+    because the shingle split is per-doc (every posting of a doc lands
+    on its side of the cut), so yesterday's sizes/intersections are
+    final, and the probe term covers every pair touching the batch
+    once (normalized least/greatest + per-(pair, shingle) distinct).
+    Daily cost ∝ |batch| postings + collided buckets — history text is
+    never re-shingled in the stored-state deployment
+    (`scale.write_bucketed` on the shingle key)."""
+    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+    from taipei_bi_etl_spark.queries.incremental import (
+        incremental_pairs,
+        quantile_cut_split,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(shingle_hash_array(_tokens())).alias("shingle"),
+    ).persist()
+    hist, new = quantile_cut_split(sh, "doc_id")
+    return incremental_pairs(
+        hist,
+        new,
+        lambda postings: postings,  # postings ARE the index
+        lambda p, i: _jaccard_from_index(p, i, normalized=False),
+        lambda p, i: _jaccard_from_index(p, i, normalized=True),
+    )
+
+
 def jaccard_prefix_filter_pairs(
     docs_sh: DataFrame, threshold_num: int = 3, threshold_den: int = 5
 ) -> DataFrame:

@@ -57,6 +57,47 @@ def test_truncated_tar_member_fails_loudly(spark, tmp_path):
         shutil.rmtree(fixture, ignore_errors=True)
 
 
+def test_trimmed_tar_fixture_strict_rejects_optin_reads(spark, tmp_path):
+    """r08 (VERDICT r07 #8): the trimmed-EOF shape at the FIXTURE layer.
+    The fixture's own writer always pads the full end-of-archive marker,
+    so a fixture shard whose marker is missing IS corruption — the
+    strict-default ingest must fail loudly.  The same bytes under
+    ``allow_trimmed_eof=True`` are a legal trimming-writer archive: the
+    opt-in reader must return every member."""
+    import io
+    import tarfile
+
+    from taipei_bi_etl_spark.queries.tar_ingest import (
+        _fixture_dir,
+        tar_shard_ingest,
+    )
+    from taipei_bi_etl_spark.sources.tar_shards import read_tar_members
+
+    sf = _private_corpus(tmp_path)
+    fixture = _fixture_dir(sf)
+    try:
+        victim = os.path.join(fixture, "docs-000.tar")
+        blob = open(victim, "rb").read()
+        last_end = 0
+        n_members = 0
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            for m in tf:
+                last_end = m.offset_data + ((m.size + 511) // 512) * 512
+                n_members += 1
+        # trim the END-OF-ARCHIVE MARKER entirely (boundary cut: no
+        # member bytes lost — byte-identical to a trimming writer)
+        with open(victim, "r+b") as f:
+            f.truncate(last_end)
+        with pytest.raises(Exception, match="truncated tar shard"):
+            tar_shard_ingest(spark, sf).count()
+        got = read_tar_members(
+            spark, victim, allow_trimmed_eof=True
+        ).count()
+        assert got == n_members  # opt-in mode loses nothing
+    finally:
+        shutil.rmtree(fixture, ignore_errors=True)
+
+
 # Every content-keyed fixture builder in the engine (all routed
 # through io.content_keyed_fixture since r07 — VERDICT r06 #4).  A new
 # fixture joins this list and inherits the source-swap coverage free.

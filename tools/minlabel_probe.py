@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Min-label round-cost doubling — mechanism probe (r08, VERDICT r07 #5).
+
+r07 measured the per-round cost of the iterative min-label loop
+DOUBLING past ~15 rounds on constant data, and ruled out RDD lineage
+(toDebugString pinned), AQE (identical with it off), and
+localCheckpoint specificity (reliable disk checkpoint doubles too).
+Remaining hypotheses differ in WHAT accumulates:
+
+* A — baseline loop (expected: doubling tail);
+* B — rounds severed through PARQUET (write + read back each round:
+  no in-session RDD chain at all).  If B still doubles, the mechanism
+  is session aging (listener/UI/block-manager state per job); if B is
+  flat, the checkpoint RDD chain itself is the carrier;
+* C — baseline plus EXPLICIT unpersist of the previous round's
+  checkpoint.  If C is flat, retained checkpoint blocks are the
+  mechanism and min_label_components gets a one-line fix.
+
+Graph: a 200k-node chain (the r07 repro; pointer jumping converges in
+~log2(n) ≈ 18 rounds, reaching the doubling zone naturally).
+
+Usage: python tools/minlabel_probe.py [variant A|B|C|ALL] [n]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from taipei_bi_etl_spark.session import get_spark  # noqa: E402
+
+MAX_ROUNDS = 24
+ROUND_TIMEOUT = 90.0  # stop a variant once one round exceeds this
+
+
+def chain_edges(spark, n: int):
+    e = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+
+def run_variant(spark, variant: str, n: int) -> list[float]:
+    edges = chain_edges(spark, n)
+    edges.count()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component_id", F.col("node"))
+        .localCheckpoint()
+    )
+    tmp = f"/tmp/minlabel_probe_{variant}"
+    secs: list[float] = []
+    prev = None
+    for rnd in range(MAX_ROUNDS):
+        t0 = time.perf_counter()
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst_node"),
+                F.col("dst") == F.col("dst_node"),
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component_id"), F.coalesce("nbr_min", "component_id")
+            ).alias("component_id"),
+        )
+        parent = propagated.select(
+            F.col("node").alias("p_node"),
+            F.col("component_id").alias("p_label"),
+        )
+        new_labels = propagated.join(
+            parent, propagated["component_id"] == parent["p_node"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component_id"),
+                F.coalesce("p_label", "component_id"),
+            ).alias("component_id"),
+        )
+        if variant == "B":
+            # sever through parquet: nothing in-session survives the round
+            new_labels.write.mode("overwrite").parquet(f"{tmp}/{rnd}")
+            new_labels = spark.read.parquet(f"{tmp}/{rnd}")
+        else:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        if variant == "C" and prev is not None:
+            prev.unpersist()
+        prev = labels
+        labels = new_labels
+        dt = time.perf_counter() - t0
+        secs.append(round(dt, 2))
+        print(
+            f"variant {variant} round {rnd}: {dt:.2f}s changed={changed}",
+            file=sys.stderr,
+        )
+        if changed == 0 or dt > ROUND_TIMEOUT:
+            break
+    edges.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return secs
+
+
+def main() -> None:
+    want = (sys.argv[1] if len(sys.argv) > 1 else "ALL").upper()
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    spark = get_spark(app_name="minlabel_probe")
+    out = {"n": n}
+    for v in ("A", "B", "C"):
+        if want not in ("ALL", v):
+            continue
+        out[v] = run_variant(spark, v, n)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
