@@ -15,6 +15,19 @@ Remaining hypotheses differ in WHAT accumulates:
 * C — baseline plus EXPLICIT unpersist of the previous round's
   checkpoint.  If C is flat, retained checkpoint blocks are the
   mechanism and min_label_components gets a one-line fix.
+* D — baseline plus a BROADCAST hint on the pointer-jump parent side.
+  First sweep found the tail tracks CONVERGENCE (present in A and C,
+  absent in B): hypothesis — the pointer-jump join shuffles on
+  component_id, whose distribution collapses onto the component
+  minimum as rounds progress (pointer jumping DOUBLES the minimum's
+  label mass per round → one reduce task's input doubles per round =
+  the observed ×2 tail).  B escapes because parquet-scan size stats
+  let Catalyst broadcast the parent side — no component_id shuffle at
+  all.  If D is flat, the mechanism is confirmed.
+* E — baseline with the pointer jump REMOVED (one-hop propagation
+  only; won't converge on the chain — capped rounds, cost curve only).
+  The complement check: without the label-mass doubling step the tail
+  should not appear.
 
 Graph: a 200k-node chain (the r07 repro; pointer jumping converges in
 ~log2(n) ≈ 18 rounds, reaching the doubling zone naturally).
@@ -79,19 +92,24 @@ def run_variant(spark, variant: str, n: int) -> list[float]:
                 F.col("component_id"), F.coalesce("nbr_min", "component_id")
             ).alias("component_id"),
         )
-        parent = propagated.select(
-            F.col("node").alias("p_node"),
-            F.col("component_id").alias("p_label"),
-        )
-        new_labels = propagated.join(
-            parent, propagated["component_id"] == parent["p_node"], "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("component_id"),
-                F.coalesce("p_label", "component_id"),
-            ).alias("component_id"),
-        )
+        if variant == "E":
+            new_labels = propagated
+        else:
+            parent = propagated.select(
+                F.col("node").alias("p_node"),
+                F.col("component_id").alias("p_label"),
+            )
+            if variant == "D":
+                parent = F.broadcast(parent)
+            new_labels = propagated.join(
+                parent, propagated["component_id"] == parent["p_node"], "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce("p_label", "component_id"),
+                ).alias("component_id"),
+            )
         if variant == "B":
             # sever through parquet: nothing in-session survives the round
             new_labels.write.mode("overwrite").parquet(f"{tmp}/{rnd}")
@@ -126,7 +144,7 @@ def main() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     spark = get_spark(app_name="minlabel_probe")
     out = {"n": n}
-    for v in ("A", "B", "C"):
+    for v in ("A", "B", "C", "D", "E"):
         if want not in ("ALL", v):
             continue
         out[v] = run_variant(spark, v, n)
