@@ -91,3 +91,43 @@ def incremental_pairs(
         new_idx, hist_idx.unionByName(new_idx)
     )
     return yesterday.unionByName(delta).distinct()
+
+
+def incremental_agg_merge(
+    hist: DataFrame,
+    new: DataFrame,
+    agg_fn: Callable[[DataFrame], DataFrame],
+    keys: list[str],
+    merges: dict[str, Callable],
+) -> DataFrame:
+    """``agg_fn(hist ∪ new)`` decomposed as a MERGE of per-side partial
+    aggregates — the agg-state twin of :func:`incremental_pairs`, for
+    operators whose daily form is "update a keyed aggregate table"
+    (the reference's per-day append model, SURVEY §2.9).
+
+    ``agg_fn`` must produce one row per ``keys`` whose value columns
+    are MERGEABLE: for each value column, ``merges[col]`` maps the two
+    sides' columns (``F.col(c_hist), F.col(c_new)``, either possibly
+    NULL when the key is absent on that side) to the combined value —
+    ``F.coalesce``-wrapped sums, mins, maxes.  Counts merge as sums of
+    partial counts; AVG and other non-mergeable forms must be carried
+    as their mergeable ingredients (n, Σx) — the house exact-ingredient
+    rule.  The identity ``merge(agg(hist), agg(new)) = agg(hist ∪
+    new)`` is the driver-gate oracle's job to prove (full recompute),
+    exactly like the pairs scaffold."""
+    h = agg_fn(hist)
+    n = agg_fn(new)
+    hs = h.select(
+        *keys, *[F.col(c).alias(f"__h_{c}") for c in merges]
+    )
+    ns = n.select(
+        *keys, *[F.col(c).alias(f"__n_{c}") for c in merges]
+    )
+    merged = hs.join(ns, keys, "full_outer")
+    return merged.select(
+        *keys,
+        *[
+            fn(F.col(f"__h_{c}"), F.col(f"__n_{c}")).alias(c)
+            for c, fn in merges.items()
+        ],
+    )

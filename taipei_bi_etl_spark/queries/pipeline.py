@@ -60,6 +60,57 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_exact_incremental",
+    oracle=_EXACT_DEDUP_ORACLE,
+    tags=("dedup", "ivm", "extension"),
+)
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a persisted digest state table —
+    the EIGHTH incremental form, and the first on the scaffold's
+    AGG-MERGE path (`incremental.incremental_agg_merge`): the daily
+    form of "update a keyed aggregate table", the reference's own
+    per-day append model (SURVEY §2.9, tasks/bigquery.py:182-195).
+
+    Per-side state = (content_hash, min doc_id, count) WITHOUT the
+    HAVING — partials must keep singletons, because a singleton in
+    history plus a singleton in the batch IS a duplicate pair.  Merge:
+    keeper = least (skips the NULL side), copies = sum of partial
+    counts; the >1 filter applies post-merge.  Daily cost ∝ |batch| +
+    matched digest keys (full-outer join on the 128-bit digest —
+    uniform, skew-free); history text is never re-hashed in the
+    stored-state deployment.  IVM identity hash-proven by the driver
+    gate: the ORACLE is the full recompute."""
+    from taipei_bi_etl_spark.queries.incremental import (
+        incremental_agg_merge,
+        quantile_cut_split,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hist, new = quantile_cut_split(d, "doc_id")
+
+    def _digest_state(side: DataFrame) -> DataFrame:
+        return side.groupBy(F.md5("text").alias("content_hash")).agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+
+    merged = incremental_agg_merge(
+        hist,
+        new,
+        _digest_state,
+        ["content_hash"],
+        {
+            "keep_doc_id": F.least,  # least skips the absent (NULL) side
+            "n_copies": lambda a, b: F.coalesce(a, F.lit(0))
+            + F.coalesce(b, F.lit(0)),
+        },
+    )
+    return merged.filter(F.col("n_copies") > 1)
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup — shingle → inverted index join → verify.
 # ---------------------------------------------------------------------------

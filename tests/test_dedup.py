@@ -259,3 +259,31 @@ def test_prefix_filter_identity_and_volume(spark):
     # the integer ceil identity on the formula's own domain
     for n in range(1, 200):
         assert (n * 3 + 4) // 5 == math.ceil(Fraction(3, 5) * n)
+
+
+def test_prefix_filter_identity_on_heavy_tailed_df(spark):
+    """r08 (VERDICT r07 #6): the prefix filter's ROUTING DOMAIN is
+    heavy-tailed document frequency — assert the identity holds THERE
+    too, on the skewed-df corpus the crossover measurement uses
+    (boilerplate shingles with df = n/K across K=20 blocks), including
+    the planted exact duplicates."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+    from taipei_bi_etl_spark.queries.pipeline import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+    from tools.prefix_crossover import skewed_df_docs
+
+    toks = skewed_df_docs(spark, 2000, 20).persist()
+    docs_sh = toks.select(
+        "doc_id", shingle_hash_array(F.col("tok")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    full = ngram_jaccard_pairs(toks)
+    pref = jaccard_prefix_filter_pairs(docs_sh)
+    assert full.exceptAll(pref).count() == 0
+    assert pref.exceptAll(full).count() == 0
+    # non-vacuous: the 20 planted exact duplicates are all found
+    assert pref.filter(F.col("jaccard") == 1.0).count() >= 20
+    toks.unpersist()

@@ -40,3 +40,71 @@ def test_ngram_incremental_equals_full(spark):
     assert full.exceptAll(inc).count() == 0
     assert inc.exceptAll(full).count() == 0
     assert full.count() > 0  # non-vacuous: planted near-dups exist
+
+
+def test_exact_incremental_equals_full(spark, tmp_path):
+    """Agg-merge identity, frame-exact against the full recompute — on
+    a corpus with duplicates PLANTED ACROSS the quantile cut (sf0.001
+    has no exact dups, so the real-corpus identity is vacuous; the
+    oracle gate covers it at sf0.01).  Ids 0..99: dup pairs (i, i+90)
+    for i < 10 straddle the 75th-percentile cut at 75."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.pipeline import (
+        dedup_exact,
+        dedup_exact_incremental,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("text-"),
+            F.when(
+                (F.col("id") >= 90), F.col("id") - 90
+            ).otherwise(F.col("id")).cast("string"),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+        F.lit(6).alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    full = dedup_exact(spark, str(tmp_path))
+    inc = dedup_exact_incremental(spark, str(tmp_path))
+    assert full.exceptAll(inc).count() == 0
+    assert inc.exceptAll(full).count() == 0
+    assert full.count() == 10  # all cross-cut dups found
+
+
+def test_agg_merge_cross_cut_duplicates(spark):
+    """A digest that is a SINGLETON on each side of the cut must still
+    merge into a duplicate group — the reason partials keep the HAVING
+    off (the bug class the merge scaffold exists to prevent)."""
+    from taipei_bi_etl_spark.queries.incremental import (
+        incremental_agg_merge,
+    )
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [(1, "same"), (2, "only-hist")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "same")], "doc_id long, text string"
+    )
+
+    def state(side):
+        return side.groupBy(F.md5("text").alias("content_hash")).agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+
+    merged = incremental_agg_merge(
+        hist, new, state, ["content_hash"],
+        {
+            "keep_doc_id": F.least,
+            "n_copies": lambda a, b: F.coalesce(a, F.lit(0))
+            + F.coalesce(b, F.lit(0)),
+        },
+    )
+    dup = merged.filter(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1
+    assert dup[0].keep_doc_id == 1 and dup[0].n_copies == 2
