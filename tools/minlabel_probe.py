@@ -128,8 +128,23 @@ def run_variant(spark, variant: str, n: int) -> list[float]:
         labels = new_labels
         dt = time.perf_counter() - t0
         secs.append(round(dt, 2))
+        skew = ""
+        if "--skew" in sys.argv:
+            # physical layout of the stored labels: max partition share
+            parts = (
+                labels.groupBy(F.spark_partition_id().alias("p"))
+                .count()
+                .collect()
+            )
+            top = max(r["count"] for r in parts)
+            total = sum(r["count"] for r in parts)
+            skew = (
+                f" parts={len(parts)} max_share="
+                f"{top / total:.3f}"
+            )
         print(
-            f"variant {variant} round {rnd}: {dt:.2f}s changed={changed}",
+            f"variant {variant} round {rnd}: {dt:.2f}s changed={changed}"
+            f"{skew}",
             file=sys.stderr,
         )
         if changed == 0 or dt > ROUND_TIMEOUT:
