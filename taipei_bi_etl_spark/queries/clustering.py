@@ -65,6 +65,21 @@ FROM reach GROUP BY node
 """
 
 
+#: Round past which min_label_components cuts lineage through a temp
+#: parquet table instead of localCheckpoint (see the docstring's
+#: LONG-LOOP GUARD).  Certified registry queries converge in ≤ 6
+#: rounds and never reach it; the checkpoint-materialization doubling
+#: becomes visible past ~14.  HONEST TRADE (measured): on a loop that
+#: converges right AT the onset (1M chain, 20 rounds) the guard costs
+#: ~2x total (119-158 s single-run in-situ vs ~60 s unguarded — the
+#: parquet rounds replace checkpoints that were still cheap); past
+#: ~21 rounds the unguarded loop doubles per round (r07 fuzzy graph:
+#: 136 s/round by 20, 219 by 21, unconverged) while the severed loop
+#: stays flat — the guard converts "unusable" into "linear", which is
+#: the right trade for an engine primitive.
+_SEVER_ROUND = 14
+
+
 def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     """Connected components over undirected (a, b) pairs by iterative
     min-label propagation; returns (node, component_id) for every node
@@ -79,13 +94,32 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     ROUTING (r07, measured): this form is for small-DIAMETER graphs
     only.  Min labels propagate one graph hop per round (the pointer
     jump compresses the label forest, not graph distance), so chain-
-    shaped graphs need O(diameter) rounds — and past ~15 rounds the
-    per-round checkpoint job cost doubles each round (SCALE.md
-    "min-label round-cost doubling"; mechanism still open).  When a
-    blocking key bounds components (entity resolution), use per-block
-    union-find in one applyInPandas pass instead
-    (`linkage.fuzzy_linkage_clusters`).
+    shaped graphs need O(diameter) rounds.  When a blocking key bounds
+    components (entity resolution), use per-block union-find in one
+    applyInPandas pass instead (`linkage.fuzzy_linkage_clusters`).
+
+    LONG-LOOP GUARD (r08 — the r07 "round-cost doubling" LOCALIZED,
+    SCALE.md "min-label doubling: mechanism localized"): the per-round
+    ×2 past ~15 rounds lives ENTIRELY in the CHECKPOINT MATERIALIZATION
+    step — the identical round pipeline run to a ``count()`` stays flat
+    (~0.9 s at 1M nodes) while the following localCheckpoint of the
+    same frame doubles (1.5 → 2.4 → 4.6 → 10.5 s), tracking the label
+    value collapse.  Five carriers were ELIMINATED by variant probes
+    (tools/minlabel_probe.py): join strategy (BHJ pointer jump doubles
+    identically), stored partition layout (node-repartitioned
+    checkpoint doubles; the measured 32→1-partition collapse is an
+    epiphenomenon), retained prior checkpoints (explicit unpersist
+    doubles), lineage, and AQE.  The ONE flat variant is severing each
+    round through PARQUET (write + re-read): flat at 200k AND 1M
+    through convergence.  So past round {_SEVER_ROUND} the loop stores
+    labels as a temp parquet table instead of a localCheckpoint —
+    linear IO per round replaces the exponential tail; certified
+    registry queries converge in ≤ 6 rounds, so their plans and
+    SHUFFLES rows are untouched.
     """
+    import shutil
+    import tempfile
+
     edges = pairs.select(
         F.col(a).alias("src"), F.col(b).alias("dst")
     ).unionByName(
@@ -97,6 +131,8 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         .withColumn("component_id", F.col("node"))
         .persist()
     )
+    sever_dir: str | None = None
+    rnd = 0
     while True:
         neighbor_min = (
             edges.join(
@@ -121,25 +157,32 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             F.col("node").alias("p_node"),
             F.col("component_id").alias("p_label"),
         )
-        new_labels = (
-            propagated.join(
-                parent, propagated["component_id"] == parent["p_node"], "left"
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("component_id"),
-                    F.coalesce("p_label", "component_id"),
-                ).alias("component_id"),
-            )
-            # localCheckpoint, not persist: each round references the
-            # previous labels TWICE (propagation + convergence check),
-            # so an uncut logical plan doubles per round — long-diameter
-            # graphs (grid-cell chains) then OOM the driver just
-            # BUILDING the plan string.  Checkpointing truncates the
-            # lineage to the materialized rows each round.
-            .localCheckpoint()
+        new_labels = propagated.join(
+            parent, propagated["component_id"] == parent["p_node"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component_id"),
+                F.coalesce("p_label", "component_id"),
+            ).alias("component_id"),
         )
+        # Lineage MUST be cut each round (localCheckpoint, not persist:
+        # each round references the previous labels TWICE — propagation
+        # + convergence check — so an uncut logical plan doubles per
+        # round and long-diameter graphs OOM the driver just BUILDING
+        # the plan string).  Past _SEVER_ROUND the cut goes through a
+        # temp PARQUET table instead: the checkpoint-materialization
+        # doubling (docstring) makes localCheckpoint exponentially
+        # expensive in long loops, while the parquet round-trip is
+        # measured flat.
+        if rnd < _SEVER_ROUND:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            if sever_dir is None:
+                sever_dir = tempfile.mkdtemp(prefix="minlabel_sever_")
+            path = f"{sever_dir}/r{rnd}"
+            new_labels.write.mode("overwrite").parquet(path)
+            new_labels = labels.sparkSession.read.parquet(path)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -147,9 +190,18 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             .count()
         )
         labels = new_labels
+        rnd += 1
         if changed == 0:
             break
     edges.unpersist()
+    if sever_dir is not None:
+        # the FINAL labels frame must survive the temp-table cleanup:
+        # pin its rows in the session (persist + materialize — a bare
+        # parquet scan, no join pipeline, so the checkpoint-
+        # materialization pathology cannot apply), then drop the files.
+        labels = labels.persist()
+        labels.count()
+        shutil.rmtree(sever_dir, ignore_errors=True)
     return labels
 
 

@@ -214,3 +214,29 @@ def test_knn_label_consistency_ivf_agrees_with_exact(spark):
     assert len(common) >= 0.99 * len(exact)
     agree = sum(1 for v in common if exact[v] == ivf[v])
     assert agree >= 0.9 * len(common)
+
+
+def test_min_label_long_loop_sever_path(spark):
+    """r08 long-loop guard regression: a ~16-round chain loop crosses
+    _SEVER_ROUND, so rounds past 10 cut lineage through the temp
+    parquet table (the measured-flat path — SCALE.md "min-label
+    doubling: mechanism localized").  Pins (a) correctness through the
+    sever transition, (b) temp-table cleanup, (c) the returned frame
+    surviving cleanup."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.clustering import min_label_components
+
+    n = 60_000
+    e = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    labels = min_label_components(e, "a", "b")
+    # correctness: one chain component labeled by its minimum
+    assert labels.count() == n
+    assert labels.filter(F.col("component_id") != 0).count() == 0
+    # the temp sever tables are gone, and the frame still answers
+    assert glob.glob("/tmp/minlabel_sever_*") == []
+    assert labels.filter(F.col("node") == n - 1).count() == 1

@@ -110,12 +110,28 @@ def run_variant(spark, variant: str, n: int) -> list[float]:
                     F.coalesce("p_label", "component_id"),
                 ).alias("component_id"),
             )
+        if variant == "G":
+            # checkpoint a node-repartitioned frame: if flat, the
+            # carrier is the hot stored partition of the SMJ output
+            new_labels = new_labels.repartition("node")
+        t_cnt = 0.0
+        if "--count-split" in sys.argv:
+            # pure-compute probe: run the round's pipeline to a count
+            # BEFORE checkpointing — if this doubles, the mechanism is
+            # in the computation; if only the checkpoint does, it's in
+            # localCheckpoint mechanics (store/partitioning)
+            t_c0 = time.perf_counter()
+            new_labels.count()
+            t_cnt = time.perf_counter() - t_c0
+        t_ck0 = time.perf_counter()
         if variant == "B":
             # sever through parquet: nothing in-session survives the round
             new_labels.write.mode("overwrite").parquet(f"{tmp}/{rnd}")
             new_labels = spark.read.parquet(f"{tmp}/{rnd}")
         else:
             new_labels = new_labels.localCheckpoint()
+        t_ck = time.perf_counter() - t_ck0
+        t_ch0 = time.perf_counter()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -142,9 +158,12 @@ def run_variant(spark, variant: str, n: int) -> list[float]:
                 f" parts={len(parts)} max_share="
                 f"{top / total:.3f}"
             )
+        t_ch = time.perf_counter() - t_ch0
+        cnt = f" count_job={t_cnt:.2f}" if t_cnt else ""
         print(
-            f"variant {variant} round {rnd}: {dt:.2f}s changed={changed}"
-            f"{skew}",
+            f"variant {variant} round {rnd}: {dt:.2f}s "
+            f"(ckpt={t_ck:.2f} changed_job={t_ch:.2f}{cnt}) "
+            f"changed={changed}{skew}",
             file=sys.stderr,
         )
         if changed == 0 or dt > ROUND_TIMEOUT:
@@ -159,7 +178,7 @@ def main() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     spark = get_spark(app_name="minlabel_probe")
     out = {"n": n}
-    for v in ("A", "B", "C", "D", "E"):
+    for v in ("A", "B", "C", "D", "E", "G"):
         if want not in ("ALL", v):
             continue
         out[v] = run_variant(spark, v, n)
