@@ -43,6 +43,8 @@ STRESS_QUERIES = [
     # r08: seventh incremental form (scaffold-built) — probe volume
     # bounded by batch postings + collided shingle buckets
     "dedup_ngram_jaccard_incremental",
+    # r08: eighth form (agg-merge path) — digest-keyed state merge
+    "dedup_exact_incremental",
     "paragraph_dedup_report",
     "paragraph_dedup_incremental",
     "search_rank_eval",
@@ -54,6 +56,9 @@ STRESS_QUERIES = [
     # r07: prefix-filtered Jaccard join — candidate volume must stay
     # bounded by the prefix postings (Σp ≈ 0.4·Σn), not Σdf²
     "dedup_jaccard_prefix_filter",
+    # r08: df-ascending canonical variant (the measured heavy-tail
+    # routing — SCALE.md crossover table)
+    "dedup_jaccard_prefix_df",
     # r07: fuzzy linkage — customer is a DIMENSION (copied unchanged by
     # this harness), so the row pins fixed-cost behavior; posting
     # growth is (L+1)/record (linear) by construction

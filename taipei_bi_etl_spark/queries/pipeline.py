@@ -315,7 +315,10 @@ def dedup_ngram_jaccard_incremental(
 
 
 def jaccard_prefix_filter_pairs(
-    docs_sh: DataFrame, threshold_num: int = 3, threshold_den: int = 5
+    docs_sh: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    canonical: str = "hash",
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (Bayardo et al. WWW'07 /
     PPJoin, Xiao et al. WWW'08) over a (doc_id, sh: array<bigint>)
@@ -349,15 +352,23 @@ def jaccard_prefix_filter_pairs(
     selective.  The verify join ships each doc's array once, keyed by
     doc_id (uniform).
 
-    MEASURED at sf0.1 (benign corpus, max df 25): 3.6 s vs the full
-    index's 2.2 s — candidate volume is not this corpus's bottleneck,
-    and the full-array verify join costs more than the postings it
-    saves.  Choose this form when df is HEAVY-TAILED (boilerplate
-    shingles, web-crawl corpora) where the full index's Σdf² join
-    explodes; choose ``dedup_ngram_jaccard`` when df is bounded —
-    the same relationship as minhash-LSH vs the full index, now with
-    all three published candidate-pruning strategies implemented and
-    measured.
+    CANONICAL ORDER — the routing finding (r08 crossover measurement,
+    SCALE.md): with ``canonical="hash"`` a boilerplate shingle's
+    prefix-inclusion is CORRELATED across the docs sharing it (same
+    hash everywhere), so candidate volume falls only ~linearly in the
+    prefix fraction and the array-verify overhead dominates — measured
+    MONOTONICALLY WORSE than the full index as max df grows (speedup
+    0.99x at df 100 → 0.45x at df 2000 on the skewed-df corpus).
+    ``canonical="df"`` sorts each doc's shingles by ASCENDING document
+    frequency (Bayardo's actual prescription; ties by hash — any
+    global total order preserves the completeness lemma): high-df
+    boilerplate sorts LAST and drops out of every long doc's prefix
+    entirely, collapsing Σ df_prefix².  Costs one df aggregate + one
+    postings join at index time; measured crossover in SCALE.md r08.
+    Routing: benign/bounded df → `dedup_ngram_jaccard` (full index);
+    heavy-tailed df → THIS form with canonical="df"; canonical="hash"
+    is the zero-extra-shuffle form for corpora without shared
+    boilerplate.
     """
     p = (
         F.size("sh")
@@ -367,9 +378,33 @@ def jaccard_prefix_filter_pairs(
         )
         + 1
     ).cast("int")
-    sorted_sh = docs_sh.select(
-        "doc_id", F.array_sort("sh").alias("sh"), p.alias("p")
-    ).persist()
+    if canonical == "df":
+        # df-ascending global order: explode once, count df per
+        # shingle, re-assemble each doc's array sorted by (df, hash).
+        # The df frame is shingle-keyed (uniform); the re-sort is one
+        # groupBy on doc_id — both linear, no pair-shaped work.
+        postings = docs_sh.select(
+            "doc_id", F.explode("sh").alias("shingle")
+        )
+        df_counts = postings.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        reordered = (
+            postings.join(df_counts, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("df", "shingle"))
+                    ),
+                    lambda s: s["shingle"],
+                ).alias("sh")
+            )
+        )
+        docs_sh = reordered
+    else:
+        docs_sh = docs_sh.select("doc_id", F.array_sort("sh").alias("sh"))
+    sorted_sh = docs_sh.select("doc_id", "sh", p.alias("p")).persist()
     pref_idx = sorted_sh.select(
         "doc_id", F.explode(F.slice("sh", 1, F.col("p"))).alias("shingle")
     )
@@ -419,6 +454,30 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", shingle_hash_array(_tokens()).alias("sh")
     ).filter(F.size("sh") > 0)
     return jaccard_prefix_filter_pairs(docs_sh)
+
+
+@query(
+    "dedup_jaccard_prefix_df",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "extension"),
+)
+def dedup_jaccard_prefix_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered Jaccard with DF-ASCENDING canonical order — the
+    heavy-tailed-df scale path (r08 crossover measurement, SCALE.md):
+    high-df boilerplate shingles sort last and drop out of every long
+    doc's prefix, so candidate volume stays bounded where the full
+    index's Σdf² join and the hash-ordered prefix both blow up
+    (measured 1.91x the full index at max df = 10% of docs, and
+    FALLING in absolute terms as df grows).  Same output and oracle as
+    `dedup_ngram_jaccard`; order validity + completeness proof in
+    :func:`jaccard_prefix_filter_pairs`."""
+    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+
+    d = read_table(spark, sf_dir, "documents")
+    docs_sh = d.select(
+        "doc_id", shingle_hash_array(_tokens()).alias("sh")
+    ).filter(F.size("sh") > 0)
+    return jaccard_prefix_filter_pairs(docs_sh, canonical="df")
 
 
 # ---------------------------------------------------------------------------

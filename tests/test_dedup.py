@@ -281,9 +281,10 @@ def test_prefix_filter_identity_on_heavy_tailed_df(spark):
         "doc_id", shingle_hash_array(F.col("tok")).alias("sh")
     ).filter(F.size("sh") > 0)
     full = ngram_jaccard_pairs(toks)
-    pref = jaccard_prefix_filter_pairs(docs_sh)
-    assert full.exceptAll(pref).count() == 0
-    assert pref.exceptAll(full).count() == 0
-    # non-vacuous: the 20 planted exact duplicates are all found
-    assert pref.filter(F.col("jaccard") == 1.0).count() >= 20
+    for canonical in ("hash", "df"):
+        pref = jaccard_prefix_filter_pairs(docs_sh, canonical=canonical)
+        assert full.exceptAll(pref).count() == 0, canonical
+        assert pref.exceptAll(full).count() == 0, canonical
+        # non-vacuous: the 20 planted exact duplicates are all found
+        assert pref.filter(F.col("jaccard") == 1.0).count() >= 20
     toks.unpersist()

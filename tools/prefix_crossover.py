@@ -86,6 +86,8 @@ def main() -> None:
             for name, fn in (
                 ("full", lambda: ngram_jaccard_pairs(toks)),
                 ("prefix", lambda: jaccard_prefix_filter_pairs(docs_sh)),
+                ("prefix_df", lambda: jaccard_prefix_filter_pairs(
+                    docs_sh, canonical="df")),
             ):
                 spark.catalog.clearCache()
                 toks.persist().count()
@@ -95,10 +97,11 @@ def main() -> None:
                     round(time.perf_counter() - t0, 2)
                 )
                 row[f"{name}_pairs"] = cnt
-        assert row["full_pairs"] == row["prefix_pairs"]
-        row["full"] = sorted(row["full"])[0]
-        row["prefix"] = sorted(row["prefix"])[0]
+        assert row["full_pairs"] == row["prefix_pairs"] == row["prefix_df_pairs"]
+        for k2 in ("full", "prefix", "prefix_df"):
+            row[k2] = sorted(row[k2])[0]
         row["prefix_speedup"] = round(row["full"] / row["prefix"], 2)
+        row["prefix_df_speedup"] = round(row["full"] / row["prefix_df"], 2)
         cells.append(row)
         print(json.dumps(row), file=sys.stderr)
         toks.unpersist()
