@@ -45,6 +45,8 @@ STRESS_QUERIES = [
     "dedup_ngram_jaccard_incremental",
     # r08: eighth form (agg-merge path) — digest-keyed state merge
     "dedup_exact_incremental",
+    # r08: ninth form — vocab df/tf state merge (token-keyed sums)
+    "vocab_df_incremental",
     "paragraph_dedup_report",
     "paragraph_dedup_incremental",
     "search_rank_eval",

@@ -314,6 +314,61 @@ def dedup_ngram_jaccard_incremental(
     )
 
 
+_VOCAB_DF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT token,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS tf
+FROM tok WHERE token <> '' GROUP BY token
+"""
+
+
+@query(
+    "vocab_df_incremental",
+    oracle=_VOCAB_DF_ORACLE,
+    tags=("text", "ivm", "extension"),
+)
+def vocab_df_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vocabulary statistics (document frequency + term
+    frequency) — the NINTH incremental form, third on the scaffold's
+    agg-merge path: the df table behind BM25 scoring and the
+    `dedup_jaccard_prefix_df` routing is exactly the keyed aggregate a
+    daily pipeline must maintain without re-tokenizing history.
+
+    Both df and tf are MERGEABLE as sums because the batch split is
+    per-doc (a doc's tokens land entirely on one side, so each side's
+    COUNT(DISTINCT doc_id) counts disjoint docs).  Empty tokens are
+    excluded in both engines (leading-whitespace artifacts of the
+    split — the established tokenization twin).  IVM identity
+    hash-proven by the driver gate: the ORACLE is the full recompute."""
+    from taipei_bi_etl_spark.queries.incremental import (
+        incremental_agg_merge,
+        quantile_cut_split,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hist, new = quantile_cut_split(d, "doc_id")
+
+    def _vocab_state(side: DataFrame) -> DataFrame:
+        toks = side.select(
+            "doc_id", F.explode(_tokens()).alias("token")
+        ).filter(F.col("token") != "")
+        return toks.groupBy("token").agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+
+    _sum = lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))  # noqa: E731
+    return incremental_agg_merge(
+        hist, new, _vocab_state, ["token"], {"df": _sum, "tf": _sum}
+    )
+
+
 def jaccard_prefix_filter_pairs(
     docs_sh: DataFrame,
     threshold_num: int = 3,
