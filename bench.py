@@ -88,7 +88,8 @@ HEADLINE = [
 
 #: Per-query budgets (r04 VERDICT #7): the honest cold-cache medians
 #: recorded at r06 open, sf0.1 local[32].  A breach —
-#: median > inflation × max(1.5 × budget, budget + 0.5 s) — exits
+#: median > min(max(inflation × 1.5 × budget, budget + 0.5 s),
+#: inflation × 2.5 × budget) — exits
 #: non-zero so an in-round plan regression (the r04 scd2 triple-parse
 #: class) is caught by the next bench run, not by the judge.
 #:
@@ -171,7 +172,9 @@ def compute_breaches(
     per-query ``time / budget`` ratios, floored at 1.0 — the run's
     common-mode slowdown (page cache state, thermal, co-tenancy).  A
     query breaches when its median exceeds
-    ``inflation × max(1.5 × budget, budget + 0.5 s)``: a UNIFORMLY hot
+    ``min(max(inflation × 1.5 × budget, budget + 0.5 s),
+    inflation × 2.5 × budget)`` (the r07 inflation placement and the
+    r08 ratio cap — see the tier paragraphs below): a UNIFORMLY hot
     session raises every ratio together (inflation absorbs it, nothing
     fires); a real single-query plan regression moves that query's
     ratio against the pack (the median barely moves, the tripwire

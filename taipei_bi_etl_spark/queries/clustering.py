@@ -117,6 +117,7 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     registry queries converge in ≤ 6 rounds, so their plans and
     SHUFFLES rows are untouched.
     """
+    import os
     import shutil
     import tempfile
 
@@ -179,7 +180,13 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             new_labels = new_labels.localCheckpoint()
         else:
             if sever_dir is None:
-                sever_dir = tempfile.mkdtemp(prefix="minlabel_sever_")
+                # driver-local tempdir by default (local[*] shares the
+                # filesystem); multi-node deployments set
+                # SPARK_GRAFT_SEVER_DIR to a shared path (GCS/HDFS/NFS)
+                base = os.environ.get("SPARK_GRAFT_SEVER_DIR")
+                sever_dir = tempfile.mkdtemp(
+                    prefix="minlabel_sever_", dir=base
+                )
             path = f"{sever_dir}/r{rnd}"
             new_labels.write.mode("overwrite").parquet(path)
             new_labels = labels.sparkSession.read.parquet(path)
@@ -196,11 +203,18 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     edges.unpersist()
     if sever_dir is not None:
         # the FINAL labels frame must survive the temp-table cleanup:
-        # pin its rows in the session (persist + materialize — a bare
-        # parquet scan, no join pipeline, so the checkpoint-
-        # materialization pathology cannot apply), then drop the files.
-        labels = labels.persist()
-        labels.count()
+        # an EAGER localCheckpoint TRUNCATES LINEAGE (persist alone
+        # does not — a later cache release/eviction would recompute
+        # from the just-deleted parquet and fail, ADVICE r08 #1).  The
+        # checkpointed frame is a bare parquet scan with no join
+        # pipeline, so the checkpoint-materialization doubling
+        # pathology (docstring) cannot apply.  LOCAL-MODE NOTE: the
+        # sever directory itself comes from tempfile.mkdtemp on the
+        # DRIVER — fine on local[*] where driver and executors share a
+        # filesystem; a multi-node deployment must point
+        # SPARK_GRAFT_SEVER_DIR at a shared filesystem (GCS/HDFS/NFS)
+        # so executors can read what the driver named.
+        labels = labels.localCheckpoint(eager=True)
         shutil.rmtree(sever_dir, ignore_errors=True)
     return labels
 

@@ -27,7 +27,7 @@ from taipei_bi_etl_spark.queries import query
 # Malformed/NULL props yield a NULL attribute (the Spark
 # get_json_object semantics) — the event still advances the SCD2
 # timeline; DuckDB's json_extract_string would ERROR without the guard.
-_SCD2_ORACLE = """
+_SCD2_ORACLE = r"""
 WITH src AS (
     SELECT user_id, ts, event_id,
            TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
@@ -277,7 +277,7 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Point-in-time dimension lookup — time-travel join against SCD2.
 # ---------------------------------------------------------------------------
 
-_PIT_ORACLE = """
+_PIT_ORACLE = r"""
 WITH src AS (
     SELECT user_id, ts, event_id,
            TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)

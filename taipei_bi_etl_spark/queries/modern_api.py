@@ -198,7 +198,7 @@ def cogrouped_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Malformed props parse to NULL (the try_parse_json semantics) and the
 # row still counts toward n; untyped events have no rollup group.
-_VARIANT_ORACLE = """
+_VARIANT_ORACLE = r"""
 WITH g AS (
   SELECT event_type,
          CASE WHEN props IS NOT NULL AND json_valid(props)

@@ -320,7 +320,7 @@ def active_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JSON text → get_json_object, F18 sql/user_rfe.sql:8).
 # ---------------------------------------------------------------------------
 
-_KV_ORACLE = """
+_KV_ORACLE = r"""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CASE WHEN regexp_matches(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),

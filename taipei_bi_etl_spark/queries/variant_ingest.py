@@ -84,7 +84,7 @@ def read_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # props_v IS NOT NULL (json_strict contains the try_parse_json term).
 # The DuckDB twin is functions.json_valid_strict_sql.
 
-_KV_ORACLE = """
+_KV_ORACLE = r"""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CASE WHEN regexp_matches(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),
@@ -127,7 +127,7 @@ def variant_ingest_kv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCD2_V_ORACLE = """
+_SCD2_V_ORACLE = r"""
 WITH src AS (
     SELECT user_id, ts, event_id,
            TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)

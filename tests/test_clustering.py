@@ -238,5 +238,13 @@ def test_min_label_long_loop_sever_path(spark):
     assert labels.count() == n
     assert labels.filter(F.col("component_id") != 0).count() == 0
     # the temp sever tables are gone, and the frame still answers
-    assert glob.glob("/tmp/minlabel_sever_*") == []
+    # (tempfile.mkdtemp honors TMPDIR — glob the real tempdir, not a
+    # hard-coded /tmp, or the assertion is vacuous under custom TMPDIR)
+    import os
+    import tempfile
+
+    assert (
+        glob.glob(os.path.join(tempfile.gettempdir(), "minlabel_sever_*"))
+        == []
+    )
     assert labels.filter(F.col("node") == n - 1).count() == 1
