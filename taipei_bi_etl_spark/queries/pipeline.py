@@ -10,6 +10,8 @@ ever happens within buckets, never all-pairs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -374,6 +376,7 @@ def jaccard_prefix_filter_pairs(
     threshold_num: int = 3,
     threshold_den: int = 5,
     canonical: str = "hash",
+    df_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (Bayardo et al. WWW'07 /
     PPJoin, Xiao et al. WWW'08) over a (doc_id, sh: array<bigint>)
@@ -438,12 +441,25 @@ def jaccard_prefix_filter_pairs(
         # shingle, re-assemble each doc's array sorted by (df, hash).
         # The df frame is shingle-keyed (uniform); the re-sort is one
         # groupBy on doc_id — both linear, no pair-shaped work.
+        # INPUT CONTRACT (ADVICE r08 #5): `sh` must be DISTINCT PER
+        # DOC (every caller builds it with array_distinct — Jaccard
+        # is set semantics).  count(*) over postings then equals
+        # document frequency exactly; arrays with intra-doc
+        # duplicates would inflate df (any resulting order is still a
+        # valid global order, so pair completeness survives — only
+        # the df-ascending routing rationale would silently degrade).
+        # countDistinct(doc_id) would make df exact regardless, at
+        # the cost of a second partial-distinct pass the contract
+        # makes unnecessary.
         postings = docs_sh.select(
             "doc_id", F.explode("sh").alias("shingle")
         )
-        df_counts = postings.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("df")
-        )
+        if df_counts is None:
+            # callers that already aggregated df (route_jaccard's
+            # routing probe) pass it in — one aggregate, used twice
+            df_counts = postings.groupBy("shingle").agg(
+                F.count(F.lit(1)).alias("df")
+            )
         reordered = (
             postings.join(df_counts, "shingle")
             .groupBy("doc_id")
@@ -533,6 +549,124 @@ def dedup_jaccard_prefix_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", shingle_hash_array(_tokens()).alias("sh")
     ).filter(F.size("sh") > 0)
     return jaccard_prefix_filter_pairs(docs_sh, canonical="df")
+
+
+#: Max-df share above which exact Jaccard routes to the df-ascending
+#: prefix filter (r08 crossover, SCALE.md "Prefix-filter crossover
+#: MEASURED"): df-order beats the full index once max df exceeds
+#: ~2-5% of the corpus (between the 400 and 1000 cells of the 20k-doc
+#: sweep); below it the full index's simpler verify wins.  2% is the
+#: conservative low edge — at the crossover both forms are within
+#: ~1.05x of each other, so an early switch costs little while a late
+#: one rides the full index's Σdf² blow-up.
+_DF_SHARE_CUT = float(os.environ.get("SPARK_GRAFT_JACCARD_DF_SHARE", "0.02"))
+
+
+def pick_jaccard_route(
+    n_docs: int, max_df: int, df_share_cut: float = _DF_SHARE_CUT
+) -> str:
+    """Pure routing rule: ``"df"`` (df-ascending prefix filter) when
+    the most frequent shingle appears in more than ``df_share_cut`` of
+    the corpus, else ``"full"`` (plain inverted index).  Split out so
+    the routing pytest can pin the decision table without running
+    corpora."""
+    if n_docs > 0 and max_df > df_share_cut * n_docs:
+        return "df"
+    return "full"
+
+
+def route_jaccard(
+    docs_sh: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    df_share_cut: float = _DF_SHARE_CUT,
+    choice_out: list | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs with MEASURED-CROSSOVER ROUTING (r09,
+    VERDICT r08 #1 — the executable form of SCALE.md's prefix-filter
+    crossover): probe the corpus's max document-frequency share with
+    one shingle-keyed aggregate, then dispatch —
+
+    * bounded df (max df ≤ ``df_share_cut`` · n_docs): FULL inverted
+      index (`_jaccard_from_index` over the postings — the
+      `dedup_ngram_jaccard` machinery), whose simple count-verify wins
+      when no shingle bucket is quadratic;
+    * heavy-tailed df: DF-ASCENDING prefix filter
+      (`jaccard_prefix_filter_pairs(canonical="df")`), where
+      boilerplate sorts out of every prefix and candidate volume stays
+      bounded while the full index's join grows ∝ Σ df² — measured
+      1.91x the full index at max df = 10% of docs and FALLING in
+      absolute time as df grows.
+
+    Both arms emit identical (doc_a, doc_b, jaccard) rows (the
+    completeness lemma in :func:`jaccard_prefix_filter_pairs`), so
+    routing never changes the answer — the routing pytest pins the
+    CHOICE on the benign and heavy-tailed battery corpora and
+    pair-identity either way.  The df aggregate the probe needs is
+    exactly the index-time aggregate the df arm needs, so it is
+    computed once and passed through (``df_counts``).
+
+    EAGER-EXECUTION NOTE (same class as `linkage.blocked_components`):
+    the probe runs at DataFrame-construction time — two scalar
+    actions (doc count + max df) over persisted frames the chosen arm
+    reuses.  Routing on a data statistic cannot be lazy without a
+    custom planner rule.
+
+    100 TB: the probe is linear and shingle-keyed (no pair-shaped
+    work); the heavy tail it detects is exactly the boilerplate
+    problem of event/telemetry text at corpus scale (the reference's
+    `udf_js`-era feature strings share templated prefixes the same
+    way, reference `udf_js/feature_mapping.sql`-class data)."""
+    docs_sh = docs_sh.persist()
+    n_docs = docs_sh.count()
+    postings = docs_sh.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).persist()
+    df_counts = postings.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    ).persist()
+    row = df_counts.agg(F.max("df").alias("max_df")).first()
+    max_df = int(row["max_df"] or 0)
+    route = pick_jaccard_route(n_docs, max_df, df_share_cut)
+    if choice_out is not None:
+        choice_out.append(route)
+    if route == "df":
+        return jaccard_prefix_filter_pairs(
+            docs_sh,
+            threshold_num=threshold_num,
+            threshold_den=threshold_den,
+            canonical="df",
+            df_counts=df_counts,
+        )
+    df_counts.unpersist()
+    return _jaccard_from_index(
+        postings,
+        postings,
+        normalized=False,
+        threshold=threshold_num / threshold_den,
+    )
+
+
+@query(
+    "dedup_jaccard_routed",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "extension"),
+)
+def dedup_jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION exact-Jaccard entry: measured-crossover routing
+    between the full inverted index and the df-ascending prefix filter
+    (core + routing rule in :func:`route_jaccard`).  On the benign
+    test corpus (max df 25) the probe picks the full index; a
+    boilerplate-heavy corpus (max df > 2% of docs) flips to the
+    df-ascending form.  Same output and oracle as
+    `dedup_ngram_jaccard` either way."""
+    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+
+    d = read_table(spark, sf_dir, "documents")
+    docs_sh = d.select(
+        "doc_id", shingle_hash_array(_tokens()).alias("sh")
+    ).filter(F.size("sh") > 0)
+    return route_jaccard(docs_sh)
 
 
 # ---------------------------------------------------------------------------

