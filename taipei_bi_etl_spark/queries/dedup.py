@@ -512,6 +512,66 @@ def minhash_band_index(docs_sh: DataFrame) -> DataFrame:
     return banded.join(docs_sh, "doc_id")
 
 
+def minhash_pairs_from_index(
+    probe: DataFrame, index: DataFrame, normalized: bool = True
+) -> DataFrame:
+    """Jaccard-≥-{JACCARD_T} pairs with at least one side in ``probe``
+    — the shared band-join + exact-verify kernel over
+    :func:`minhash_band_index` rows (r09, VERDICT r08 #6: the bespoke
+    body of ``dedup_incremental`` factored into the scaffold's
+    pairs/probe shape, mirroring `simhash_pairs_from_blocks`).
+
+    ``normalized=False`` is the self-join shape (strict ``a < b`` —
+    pass the same frame twice); ``normalized=True`` is the probe
+    shape, where only one side is the batch, so cross pairs arrive
+    (new, hist) = (larger, smaller) and need least/greatest plus an
+    a-is-min array swap.  Arrays ride the index rows, so the verify
+    never re-joins the corpus."""
+    a, b = probe.alias("a"), index.alias("b")
+    joined = a.join(b, ["band_id", "band_hash"])
+    if normalized:
+        cand = (
+            joined.filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(
+                    F.col("a.doc_id"), F.col("b.doc_id")
+                ).alias("doc_b"),
+                F.col("a.sh").alias("sha_probe"),
+                F.col("b.sh").alias("shb_other"),
+                (F.col("a.doc_id") < F.col("b.doc_id")).alias("a_is_min"),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.when(F.col("a_is_min"), F.col("sha_probe"))
+                .otherwise(F.col("shb_other"))
+                .alias("sha"),
+                F.when(F.col("a_is_min"), F.col("shb_other"))
+                .otherwise(F.col("sha_probe"))
+                .alias("shb"),
+            )
+        )
+    else:
+        cand = joined.filter(
+            F.col("a.doc_id") < F.col("b.doc_id")
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def dedup_incremental(
     new_docs_sh: DataFrame, index: DataFrame, bucket_cap: int | None = None
 ) -> DataFrame:
@@ -534,33 +594,42 @@ def dedup_incremental(
             ["band_id", "band_hash"],
         )
     both = index.unionByName(new_index)
-    a = new_index.alias("a")  # at least one side is new
-    b = both.alias("b")
-    cand = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            F.col("a.sh").alias("sha_new"),
-            F.col("b.sh").alias("shb_other"),
-            (F.col("a.doc_id") < F.col("b.doc_id")).alias("a_is_min"),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.when(F.col("a_is_min"), F.col("sha_new"))
-            .otherwise(F.col("shb_other"))
-            .alias("sha"),
-            F.when(F.col("a_is_min"), F.col("shb_other"))
-            .otherwise(F.col("sha_new"))
-            .alias("shb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    return minhash_pairs_from_index(new_index, both, normalized=True)
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=_MINHASH_ORACLE,
+    tags=("dedup", "ivm", "extension"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup on the shared scaffold — the
+    TENTH incremental form, closing VERDICT r08 #6 (MinHash was the
+    FIRST family to grow the daily-batch pattern, r04, and the last
+    still carrying private split/probe plumbing; the bespoke body now
+    lives once in :func:`minhash_pairs_from_index` and the composition
+    is `incremental.incremental_pairs`, like SimHash/phash/paragraph/
+    linkage/n-gram before it).
+
+    Decomposition: ``pairs(hist ∪ new) = pairs(hist) ∪ probe(new,
+    index(hist) ∪ index(new))`` — exact because band-bucket collision
+    is symmetric and the scaffold's distinct covers each unordered
+    pair once.  IVM identity hash-proven by the driver gate: the
+    ORACLE is the full recompute (`_MINHASH_ORACLE`, the same one
+    `dedup_minhash_lsh` passes against)."""
+    from taipei_bi_etl_spark.queries.incremental import (
+        incremental_pairs,
+        quantile_cut_split,
     )
-    inter = F.size(F.array_intersect("sha", "shb"))
-    union = F.size("sha") + F.size("shb") - inter
-    jac = inter.cast("double") / union
-    return cand.withColumn("jaccard", jac).filter(
-        F.col("jaccard") >= JACCARD_T
-    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+    docs_sh = _doc_shingle_hashes(spark, sf_dir).persist()
+    hist, new = quantile_cut_split(docs_sh, "doc_id")
+    return incremental_pairs(
+        hist,
+        new,
+        minhash_band_index,
+        pairs_fn=lambda p, i: minhash_pairs_from_index(
+            p, i, normalized=False
+        ),
+        probe_fn=minhash_pairs_from_index,
+    )

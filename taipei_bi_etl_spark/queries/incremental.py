@@ -16,10 +16,21 @@ Two batch-split conventions exist, both append-only (every new id
 exceeds every history id, so cross pairs are already ordered):
 
 * :func:`quantile_cut_split` — ids above the 75th-percentile cut are
-  the new batch (paragraph / linkage / n-gram families);
+  the new batch (paragraph / linkage / n-gram / MinHash families);
 * a modular predicate on the id (SimHash / phash families, where the
   planted-copy offset must land copies in a known batch) — trivially
-  two filters, composed inline at the call site.
+  two filters, composed inline at the call site;
+* :func:`date_cut_split` — the reference's day-partition convention
+  (history strictly before the execution date, today = its partition),
+  used by the retention family (r09, VERDICT r08 #6).
+
+Retention's MERGE stays domain-specific by design: its delta is an
+update of the cells day-T events touch against yesterday's
+materialized pivot under the frozen-cell invariant
+(`retention.retention_delta_update`), not a two-side keyed mergeable
+aggregate — forcing it through :func:`incremental_agg_merge` would
+need per-cell merge lambdas that recompute the delta anyway.  The
+split is the shared plumbing; the merge is the domain.
 
 In the stored-state deployment the history index is persisted bucketed
 on its join key (`scale.write_bucketed`; versioned commits in
@@ -34,6 +45,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def date_cut_split(
+    base: DataFrame, date_col: str, as_of: str
+) -> tuple[DataFrame, DataFrame]:
+    """Day-partition (history, today) split at execution date
+    ``as_of`` — the reference's actual daily-batch convention
+    (`sql/mango_cohort_retained_users.sql:30-33` appends today's
+    occurrences to yesterday's accumulated table): history = rows
+    strictly before the date, today = exactly its partition.  At
+    warehouse scale both filters are partition-pruned scans of a
+    date-partitioned table (io.write_partitioned), so the split costs
+    no shuffle and no full scan."""
+    t = F.lit(as_of).cast("date")
+    return (
+        base.filter(F.col(date_col) < t),
+        base.filter(F.col(date_col) == t),
+    )
 
 
 def quantile_cut_split(

@@ -316,25 +316,27 @@ def cohort_retention_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows (tools/retention_ivm_stress.py measures this).
     """
     t = F.lit(AS_OF).cast("date")
-    t1 = F.lit(AS_OF_PREV).cast("date")
     lo_t = F.date_sub(t, WINDOW_DAYS)
     ud = _user_day_dims(read_table(spark, sf_dir, "events"))
+    # the scaffold's day-partition split (r09, VERDICT r08 #6):
+    # history = strictly before T (≡ day ≤ T−1), today = T's partition
+    from taipei_bi_etl_spark.queries.incremental import date_cut_split
+
+    hist_ud, today_ud = date_cut_split(ud, "day", AS_OF)
 
     # --- yesterday's per-user state (the occurrence/cohort tables):
     # full-history cohort min through T-1 + in-window distinct days
-    prior = (
-        ud.filter(F.col("day") <= t1)
-        .groupBy("user_id", "os", "country", "cohort_name")
-        .agg(
-            F.min("day").alias("prior_cohort"),
-            F.collect_set(
-                F.when(F.col("day") >= lo_t, F.col("day"))
-            ).alias("prior_days"),
-        )
+    prior = hist_ud.groupBy(
+        "user_id", "os", "country", "cohort_name"
+    ).agg(
+        F.min("day").alias("prior_cohort"),
+        F.collect_set(
+            F.when(F.col("day") >= lo_t, F.col("day"))
+        ).alias("prior_days"),
     )
 
     # --- today's deduped activity
-    today = ud.filter(F.col("day") == t).select(
+    today = today_ud.select(
         "user_id", "os", "country", "cohort_name"
     ).distinct()
 
