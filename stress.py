@@ -47,6 +47,10 @@ STRESS_QUERIES = [
     "dedup_exact_incremental",
     # r08: ninth form — vocab df/tf state merge (token-keyed sums)
     "vocab_df_incremental",
+    # r09: routed exact Jaccard (df probe + chosen arm) and the tenth
+    # incremental form (MinHash on the scaffold — band-index probe)
+    "dedup_jaccard_routed",
+    "dedup_minhash_incremental",
     "paragraph_dedup_report",
     "paragraph_dedup_incremental",
     "search_rank_eval",

@@ -81,3 +81,36 @@ def test_nested_registry_invocation_fails_loudly(spark):
     # window closed again: normal invocation works
     assert Q.REGISTRY["dedup_exact"].fn(spark, SF_DIR).count() >= 0
     assert Q._ACTIVE_QUERY is None
+
+
+def test_back_to_back_jvm_cache_bounded(spark):
+    """r09 (VERDICT r08 #3): two persist-using registry queries run
+    back-to-back must leave the JVM-side cached-RDD count bounded at
+    exactly ONE query's caches — i.e. release-on-next-invocation fires
+    at the CATALOG level (blocks actually dropped), not just in the
+    _TRACKED bookkeeping list.  This is the contract every
+    linkage/shingle-family query relies on when it persists subtrees
+    its returned frame consumes."""
+    spark.catalog.clearCache()
+    release_tracked()
+    assert _n_cached_rdds(spark) == 0
+
+    REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR).count()
+    solo_first = _n_cached_rdds(spark)
+    assert solo_first > 0  # non-vacuous: the query does persist
+
+    REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_DIR).count()
+    after_second = _n_cached_rdds(spark)
+
+    # measure the second query's solo footprint from a clean session
+    release_tracked()
+    spark.catalog.clearCache()
+    assert _n_cached_rdds(spark) == 0
+    REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_DIR).count()
+    solo_second = _n_cached_rdds(spark)
+
+    # bounded: back-to-back == the second query alone — nothing of the
+    # first query's caches survived its successor's invocation
+    assert after_second == solo_second, (after_second, solo_second)
+    release_tracked()
+    assert _n_cached_rdds(spark) == 0

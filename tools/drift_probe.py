@@ -10,7 +10,12 @@ suite-position and session-aging effects cancel.  Controls are
 stable headline entries whose budgets have never drifted; their ratios
 estimate the session's common mode independently of the suspects.
 
-Usage: python tools/drift_probe.py [passes]
+r09 (VERDICT r08 #4): suspects are now a CLI argument so each round's
+drifters get probe rows with the same methodology — the r08 pair was
+`asof_join_attribution` and `text_quality_scores` (1.34x normalized
+each, sub-second).
+
+Usage: python tools/drift_probe.py [passes] [suspect1,suspect2,...]
 """
 
 from __future__ import annotations
@@ -35,6 +40,11 @@ CONTROLS = ["pricing_summary", "dedup_minhash_lsh", "text_bm25_search"]
 
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    suspects = (
+        sys.argv[2].split(",") if len(sys.argv) > 2 else list(SUSPECTS)
+    )
+    for s in suspects:
+        assert s in REGISTRY and s in bench.BUDGETS, s
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark(app_name="drift_probe")
     spark.range(1).count()
@@ -45,7 +55,7 @@ def main() -> None:
     for warm in ("pricing_summary", "lead_sessionize"):
         REGISTRY[warm].fn(spark, sf_dir).count()
 
-    order = SUSPECTS + CONTROLS
+    order = suspects + CONTROLS
     runs: dict[str, list[float]] = {n: [] for n in order}
     for p in range(passes):
         for name in order:  # interleaved: every pass touches every query
@@ -62,11 +72,12 @@ def main() -> None:
         "medians": {n: round(v, 3) for n, v in med.items()},
         "control_inflation": round(statistics.median(ctl_ratios), 3),
         "suspect_vs_budget": {
-            n: round(med[n] / bench.BUDGETS[n], 3) for n in SUSPECTS
+            n: round(med[n] / bench.BUDGETS[n], 3) for n in suspects
         },
-        "r06_raw": {"cohort_retention": 0.42, "dedup_embedding_lsh": 6.68},
-        "r07_raw": {"cohort_retention": 0.907, "dedup_embedding_lsh": 9.606},
     }
+    if set(suspects) == set(SUSPECTS):
+        out["r06_raw"] = {"cohort_retention": 0.42, "dedup_embedding_lsh": 6.68}
+        out["r07_raw"] = {"cohort_retention": 0.907, "dedup_embedding_lsh": 9.606}
     print(json.dumps(out, indent=1))
     spark.stop()
 
