@@ -51,6 +51,9 @@ STRESS_QUERIES = [
     # incremental form (MinHash on the scaffold — band-index probe)
     "dedup_jaccard_routed",
     "dedup_minhash_incremental",
+    # r09: eleventh form — embedding LSH on the scaffold (ids-only
+    # bucket index, corpus-side verify)
+    "dedup_embedding_incremental",
     "paragraph_dedup_report",
     "paragraph_dedup_incremental",
     "search_rank_eval",

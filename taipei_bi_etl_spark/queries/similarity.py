@@ -428,6 +428,107 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucket_index(corpus: DataFrame) -> DataFrame:
+    """(vec_id, table_id, bucket) LSH index rows — the persistable
+    embedding-dedup state (bucketed on (table_id, bucket) in
+    production, like the MinHash band index).  IDS ONLY by design: the
+    candidate self-join fans out to Σ_buckets |bucket|² rows, so index
+    rows must stay 16-ish bytes — vectors join back only for surviving
+    candidates (the sf0.1 OOM lesson in `dedup_embedding_lsh`)."""
+    planes = _hyperplanes()
+    sigs = corpus.select(
+        "vec_id",
+        F.array(
+            *[signature(F.col("emb"), planes[t]) for t in range(LSH_TABLES)]
+        ).alias("sigs"),
+    )
+    return sigs.select(
+        "vec_id", F.posexplode("sigs").alias("table_id", "bucket")
+    ).persist()
+
+
+@query(
+    "dedup_embedding_incremental",
+    oracle=_lsh_pair_oracle(),
+    tags=("dedup", "similarity", "ivm", "extension"),
+)
+def dedup_embedding_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental embedding near-dup dedup against a persisted LSH
+    bucket index — the ELEVENTH incremental form, closing the one
+    dedup family (embeddings) that had no daily-batch shape: new
+    vectors hash into {LSH_TABLES} bucket ids and probe the stored
+    index, so daily cost is ∝ |batch| + collided buckets and history
+    is never re-hashed.
+
+    Scaffold composition (`incremental.incremental_pairs` +
+    `quantile_cut_split`), like MinHash/SimHash/n-gram before it —
+    with ONE scale-driven deviation: index rows carry IDS ONLY
+    (:func:`_lsh_bucket_index`), so the verify joins candidate pairs
+    back to the shared corpus frame instead of riding arrays through
+    the bucket join (the sf0.1 |pairs|×dim OOM).  Vectors touch only
+    surviving candidates on either term.
+
+    IVM identity hash-proven by the driver gate: the ORACLE is the
+    full recompute (`_lsh_pair_oracle`, the same hyperplanes-inlined
+    SQL `dedup_embedding_lsh` passes against)."""
+    from taipei_bi_etl_spark.queries.incremental import (
+        incremental_pairs,
+        quantile_cut_split,
+    )
+
+    corpus = _corpus_with_norm(spark, sf_dir).persist()
+    hist, new = quantile_cut_split(corpus, "vec_id")
+    ca = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    cb = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+
+    def _pairs(probe: DataFrame, index: DataFrame, normalized: bool):
+        a = probe.select(
+            F.col("vec_id").alias("vec_a"), "table_id", "bucket"
+        )
+        b = index.select(
+            F.col("vec_id").alias("vec_b"), "table_id", "bucket"
+        )
+        j = a.join(b, ["table_id", "bucket"])
+        if normalized:
+            cand = j.filter(F.col("vec_a") != F.col("vec_b")).select(
+                F.least(F.col("vec_a"), F.col("vec_b")).alias("vec_a"),
+                F.greatest(F.col("vec_a"), F.col("vec_b")).alias("vec_b"),
+            )
+        else:
+            cand = j.filter(F.col("vec_a") < F.col("vec_b")).select(
+                "vec_a", "vec_b"
+            )
+        cand = cand.dropDuplicates(["vec_a", "vec_b"])
+        sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+        return (
+            cand.join(ca, "vec_a")
+            .join(cb, "vec_b")
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= NEARDUP_SIM)
+            .select(
+                "vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim")
+            )
+        )
+
+    return incremental_pairs(
+        hist,
+        new,
+        _lsh_bucket_index,
+        pairs_fn=lambda p, i: _pairs(p, i, False),
+        probe_fn=lambda p, i: _pairs(p, i, True),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Johnson-Lindenstrauss sign projection — dimensionality reduction as a
 # corpus transform (the bytes-shrink step ahead of ANN bucketing).

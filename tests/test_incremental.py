@@ -108,3 +108,34 @@ def test_agg_merge_cross_cut_duplicates(spark):
     dup = merged.filter(F.col("n_copies") > 1).collect()
     assert len(dup) == 1
     assert dup[0].keep_doc_id == 1 and dup[0].n_copies == 2
+
+
+def test_minhash_incremental_equals_full(spark):
+    """r09 (VERDICT r08 #6): the TENTH form — MinHash on the scaffold —
+    is frame-exact against the full LSH run."""
+    from taipei_bi_etl_spark.queries.dedup import (
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+
+    full = dedup_minhash_lsh(spark, SF_DIR)
+    inc = dedup_minhash_incremental(spark, SF_DIR)
+    assert full.exceptAll(inc).count() == 0
+    assert inc.exceptAll(full).count() == 0
+    assert full.count() > 0
+
+
+def test_embedding_incremental_equals_full(spark):
+    """r09: the ELEVENTH form — embedding LSH dedup on the scaffold,
+    ids-only index rows with corpus-side verify — is frame-exact
+    against the full bucketed run."""
+    from taipei_bi_etl_spark.queries.similarity import (
+        dedup_embedding_incremental,
+        dedup_embedding_lsh,
+    )
+
+    full = dedup_embedding_lsh(spark, SF_DIR)
+    inc = dedup_embedding_incremental(spark, SF_DIR)
+    assert full.exceptAll(inc).count() == 0
+    assert inc.exceptAll(full).count() == 0
+    assert full.count() > 0
