@@ -433,11 +433,11 @@ def blocked_components(
         small = edges.filter(~F.col("nat_a").isin(oversized))
         big_edges = edges.filter(F.col("nat_a").isin(oversized))
     elif oversized:
-        # many oversized keys (still ≤ total_edges / edge_cap by
-        # construction): broadcast the keys frame — no driver list,
-        # no unbounded literal in the plan
         keys = oversized_rows.select("nat_a")
+        # bounded: each oversized key holds > edge_cap edges, so keys
+        # is ≤ total_edges/edge_cap rows of single longs
         small = edges.join(F.broadcast(keys), "nat_a", "left_anti")
+        # bounded: the same ≤ total_edges/edge_cap keys frame as above
         big_edges = edges.join(F.broadcast(keys), "nat_a", "left_semi")
     uf = small.groupBy("nat_a").applyInPandas(
         _cc, "c_custkey long, entity_id long"
