@@ -54,6 +54,9 @@ STRESS_QUERIES = [
     # r09: eleventh form — embedding LSH on the scaffold (ids-only
     # bucket index, corpus-side verify)
     "dedup_embedding_incremental",
+    # r09: asymmetric prefix filter for containment (prefix probe vs
+    # full index — candidate volume ~(1-t)·Σdf·df_pref)
+    "dedup_containment_prefix",
     "paragraph_dedup_report",
     "paragraph_dedup_incremental",
     "search_rank_eval",

@@ -889,6 +889,99 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment_prefix",
+    oracle=_CONTAIN_ORACLE,
+    tags=("dedup", "curation", "extension"),
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs via ASYMMETRIC prefix filtering — the r09
+    derivation of the Bayardo/PPJoin prefix bound for the containment
+    coefficient C = |A∩B| / min(|A|,|B|) ≥ {CONTAIN_T} (the r10 lead
+    in BACKLOG, built once the bound was proved):
+
+    Let S be the smaller set of a qualifying pair.  C ≥ t gives
+    overlap o ≥ ⌈t·|S|⌉, so under ANY global total order the smallest
+    common shingle s* is preceded in S only by non-common shingles
+    (≤ |S| − o of them) and sits within S's first |S| − ⌈t·|S|⌉ + 1 —
+    S's PREFIX.  The LARGER side admits no such bound (its common
+    elements can be preceded by arbitrarily many non-common ones), so
+    it must stay fully indexed.  Hence: probe with each doc's prefix
+    against the FULL postings index — every qualifying pair collides
+    when the probe is its smaller side (either side when sizes tie),
+    and the exact verify (array_intersect over the full sorted
+    arrays) makes the output IDENTICAL to `dedup_ngram_containment`,
+    whose oracle this query shares.
+
+    ⌈t·n⌉ is computed in integer arithmetic ((9n + 9) div 10) — the
+    float-ceil completeness hole pinned in the Jaccard twin.
+
+    100 TB: candidate volume drops from Σ df² (full self-join) to
+    ~(1−t)·Σ df_prefix·df — at t = {CONTAIN_T} a ~10x cut — while
+    index volume stays one full postings pass plus a (1−t) prefix
+    pass; the verify join ships each doc's array once, keyed by
+    doc_id.  The df-ascending canonical order upgrade (the Jaccard
+    crossover result) applies here unchanged if heavy-tailed corpora
+    ever dominate; hash order is the zero-extra-shuffle baseline."""
+    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+
+    d = read_table(spark, sf_dir, "documents")
+    docs_sh = d.select(
+        "doc_id",
+        F.array_sort(
+            shingle_hash_array(F.split(F.col("text"), r"\s+"))
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    p = (
+        F.size("sh")
+        - F.floor((F.size("sh") * 9 + 9) / F.lit(10))
+        + 1
+    ).cast("int")
+    sorted_sh = docs_sh.select("doc_id", "sh", p.alias("p")).persist()
+    pref = sorted_sh.select(
+        "doc_id", F.explode(F.slice("sh", 1, F.col("p"))).alias("shingle")
+    )
+    full = sorted_sh.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    a, b = pref.alias("a"), full.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    arr_a = sorted_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    arr_b = sorted_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    containment = inter.cast("double") / F.least(
+        F.size("sh_a"), F.size("sh_b")
+    )
+    contained = (
+        F.when(F.size("sh_a") < F.size("sh_b"), F.col("doc_a"))
+        .when(F.size("sh_b") < F.size("sh_a"), F.col("doc_b"))
+        .otherwise(F.least("doc_a", "doc_b"))
+    )
+    return (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .filter(containment >= F.lit(9) / F.lit(10))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(containment, 6).alias("containment"),
+            contained.alias("contained_doc"),
+        )
+    )
+
+
 _DROP_CONTAINED_ORACLE = f"""
 WITH cpairs AS ({_CONTAIN_ORACLE}
 ), dropped AS (

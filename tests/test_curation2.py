@@ -347,3 +347,48 @@ def test_pack_window_boundaries_matches_python(spark, tmp_path):
     assert full and all(
         sum(l for _, _, l in segs[k]) == CTX for k in full
     )
+
+
+def test_containment_prefix_identity(spark, tmp_path):
+    """r09: the asymmetric prefix filter (probe-with-prefix vs full
+    index — smaller side's prefix must contain the smallest common
+    shingle, larger side admits no bound) is frame-exact against the
+    full-index containment form, on the real corpus AND on a corpus
+    with genuinely SUBSUMED docs (sizes differ, so the smaller-side
+    prefix path is exercised non-vacuously)."""
+    import random
+
+    from taipei_bi_etl_spark.queries.curation2 import (
+        dedup_containment_prefix,
+        dedup_ngram_containment,
+    )
+
+    full = dedup_ngram_containment(spark, SF_DIR)
+    pref = dedup_containment_prefix(spark, SF_DIR)
+    assert full.exceptAll(pref).count() == 0
+    assert pref.exceptAll(full).count() == 0
+    assert full.count() > 0
+
+    rng = random.Random(11)
+    long_toks = [f"w{rng.randrange(30)}" for _ in range(120)]
+    rows = [
+        (0, " ".join(long_toks), "en", "synth", 0),
+        (1, " ".join(long_toks[:30]), "en", "synth", 0),  # excerpt
+        (2, " ".join(long_toks), "en", "synth", 0),  # exact dup of 0
+        (3, " ".join(f"u{i}" for i in range(40)), "en", "synth", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    f2 = {
+        (r["doc_a"], r["doc_b"], r["containment"], r["contained_doc"])
+        for r in dedup_ngram_containment(spark, str(tmp_path)).collect()
+    }
+    p2 = {
+        (r["doc_a"], r["doc_b"], r["containment"], r["contained_doc"])
+        for r in dedup_containment_prefix(spark, str(tmp_path)).collect()
+    }
+    assert f2 == p2
+    assert (0, 1, 1.0, 1) in p2  # the subsumed excerpt is found
