@@ -182,7 +182,12 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             if sever_dir is None:
                 # driver-local tempdir by default (local[*] shares the
                 # filesystem); multi-node deployments set
-                # SPARK_GRAFT_SEVER_DIR to a shared path (GCS/HDFS/NFS)
+                # SPARK_GRAFT_SEVER_DIR to a POSIX-MOUNTED shared
+                # filesystem (NFS/Lustre/fuse-mounted bucket) — NOT a
+                # bare gs://|hdfs:// URI: mkdtemp/rmtree are local-FS
+                # APIs and would fail on a URI scheme; object-store
+                # paths would need Hadoop FS API plumbing instead
+                # (ADVICE r09 #1)
                 base = os.environ.get("SPARK_GRAFT_SEVER_DIR")
                 sever_dir = tempfile.mkdtemp(
                     prefix="minlabel_sever_", dir=base
@@ -212,8 +217,10 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         # sever directory itself comes from tempfile.mkdtemp on the
         # DRIVER — fine on local[*] where driver and executors share a
         # filesystem; a multi-node deployment must point
-        # SPARK_GRAFT_SEVER_DIR at a shared filesystem (GCS/HDFS/NFS)
-        # so executors can read what the driver named.
+        # SPARK_GRAFT_SEVER_DIR at a POSIX-MOUNTED shared filesystem
+        # (NFS or similar — not a gs://|hdfs:// URI, which the
+        # mkdtemp/rmtree pair above cannot handle) so executors can
+        # read what the driver named.
         labels = labels.localCheckpoint(eager=True)
         shutil.rmtree(sever_dir, ignore_errors=True)
     return labels

@@ -818,7 +818,15 @@ def pack_window_boundaries_incremental(
 # N-gram containment dedup (doc-subsumption: excerpts / quote supersets).
 # ---------------------------------------------------------------------------
 
-CONTAIN_T = 0.9
+# Single rational source of truth for the containment threshold: the
+# prefix-length formula in `dedup_containment_prefix` needs EXACT
+# integer ceil arithmetic, so the threshold lives as a fraction and
+# CONTAIN_T is derived — changing CONTAIN_NUM/CONTAIN_DEN re-derives
+# the prefix bound, the Spark filters, and the oracle together
+# (ADVICE r09 #2: the 9/10 literals previously hardcoded in the
+# prefix query could silently desync from CONTAIN_T).
+CONTAIN_NUM, CONTAIN_DEN = 9, 10
+CONTAIN_T = CONTAIN_NUM / CONTAIN_DEN
 
 _CONTAIN_ORACLE = f"""
 WITH shingles AS (
@@ -913,8 +921,11 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays) makes the output IDENTICAL to `dedup_ngram_containment`,
     whose oracle this query shares.
 
-    ⌈t·n⌉ is computed in integer arithmetic ((9n + 9) div 10) — the
-    float-ceil completeness hole pinned in the Jaccard twin.
+    ⌈t·n⌉ is computed in integer arithmetic
+    ((CONTAIN_NUM·n + CONTAIN_DEN − 1) div CONTAIN_DEN) — the
+    float-ceil completeness hole pinned in the Jaccard twin; the
+    threshold enters this query only via the CONTAIN_NUM/CONTAIN_DEN
+    rational, so prefix bound, filter and oracle move together.
 
     100 TB: candidate volume drops from Σ df² (full self-join) to
     ~(1−t)·Σ df_prefix·df — at t = {CONTAIN_T} a ~10x cut — while
@@ -934,7 +945,10 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("sh") > 0)
     p = (
         F.size("sh")
-        - F.floor((F.size("sh") * 9 + 9) / F.lit(10))
+        - F.floor(
+            (F.size("sh") * CONTAIN_NUM + (CONTAIN_DEN - 1))
+            / F.lit(CONTAIN_DEN)
+        )
         + 1
     ).cast("int")
     sorted_sh = docs_sh.select("doc_id", "sh", p.alias("p")).persist()
@@ -972,7 +986,7 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(arr_a, "doc_a")
         .join(arr_b, "doc_b")
-        .filter(containment >= F.lit(9) / F.lit(10))
+        .filter(containment >= F.lit(CONTAIN_NUM) / F.lit(CONTAIN_DEN))
         .select(
             "doc_a",
             "doc_b",

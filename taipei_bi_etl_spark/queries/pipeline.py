@@ -631,6 +631,13 @@ def route_jaccard(
     if choice_out is not None:
         choice_out.append(route)
     if route == "df":
+        # The df arm rebuilds its postings from docs_sh (df-ascending
+        # canonical order needs a fresh explode anyway), so the probe's
+        # postings frame — the largest intermediate — is only needed by
+        # the probe aggregate and the full arm.  Release it here rather
+        # than letting it ride double-cached for the query's lifetime
+        # (ADVICE r09 #3).
+        postings.unpersist()
         return jaccard_prefix_filter_pairs(
             docs_sh,
             threshold_num=threshold_num,
