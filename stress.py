@@ -57,6 +57,10 @@ STRESS_QUERIES = [
     # r09: asymmetric prefix filter for containment (prefix probe vs
     # full index — candidate volume ~(1-t)·Σdf·df_pref)
     "dedup_containment_prefix",
+    # r10: df-ascending containment variant + the routed production
+    # entry (max-df probe + chosen arm — the route_jaccard pattern)
+    "dedup_containment_prefix_df",
+    "dedup_containment_routed",
     "paragraph_dedup_report",
     "paragraph_dedup_incremental",
     "search_rank_eval",

@@ -538,3 +538,168 @@ def phash_index_advance(
         n_images + int(stats["n"]),
     )
     return pairs, v + 1
+
+
+# ---------------------------------------------------------------------------
+# Embedding LSH bucket index — stored-state form of
+# `queries.similarity.dedup_embedding_incremental` (r10, VERDICT r09
+# #1: the one incremental family where the base term dominates — the
+# registered in-plan identity re-derives yesterday's hist×hist bucket
+# join + verify every run; this store makes the daily cost what the
+# docstring claims: ∝ |batch| signatures + collided buckets).
+#
+# State per version: `index/` — cumulative ids-only (vec_id, table_id,
+# bucket) rows (the `_lsh_bucket_index` layout; 16-ish bytes a row by
+# design); `vectors/` — cumulative (vec_id, emb, norm), because the
+# exact cosine verify needs history vectors for ids the batch collides
+# with.  In a production warehouse `vectors/` IS the corpus table
+# (fetch-by-id join against the lake); the store keeps a versioned
+# copy so `advance` is self-contained and crash-retries read a
+# consistent snapshot.  Cumulative rewrite per version matches the
+# phash store's protocol — a production sink would date-partition the
+# appends instead; either way the write is LINEAR in corpus, never
+# quadratic like the yesterday term the store eliminates.
+# ---------------------------------------------------------------------------
+
+EMB_INDEX_SCHEMA = "vec_id long, table_id int, bucket long"
+EMB_VEC_SCHEMA = "vec_id long, emb array<double>, norm double"
+EMB_META_SCHEMA = "max_vec_id long, n_vecs long"
+
+
+def read_emb_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame, int, int, int]:
+    """(band_index, vectors, max_vec_id, n_vecs, version) of the
+    latest committed embedding-index version."""
+    v = latest_version(state_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed state under {state_dir}")
+    vdir = _version_dir(state_dir, v)
+    index = spark.read.schema(EMB_INDEX_SCHEMA).parquet(
+        os.path.join(vdir, "index")
+    )
+    vectors = spark.read.schema(EMB_VEC_SCHEMA).parquet(
+        os.path.join(vdir, "vectors")
+    )
+    meta = (
+        spark.read.schema(EMB_META_SCHEMA)
+        .parquet(os.path.join(vdir, "meta"))
+        .collect()[0]
+    )
+    return index, vectors, int(meta["max_vec_id"]), int(meta["n_vecs"]), v
+
+
+def _emb_commit(
+    spark: SparkSession,
+    state_dir: str,
+    v: int,
+    index: DataFrame,
+    vectors: DataFrame,
+    max_vec_id: int,
+    n_vecs: int,
+) -> int:
+    """Write embedding-index version ``v`` (idempotent on retry),
+    marker last — same protocol as the packing/retention/phash
+    stores."""
+    import shutil
+
+    vdir = _version_dir(state_dir, v)
+    if os.path.isdir(vdir):
+        if os.path.exists(os.path.join(vdir, "_COMMITTED")):
+            raise FileExistsError(  # see _commit — same protocol
+                f"version {v} already committed under {state_dir} by a "
+                "concurrent writer; re-read latest_version and retry"
+            )
+        shutil.rmtree(vdir)  # crashed UNCOMMITTED attempt — retry wins
+    index.write.mode("overwrite").parquet(os.path.join(vdir, "index"))
+    vectors.write.mode("overwrite").parquet(os.path.join(vdir, "vectors"))
+    spark.createDataFrame(
+        [(int(max_vec_id), int(n_vecs))], EMB_META_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(vdir, "meta"))
+    # O_EXCL publish — single-writer contract, violation -> error
+    with open(os.path.join(vdir, "_COMMITTED"), "x"):
+        pass
+    return v
+
+
+def emb_index_init(
+    spark: SparkSession, corpus: DataFrame, state_dir: str
+) -> int:
+    """Bootstrap the LSH bucket index from a normalized corpus
+    (``(vec_id, emb, norm)`` rows — `similarity._corpus_with_norm`
+    shape) — commit v1."""
+    from taipei_bi_etl_spark.queries.similarity import _lsh_bucket_index
+
+    stats = corpus.agg(
+        F.max("vec_id").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if stats["n"] == 0:
+        raise ValueError("empty corpus: nothing to index")
+    index = _lsh_bucket_index(corpus)
+    vectors = corpus.select("vec_id", "emb", "norm")
+    v = _emb_commit(
+        spark, state_dir, 1, index, vectors, int(stats["mx"]), int(stats["n"])
+    )
+    index.unpersist()
+    return v
+
+
+def emb_index_advance(
+    spark: SparkSession, new_corpus: DataFrame, state_dir: str
+) -> tuple[DataFrame, int]:
+    """Probe the stored bucket index with a NEW batch of vectors and
+    advance the store: returns (near-dup pairs touching the batch,
+    new committed version).
+
+    Append-only contract (CHECKED, fail-closed like the other stores):
+    every new ``vec_id`` must be strictly greater than the stored
+    watermark — a replayed or overlapping batch raises before any
+    write, so a crash-after-commit retry cannot double-insert index
+    rows.
+
+    Cost ∝ |batch| + matched buckets: only the BATCH's signatures are
+    computed (at {LSH_TABLES} tables × {LSH_BITS} 64-dim dot products
+    per vector, signature hashing is this family's dominant per-row
+    cost — history is never re-hashed), the probe equi-joins batch
+    bands against the stored ids-only index, and the exact cosine
+    verify joins vectors back for SURVIVING candidates only
+    (`similarity.emb_pairs_from_index`, the one kernel copy).
+    Guarantee (pinned in pytest): ``full_pairs(history ∪ new) =
+    full_pairs(history) ∪ advance(new)`` — the same identity the
+    registered query proves in-plan against the DuckDB oracle."""
+    from taipei_bi_etl_spark.queries.similarity import (
+        _lsh_bucket_index,
+        emb_pairs_from_index,
+    )
+
+    index, vectors, watermark, n_vecs, v = read_emb_state(spark, state_dir)
+    stats = new_corpus.agg(
+        F.min("vec_id").alias("mn"),
+        F.max("vec_id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        raise ValueError("empty batch: nothing to advance")
+    if int(stats["mn"]) <= watermark:
+        raise ValueError(
+            f"append-only contract violated: batch min vec_id "
+            f"{stats['mn']} <= stored watermark {watermark} "
+            "(replayed or overlapping batch)"
+        )
+    new_bands = _lsh_bucket_index(new_corpus)
+    new_vecs = new_corpus.select("vec_id", "emb", "norm")
+    all_vecs = vectors.unionByName(new_vecs)
+    pairs = emb_pairs_from_index(
+        new_bands, index.unionByName(new_bands), all_vecs, normalized=True
+    )
+    _emb_commit(
+        spark,
+        state_dir,
+        v + 1,
+        index.unionByName(new_bands),
+        all_vecs,
+        int(stats["mx"]),
+        n_vecs + int(stats["n"]),
+    )
+    new_bands.unpersist()
+    return pairs, v + 1

@@ -897,16 +897,17 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_containment_prefix",
-    oracle=_CONTAIN_ORACLE,
-    tags=("dedup", "curation", "extension"),
-)
-def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def containment_prefix_pairs(
+    docs_sh: DataFrame,
+    canonical: str = "hash",
+    df_counts: DataFrame | None = None,
+) -> DataFrame:
     """Containment pairs via ASYMMETRIC prefix filtering — the r09
     derivation of the Bayardo/PPJoin prefix bound for the containment
-    coefficient C = |A∩B| / min(|A|,|B|) ≥ {CONTAIN_T} (the r10 lead
-    in BACKLOG, built once the bound was proved):
+    coefficient C = |A∩B| / min(|A|,|B|) ≥ CONTAIN_T, factored out in
+    r10 so the hash-ordered baseline, the df-ascending variant and
+    the routed dispatcher share one copy (the
+    `jaccard_prefix_filter_pairs` precedent).
 
     Let S be the smaller set of a qualifying pair.  C ≥ t gives
     overlap o ≥ ⌈t·|S|⌉, so under ANY global total order the smallest
@@ -917,32 +918,32 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     it must stay fully indexed.  Hence: probe with each doc's prefix
     against the FULL postings index — every qualifying pair collides
     when the probe is its smaller side (either side when sizes tie),
-    and the exact verify (array_intersect over the full sorted
-    arrays) makes the output IDENTICAL to `dedup_ngram_containment`,
-    whose oracle this query shares.
+    and the exact verify (array_intersect over the full arrays, order-
+    insensitive) makes the output IDENTICAL to
+    `dedup_ngram_containment`, whose oracle every form shares.
 
     ⌈t·n⌉ is computed in integer arithmetic
     ((CONTAIN_NUM·n + CONTAIN_DEN − 1) div CONTAIN_DEN) — the
     float-ceil completeness hole pinned in the Jaccard twin; the
-    threshold enters this query only via the CONTAIN_NUM/CONTAIN_DEN
-    rational, so prefix bound, filter and oracle move together.
+    threshold enters only via the CONTAIN_NUM/CONTAIN_DEN rational,
+    so prefix bound, filter and oracle move together.
+
+    CANONICAL ORDER (``canonical="df"``): the completeness lemma holds
+    for ANY global total order, so each doc's array may be re-sorted
+    by ASCENDING document frequency (ties by hash — still a total
+    order).  High-df boilerplate then sorts LAST and drops out of
+    every doc's prefix, collapsing the Σ df_pref·df candidate term
+    exactly as in the Jaccard crossover — and the asymmetric scheme
+    rides a FULL index on the other side, so boilerplate in prefixes
+    hurts ~df-linearly per prefix slot, making df-order the
+    heavy-tail path here too.  INPUT CONTRACT (shared with the
+    Jaccard form): ``sh`` must be distinct per doc (shingle_hash_array
+    output), so count(*) over postings is exact df.
 
     100 TB: candidate volume drops from Σ df² (full self-join) to
-    ~(1−t)·Σ df_prefix·df — at t = {CONTAIN_T} a ~10x cut — while
-    index volume stays one full postings pass plus a (1−t) prefix
-    pass; the verify join ships each doc's array once, keyed by
-    doc_id.  The df-ascending canonical order upgrade (the Jaccard
-    crossover result) applies here unchanged if heavy-tailed corpora
-    ever dominate; hash order is the zero-extra-shuffle baseline."""
-    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
-
-    d = read_table(spark, sf_dir, "documents")
-    docs_sh = d.select(
-        "doc_id",
-        F.array_sort(
-            shingle_hash_array(F.split(F.col("text"), r"\s+"))
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    ~(1−t)·Σ df_pref·df — at t = CONTAIN_T a ~10x cut — while index
+    volume stays one full postings pass plus a (1−t) prefix pass; the
+    verify join ships each doc's array once, keyed by doc_id."""
     p = (
         F.size("sh")
         - F.floor(
@@ -951,6 +952,30 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 1
     ).cast("int")
+    if canonical == "df":
+        postings = docs_sh.select(
+            "doc_id", F.explode("sh").alias("shingle")
+        )
+        if df_counts is None:
+            # dispatcher passes its probe aggregate through — one
+            # aggregate, used twice (route_containment)
+            df_counts = postings.groupBy("shingle").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+        docs_sh = (
+            postings.join(df_counts, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("df", "shingle"))
+                    ),
+                    lambda s: s["shingle"],
+                ).alias("sh")
+            )
+        )
+    else:
+        docs_sh = docs_sh.select("doc_id", F.array_sort("sh").alias("sh"))
     sorted_sh = docs_sh.select("doc_id", "sh", p.alias("p")).persist()
     pref = sorted_sh.select(
         "doc_id", F.explode(F.slice("sh", 1, F.col("p"))).alias("shingle")
@@ -994,6 +1019,158 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             contained.alias("contained_doc"),
         )
     )
+
+
+def _contain_docs_sh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) input frame shared by every containment form."""
+    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        shingle_hash_array(F.split(F.col("text"), r"\s+")).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+
+@query(
+    "dedup_containment_prefix",
+    oracle=_CONTAIN_ORACLE,
+    tags=("dedup", "curation", "extension"),
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs via ASYMMETRIC prefix filtering, hash
+    canonical order — the zero-extra-shuffle baseline (derivation +
+    completeness proof in :func:`containment_prefix_pairs`); same
+    output and oracle as `dedup_ngram_containment`."""
+    return containment_prefix_pairs(_contain_docs_sh(spark, sf_dir))
+
+
+@query(
+    "dedup_containment_prefix_df",
+    oracle=_CONTAIN_ORACLE,
+    tags=("dedup", "curation", "extension"),
+)
+def dedup_containment_prefix_df(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Asymmetric containment prefix filter with DF-ASCENDING
+    canonical order — the heavy-tailed-df scale path: boilerplate
+    shingles sort last and drop out of every doc's prefix, so the
+    Σ df_pref·df candidate term stays bounded where hash-ordered
+    prefixes keep boilerplate in ~(1−t) of the docs that carry it
+    (each such prefix slot joins the FULL index at full df).  Same
+    output and oracle as `dedup_ngram_containment`; order validity +
+    completeness proof in :func:`containment_prefix_pairs`."""
+    return containment_prefix_pairs(
+        _contain_docs_sh(spark, sf_dir), canonical="df"
+    )
+
+
+def pick_containment_route(
+    n_docs: int, max_df: int, df_share_cut: float
+) -> str:
+    """Containment routing rule: the SAME decision table as
+    `pipeline.pick_jaccard_route` (the mechanism — correlated
+    prefix-inclusion of high-df shingles — is identical), relabeled
+    because the containment family's benign arm is the hash-ordered
+    prefix filter, not a full index."""
+    from taipei_bi_etl_spark.queries.pipeline import pick_jaccard_route
+
+    return (
+        "df"
+        if pick_jaccard_route(n_docs, max_df, df_share_cut) == "df"
+        else "hash"
+    )
+
+
+def route_containment(
+    docs_sh: DataFrame,
+    df_share_cut: float | None = None,
+    choice_out: list | None = None,
+) -> DataFrame:
+    """Containment pairs with MEASURED-CROSSOVER ROUTING (r10, the
+    `route_jaccard` pattern applied to the containment family —
+    VERDICT r09 next-round #5): probe the corpus's max
+    document-frequency share with one shingle-keyed aggregate, then
+    dispatch —
+
+    * bounded df: HASH-ordered asymmetric prefix filter
+      (`containment_prefix_pairs(canonical="hash")`) — no df
+      aggregate, no per-doc re-sort, prefixes already ~(1−t) of each
+      doc;
+    * heavy-tailed df: DF-ASCENDING prefix filter, where boilerplate
+      sorts out of every prefix and the Σ df_pref·df candidate join
+      stays bounded (measured crossover in SCALE.md r10 — the
+      containment sweep mirrors the Jaccard one: both forms within
+      ~1.1x at benign df, hash-order degrading monotonically as max
+      df grows).
+
+    Both arms emit identical (doc_a, doc_b, containment,
+    contained_doc) rows (the asymmetric completeness lemma holds for
+    any global total order), so routing never changes the answer —
+    the routing pytest pins the CHOICE on benign and boilerplate
+    corpora and pair-identity either way.  The routing RULE is shared
+    with the Jaccard dispatcher (`pipeline.pick_jaccard_route` — same
+    decision table, same default cut): the mechanism being routed
+    around (correlated prefix-inclusion of high-df shingles) is
+    identical, and the containment sweep measured the crossover in
+    the same 2-5%-of-corpus band.
+
+    EAGER-EXECUTION NOTE (same class as `route_jaccard` /
+    `blocked_components`, contract-tested in
+    `test_construction_probes`): the probe runs two scalar actions at
+    DataFrame-construction time over persisted frames the df arm
+    reuses.
+
+    100 TB: the probe is linear and shingle-keyed (no pair-shaped
+    work); heavy-tailed df is exactly the boilerplate-wrapper corpus
+    the containment measure exists for (quote supersets share the
+    quoted shingles), so the df arm is the expected production route
+    at scale."""
+    from taipei_bi_etl_spark.queries.pipeline import _DF_SHARE_CUT
+
+    if df_share_cut is None:
+        df_share_cut = _DF_SHARE_CUT
+    docs_sh = docs_sh.persist()
+    n_docs = docs_sh.count()
+    postings = docs_sh.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).persist()
+    df_counts = postings.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    ).persist()
+    row = df_counts.agg(F.max("df").alias("max_df")).first()
+    max_df = int(row["max_df"] or 0)
+    route = pick_containment_route(n_docs, max_df, df_share_cut)
+    if choice_out is not None:
+        choice_out.append(route)
+    if route == "df":
+        # the df arm rebuilds postings from docs_sh for the re-sort;
+        # the probe's postings are only the probe's (ADVICE r09 #3
+        # applied from day one here)
+        postings.unpersist()
+        return containment_prefix_pairs(
+            docs_sh, canonical="df", df_counts=df_counts
+        )
+    postings.unpersist()
+    df_counts.unpersist()
+    return containment_prefix_pairs(docs_sh, canonical="hash")
+
+
+@query(
+    "dedup_containment_routed",
+    oracle=_CONTAIN_ORACLE,
+    tags=("dedup", "curation", "extension"),
+)
+def dedup_containment_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION containment entry: measured-crossover routing
+    between the hash-ordered and df-ascending asymmetric prefix
+    filters (core + routing rule in :func:`route_containment`).  On
+    the benign test corpus the probe picks hash order; a
+    boilerplate-heavy corpus (max df > 2% of docs) flips to
+    df-ascending.  Same output and oracle as
+    `dedup_ngram_containment` either way."""
+    return route_containment(_contain_docs_sh(spark, sf_dir))
 
 
 _DROP_CONTAINED_ORACLE = f"""

@@ -447,6 +447,58 @@ def _lsh_bucket_index(corpus: DataFrame) -> DataFrame:
     ).persist()
 
 
+def emb_pairs_from_index(
+    probe: DataFrame,
+    index: DataFrame,
+    vectors: DataFrame,
+    normalized: bool = False,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine_sim) for every bucket-colliding pair with
+    at least one side in ``probe``, exact-verified at ``NEARDUP_SIM``
+    — the ONE copy of the embedding-LSH probe + verify kernel (r10,
+    VERDICT r09 #1; the `minhash_pairs_from_index` precedent), shared
+    by the registered in-plan IVM (`dedup_embedding_incremental`) and
+    the stored-index deployment form (`ivm_store.emb_index_advance`).
+
+    ``probe``/``index`` are ids-only (vec_id, table_id, bucket) rows;
+    ``vectors`` is (vec_id, emb, norm).  Vectors join back only for
+    SURVIVING candidates (the sf0.1 |pairs|×dim OOM lesson).  With
+    ``normalized`` the pair is least/greatest-ordered (the probe term,
+    where only one side is the batch); otherwise a strict ``a < b``
+    filter (the self-join term)."""
+    ca = vectors.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    cb = vectors.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    a = probe.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
+    b = index.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
+    j = a.join(b, ["table_id", "bucket"])
+    if normalized:
+        cand = j.filter(F.col("vec_a") != F.col("vec_b")).select(
+            F.least(F.col("vec_a"), F.col("vec_b")).alias("vec_a"),
+            F.greatest(F.col("vec_a"), F.col("vec_b")).alias("vec_b"),
+        )
+    else:
+        cand = j.filter(F.col("vec_a") < F.col("vec_b")).select(
+            "vec_a", "vec_b"
+        )
+    cand = cand.dropDuplicates(["vec_a", "vec_b"])
+    sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    return (
+        cand.join(ca, "vec_a")
+        .join(cb, "vec_b")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= NEARDUP_SIM)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
 @query(
     "dedup_embedding_incremental",
     oracle=_lsh_pair_oracle(),
@@ -468,7 +520,13 @@ def dedup_embedding_incremental(
     (:func:`_lsh_bucket_index`), so the verify joins candidate pairs
     back to the shared corpus frame instead of riding arrays through
     the bucket join (the sf0.1 |pairs|×dim OOM).  Vectors touch only
-    surviving candidates on either term.
+    surviving candidates on either term.  The probe + verify kernel
+    lives once in :func:`emb_pairs_from_index` (r10), shared with the
+    STORED-INDEX deployment form `ivm_store.emb_index_advance` —
+    this registered query is the hash-provable identity (both terms
+    in one plan); the store is what a production DAG runs, at daily
+    cost ∝ |batch| + collided buckets instead of re-deriving
+    yesterday's term.
 
     IVM identity hash-proven by the driver gate: the ORACLE is the
     full recompute (`_lsh_pair_oracle`, the same hyperplanes-inlined
@@ -480,52 +538,12 @@ def dedup_embedding_incremental(
 
     corpus = _corpus_with_norm(spark, sf_dir).persist()
     hist, new = quantile_cut_split(corpus, "vec_id")
-    ca = corpus.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("ea"),
-        F.col("norm").alias("na"),
-    )
-    cb = corpus.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("eb"),
-        F.col("norm").alias("nb"),
-    )
-
-    def _pairs(probe: DataFrame, index: DataFrame, normalized: bool):
-        a = probe.select(
-            F.col("vec_id").alias("vec_a"), "table_id", "bucket"
-        )
-        b = index.select(
-            F.col("vec_id").alias("vec_b"), "table_id", "bucket"
-        )
-        j = a.join(b, ["table_id", "bucket"])
-        if normalized:
-            cand = j.filter(F.col("vec_a") != F.col("vec_b")).select(
-                F.least(F.col("vec_a"), F.col("vec_b")).alias("vec_a"),
-                F.greatest(F.col("vec_a"), F.col("vec_b")).alias("vec_b"),
-            )
-        else:
-            cand = j.filter(F.col("vec_a") < F.col("vec_b")).select(
-                "vec_a", "vec_b"
-            )
-        cand = cand.dropDuplicates(["vec_a", "vec_b"])
-        sim = cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
-        return (
-            cand.join(ca, "vec_a")
-            .join(cb, "vec_b")
-            .withColumn("sim", sim)
-            .filter(F.col("sim") >= NEARDUP_SIM)
-            .select(
-                "vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim")
-            )
-        )
-
     return incremental_pairs(
         hist,
         new,
         _lsh_bucket_index,
-        pairs_fn=lambda p, i: _pairs(p, i, False),
-        probe_fn=lambda p, i: _pairs(p, i, True),
+        pairs_fn=lambda p, i: emb_pairs_from_index(p, i, corpus, False),
+        probe_fn=lambda p, i: emb_pairs_from_index(p, i, corpus, True),
     )
 
 

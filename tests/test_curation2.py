@@ -392,3 +392,82 @@ def test_containment_prefix_identity(spark, tmp_path):
     }
     assert f2 == p2
     assert (0, 1, 1.0, 1) in p2  # the subsumed excerpt is found
+
+
+def test_route_containment_crossover_routing(spark, tmp_path):
+    """r10 (VERDICT r09 #5): the containment family gets the same
+    measured-crossover dispatcher as Jaccard.  Pins (a) the CHOICE on
+    benign and boilerplate-heavy corpora (the rule is the shared
+    `pick_jaccard_route` decision table, already pinned in
+    test_dedup), (b) pair-identity with the full-index containment
+    form either way, (c) that the df arm exercises the SUBSUMED-doc
+    path non-vacuously."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.curation2 import (
+        _contain_docs_sh,
+        containment_prefix_pairs,
+        dedup_ngram_containment,
+        route_containment,
+    )
+    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+    from tools.prefix_crossover import skewed_df_docs
+
+    # benign and heavy-tailed battery corpora (K=400 → max df ~0.25%
+    # of docs, K=20 → ~5%), planted exact duplicates in both
+    for k, expect in ((20, "df"), (400, "hash")):
+        toks = skewed_df_docs(spark, 2000, k).persist()
+        docs_sh = toks.select(
+            "doc_id", shingle_hash_array(F.col("tok")).alias("sh")
+        ).filter(F.size("sh") > 0)
+        choice: list = []
+        routed = route_containment(docs_sh, choice_out=choice)
+        assert choice == [expect], (k, choice)
+        hash_form = containment_prefix_pairs(docs_sh, canonical="hash")
+        assert hash_form.exceptAll(routed).count() == 0, k
+        assert routed.exceptAll(hash_form).count() == 0, k
+        # non-vacuous: planted exact duplicates found by both routes
+        assert routed.filter(F.col("containment") == 1.0).count() >= 20
+        toks.unpersist()
+
+    # df arm on a corpus with genuinely SUBSUMED docs + boilerplate:
+    # every doc shares an 18-token boilerplate block (max df = all
+    # docs -> routes "df"), doc 1 is an excerpt of doc 0
+    rng = random.Random(13)
+    bp = " ".join(f"bp{i}" for i in range(18))
+    long_toks = [f"w{rng.randrange(30)}" for _ in range(120)]
+    rows = [
+        (0, " ".join(long_toks) + " " + bp, "en", "synth", 0),
+        (1, " ".join(long_toks[:30]), "en", "synth", 0),  # excerpt
+        (2, " ".join(long_toks) + " " + bp, "en", "synth", 0),  # dup
+    ] + [
+        (
+            3 + i,
+            " ".join(f"u{i}_{j}" for j in range(40)) + " " + bp,
+            "en",
+            "synth",
+            0,
+        )
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    docs_sh = _contain_docs_sh(spark, str(tmp_path))
+    choice = []
+    routed = {
+        (r["doc_a"], r["doc_b"], r["containment"], r["contained_doc"])
+        for r in route_containment(docs_sh, choice_out=choice).collect()
+    }
+    assert choice == ["df"], choice
+    full = {
+        (r["doc_a"], r["doc_b"], r["containment"], r["contained_doc"])
+        for r in dedup_ngram_containment(spark, str(tmp_path)).collect()
+    }
+    assert routed == full
+    assert (0, 1, 1.0, 1) in routed  # subsumed excerpt found by df arm

@@ -202,3 +202,104 @@ def test_retention_double_apply_fails_closed(spark, events, tmp_path):
     ivm_store.retention_state_advance(spark, batch, state)  # committed OK
     with pytest.raises(ValueError, match="one-day-advance"):
         ivm_store.retention_state_advance(spark, batch, state)
+
+
+# ---------------------------------------------------------------------------
+# Embedding LSH bucket-index store (r10, VERDICT r09 #1).
+# ---------------------------------------------------------------------------
+
+
+def _emb_corpus(spark):
+    from taipei_bi_etl_spark.queries.similarity import _corpus_with_norm
+
+    return _corpus_with_norm(spark, SF_DIR).select("vec_id", "emb", "norm")
+
+
+def test_emb_index_store_advance_equals_full(spark, tmp_path):
+    """Stored-state N-batch advance ≡ full recompute: init with batch
+    1, advance with batches 2 and 3 — init-batch self-pairs ∪ the two
+    advances' probe pairs equals the full bucketed run
+    (`dedup_embedding_lsh`); history vectors are never re-hashed (each
+    advance computes signatures for its own batch only)."""
+    from taipei_bi_etl_spark.ivm_store import (
+        emb_index_advance,
+        emb_index_init,
+        read_emb_state,
+    )
+    from taipei_bi_etl_spark.queries.similarity import (
+        _lsh_bucket_index,
+        dedup_embedding_lsh,
+        emb_pairs_from_index,
+    )
+
+    corpus = _emb_corpus(spark).persist()
+    ids = sorted(r.vec_id for r in corpus.select("vec_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    b1 = corpus.filter(F.col("vec_id") <= c1)
+    b2 = corpus.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2))
+    b3 = corpus.filter(F.col("vec_id") > c2)
+
+    sd = str(tmp_path / "emb_state")
+    emb_index_init(spark, b1, sd)
+    bands1 = _lsh_bucket_index(b1)
+    got = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in emb_pairs_from_index(bands1, bands1, b1).collect()
+    }
+    bands1.unpersist()
+    for batch in (b2, b3):
+        pairs, _v = emb_index_advance(spark, batch, sd)
+        got |= {(r.vec_a, r.vec_b, r.cosine_sim) for r in pairs.collect()}
+    want = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in dedup_embedding_lsh(spark, SF_DIR).collect()
+    }
+    assert want and got == want
+    _idx, _vecs, watermark, n_vecs, v = read_emb_state(spark, sd)
+    assert v == 3
+    assert n_vecs == corpus.count()
+    assert watermark == ids[-1]
+
+    # append-only contract: replaying batch 3 must fail loudly
+    with pytest.raises(ValueError, match="append-only"):
+        emb_index_advance(spark, b3, sd)
+    corpus.unpersist()
+
+
+def test_emb_index_store_equals_in_plan_ivm(spark, tmp_path):
+    """The store run at the registered query's OWN split (quantile
+    cut) reproduces `dedup_embedding_incremental` frame-exactly —
+    the stored-index deployment form and the hash-proven in-plan
+    identity are the same computation with yesterday's term read from
+    parquet instead of re-derived."""
+    from taipei_bi_etl_spark.ivm_store import (
+        emb_index_advance,
+        emb_index_init,
+    )
+    from taipei_bi_etl_spark.queries.incremental import quantile_cut_split
+    from taipei_bi_etl_spark.queries.similarity import (
+        _lsh_bucket_index,
+        dedup_embedding_incremental,
+        emb_pairs_from_index,
+    )
+
+    corpus = _emb_corpus(spark).persist()
+    hist, new = quantile_cut_split(corpus, "vec_id")
+    sd = str(tmp_path / "emb_state")
+    emb_index_init(spark, hist, sd)
+    hist_bands = _lsh_bucket_index(hist)
+    yesterday = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in emb_pairs_from_index(hist_bands, hist_bands, hist).collect()
+    }
+    hist_bands.unpersist()
+    delta, _v = emb_index_advance(spark, new, sd)
+    got = yesterday | {
+        (r.vec_a, r.vec_b, r.cosine_sim) for r in delta.collect()
+    }
+    want = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in dedup_embedding_incremental(spark, SF_DIR).collect()
+    }
+    assert want and got == want
+    corpus.unpersist()
