@@ -36,8 +36,8 @@ could race ``rmtree``/version numbers, the same caveat as
   Fail-closed exactly-once: the orchestrator reconciles by reading the
   committed meta (pytest pins both behaviours).
 
-History versions double as rollback points (production would
-garbage-collect old versions).
+History versions double as rollback points; :func:`gc_versions`
+prunes them (keep-newest-N, single-writer — r10).
 
 Correctness invariant (why the delta is exact): the token stream
 concatenates in ``doc_id`` order, so an append-only batch (all new
@@ -703,3 +703,192 @@ def emb_index_advance(
     )
     new_bands.unpersist()
     return pairs, v + 1
+
+
+# ---------------------------------------------------------------------------
+# MinHash band index — stored-state form of
+# `queries.dedup.dedup_minhash_incremental` (r10: with phash (r06) and
+# embeddings (r10) covered, MinHash was the last banded family whose
+# daily-batch shape existed only in-plan; all three now share the same
+# versioned-commit deployment pattern).  Unlike the embedding store,
+# index rows CARRY the shingle arrays (`minhash_band_index` layout —
+# the exact verify reads them off the matched band rows, never
+# re-joining the corpus), so there is no separate vectors/ directory.
+# ---------------------------------------------------------------------------
+
+MINHASH_INDEX_SCHEMA = (
+    "doc_id long, band_id int, band_hash long, sh array<bigint>"
+)
+MINHASH_META_SCHEMA = "max_doc_id long, n_docs long"
+
+
+def read_minhash_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, int, int, int]:
+    """(band_index, max_doc_id, n_docs, version) of the latest
+    committed MinHash-index version."""
+    v = latest_version(state_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed state under {state_dir}")
+    vdir = _version_dir(state_dir, v)
+    index = spark.read.schema(MINHASH_INDEX_SCHEMA).parquet(
+        os.path.join(vdir, "index")
+    )
+    meta = (
+        spark.read.schema(MINHASH_META_SCHEMA)
+        .parquet(os.path.join(vdir, "meta"))
+        .collect()[0]
+    )
+    return index, int(meta["max_doc_id"]), int(meta["n_docs"]), v
+
+
+def _minhash_commit(
+    spark: SparkSession,
+    state_dir: str,
+    v: int,
+    index: DataFrame,
+    max_doc_id: int,
+    n_docs: int,
+) -> int:
+    """Write MinHash-index version ``v`` (idempotent on retry), marker
+    last — same protocol as the other stores."""
+    import shutil
+
+    vdir = _version_dir(state_dir, v)
+    if os.path.isdir(vdir):
+        if os.path.exists(os.path.join(vdir, "_COMMITTED")):
+            raise FileExistsError(  # see _commit — same protocol
+                f"version {v} already committed under {state_dir} by a "
+                "concurrent writer; re-read latest_version and retry"
+            )
+        shutil.rmtree(vdir)  # crashed UNCOMMITTED attempt — retry wins
+    index.write.mode("overwrite").parquet(os.path.join(vdir, "index"))
+    spark.createDataFrame(
+        [(int(max_doc_id), int(n_docs))], MINHASH_META_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(vdir, "meta"))
+    with open(os.path.join(vdir, "_COMMITTED"), "x"):
+        pass
+    return v
+
+
+def minhash_index_init(
+    spark: SparkSession, docs_sh: DataFrame, state_dir: str
+) -> int:
+    """Bootstrap the band index from a shingled corpus
+    (``(doc_id, sh)`` rows — `dedup._doc_shingle_hashes` shape) —
+    commit v1."""
+    from taipei_bi_etl_spark.queries.dedup import minhash_band_index
+
+    stats = docs_sh.agg(
+        F.max("doc_id").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if stats["n"] == 0:
+        raise ValueError("empty corpus: nothing to index")
+    return _minhash_commit(
+        spark,
+        state_dir,
+        1,
+        minhash_band_index(docs_sh),
+        int(stats["mx"]),
+        int(stats["n"]),
+    )
+
+
+def minhash_index_advance(
+    spark: SparkSession, new_docs_sh: DataFrame, state_dir: str
+) -> tuple[DataFrame, int]:
+    """Probe the stored band index with a NEW batch of shingled docs
+    and advance the store: returns (near-dup pairs touching the
+    batch, new committed version).
+
+    Append-only contract (CHECKED, fail-closed like the other stores):
+    every new ``doc_id`` must exceed the stored watermark — a replayed
+    or overlapping batch raises before any write.
+
+    Cost ∝ |batch| + matched band buckets: only the batch is
+    re-sketched ({N_PERM}-perm signatures are this family's dominant
+    per-row cost); history rows participate only when their band key
+    collides with a new doc, and the exact verify reads shingle
+    arrays off the matched index rows (`minhash_pairs_from_index`,
+    the shared kernel).  Guarantee (pinned in pytest):
+    ``full_pairs(history ∪ new) = full_pairs(history) ∪
+    advance(new)``."""
+    from taipei_bi_etl_spark.queries.dedup import (
+        minhash_band_index,
+        minhash_pairs_from_index,
+    )
+
+    index, watermark, n_docs, v = read_minhash_state(spark, state_dir)
+    stats = new_docs_sh.agg(
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        raise ValueError("empty batch: nothing to advance")
+    if int(stats["mn"]) <= watermark:
+        raise ValueError(
+            f"append-only contract violated: batch min doc_id "
+            f"{stats['mn']} <= stored watermark {watermark} "
+            "(replayed or overlapping batch)"
+        )
+    new_index = minhash_band_index(new_docs_sh)
+    pairs = minhash_pairs_from_index(
+        new_index, index.unionByName(new_index), normalized=True
+    )
+    _minhash_commit(
+        spark,
+        state_dir,
+        v + 1,
+        index.unionByName(new_index),
+        int(stats["mx"]),
+        n_docs + int(stats["n"]),
+    )
+    return pairs, v + 1
+
+
+def gc_versions(state_dir: str, keep: int = 2) -> list[int]:
+    """Garbage-collect old committed versions, keeping the newest
+    ``keep`` (the module docstring's "production would garbage-collect
+    old versions", now implemented instead of promised — r10).
+
+    Only COMMITTED versions count toward ``keep`` and only committed
+    versions older than the kept set are removed; an uncommitted
+    (crashed) attempt dir is removed too — the commit protocol already
+    treats it as invisible, and a retry recreates it.  The newest
+    version is never removed (``keep`` is clamped to ≥ 1: rollback
+    points are expendable, the live state is not).  Returns the
+    removed version numbers.
+
+    SINGLE-WRITER assumption, same as the stores' commit protocol: GC
+    races a concurrent writer the same way two writers race each
+    other.  Readers of a version being GC'd are the caller's
+    responsibility (run GC from the orchestrator step that owns the
+    store, after consumers finish — the same place that calls
+    advance)."""
+    import shutil
+
+    keep = max(1, keep)
+    if not os.path.isdir(state_dir):
+        return []
+    committed, uncommitted = [], []
+    for name in os.listdir(state_dir):
+        if not name.startswith("v"):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        if os.path.exists(os.path.join(state_dir, name, "_COMMITTED")):
+            committed.append(v)
+        else:
+            uncommitted.append(v)
+    committed.sort()
+    doomed = committed[:-keep] if len(committed) > keep else []
+    latest = committed[-1] if committed else 0
+    # a crashed attempt NEWER than the latest commit may be an
+    # in-flight writer's dir — leave it; older ones are dead
+    doomed += [v for v in uncommitted if v < latest]
+    for v in sorted(doomed):
+        shutil.rmtree(_version_dir(state_dir, v), ignore_errors=True)
+    return sorted(doomed)

@@ -303,3 +303,109 @@ def test_emb_index_store_equals_in_plan_ivm(spark, tmp_path):
     }
     assert want and got == want
     corpus.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# MinHash band-index store + version GC (r10).
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_index_store_advance_equals_full(spark, tmp_path):
+    """Stored-state N-batch advance ≡ full recompute for the MinHash
+    family (the last banded family without a deployment-shape store):
+    init-batch self-pairs ∪ two advances' probe pairs equals
+    `dedup_minhash_lsh`; history is never re-sketched."""
+    from taipei_bi_etl_spark.ivm_store import (
+        minhash_index_advance,
+        minhash_index_init,
+        read_minhash_state,
+    )
+    from taipei_bi_etl_spark.queries.dedup import (
+        _doc_shingle_hashes,
+        dedup_minhash_lsh,
+        minhash_band_index,
+        minhash_pairs_from_index,
+    )
+
+    docs_sh = _doc_shingle_hashes(spark, SF_DIR).persist()
+    ids = sorted(r.doc_id for r in docs_sh.select("doc_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    import pyspark.sql.functions as F
+
+    b1 = docs_sh.filter(F.col("doc_id") <= c1)
+    b2 = docs_sh.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2))
+    b3 = docs_sh.filter(F.col("doc_id") > c2)
+
+    sd = str(tmp_path / "mh_state")
+    minhash_index_init(spark, b1, sd)
+    idx1 = minhash_band_index(b1)
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_pairs_from_index(
+            idx1, idx1, normalized=False
+        ).collect()
+    }
+    for batch in (b2, b3):
+        pairs, _v = minhash_index_advance(spark, batch, sd)
+        got |= {(r.doc_a, r.doc_b, r.jaccard) for r in pairs.collect()}
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    assert want and got == want
+    _idx, watermark, n_docs, v = read_minhash_state(spark, sd)
+    assert v == 3 and watermark == ids[-1]
+    assert n_docs == docs_sh.count()
+    with pytest.raises(ValueError, match="append-only"):
+        minhash_index_advance(spark, b3, sd)
+    docs_sh.unpersist()
+
+
+def test_gc_versions_keeps_newest_and_live_state(spark, tmp_path):
+    """gc_versions prunes old committed versions (keep-newest-N), never
+    the latest, removes dead crashed-attempt dirs but leaves an
+    in-flight attempt NEWER than the latest commit."""
+    import pyspark.sql.functions as F
+
+    from taipei_bi_etl_spark.ivm_store import (
+        emb_index_advance,
+        emb_index_init,
+        gc_versions,
+        latest_version,
+        read_emb_state,
+    )
+    from taipei_bi_etl_spark.queries.similarity import _corpus_with_norm
+
+    corpus = _corpus_with_norm(spark, SF_DIR).select(
+        "vec_id", "emb", "norm"
+    )
+    ids = sorted(r.vec_id for r in corpus.select("vec_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    sd = str(tmp_path / "emb_state")
+    emb_index_init(spark, corpus.filter(F.col("vec_id") <= c1), sd)
+    for lo, hi in ((c1, c2), (c2, None)):
+        batch = corpus.filter(F.col("vec_id") > lo)
+        if hi is not None:
+            batch = batch.filter(F.col("vec_id") <= hi)
+        pairs, _ = emb_index_advance(spark, batch, sd)
+        pairs.count()
+    assert latest_version(sd) == 3
+    # a dead crashed attempt below the latest commit, and an in-flight
+    # attempt above it
+    os.makedirs(os.path.join(sd, "v000002_tmp"), exist_ok=True)  # junk name: ignored
+    os.rename(
+        os.path.join(sd, "v000002_tmp"), os.path.join(sd, "v000099")
+    )  # in-flight (no marker, newer than v3)
+    dead = os.path.join(sd, "v000000")  # dead attempt older than v3
+    os.makedirs(dead, exist_ok=True)
+
+    removed = gc_versions(sd, keep=1)
+    assert removed == [0, 1, 2]
+    assert latest_version(sd) == 3
+    assert os.path.isdir(os.path.join(sd, "v000099"))  # in-flight kept
+    # live state still readable after GC
+    _i, _vecs, _wm, n_vecs, v = read_emb_state(spark, sd)
+    assert v == 3 and n_vecs == len(ids)
+    # keep clamps to >= 1: never removes the only live version
+    assert gc_versions(sd, keep=0) == []
+    assert latest_version(sd) == 3
