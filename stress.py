@@ -61,6 +61,9 @@ STRESS_QUERIES = [
     # entry (max-df probe + chosen arm — the route_jaccard pattern)
     "dedup_containment_prefix_df",
     "dedup_containment_routed",
+    # r10: SemDeDup — cell-bounded quadratic (deterministic integer
+    # Lloyd cells; pair stage quadratic only within a cell)
+    "dedup_semantic_centroid",
     "paragraph_dedup_report",
     "paragraph_dedup_incremental",
     "search_rank_eval",

@@ -234,4 +234,5 @@ from taipei_bi_etl_spark.queries import (  # noqa: E402,F401
     privacy,
     fingerprint,
     ann_deterministic,
+    semdedup,
 )

@@ -42,6 +42,10 @@ from tests.conftest import SF_DIR
 _PROBED = [
     ("dedup_jaccard_routed", 18),
     ("fuzzy_linkage_clusters", 24),
+    # r10: SemDeDup trains its integer Lloyd centroids at construction
+    # (bounded codebook collects, the ann_ivf_deterministic precedent)
+    # — measured 16 jobs at sf0.001
+    ("dedup_semantic_centroid", 32),
 ]
 
 
