@@ -892,3 +892,202 @@ def gc_versions(state_dir: str, keep: int = 2) -> list[int]:
     for v in sorted(doomed):
         shutil.rmtree(_version_dir(state_dir, v), ignore_errors=True)
     return sorted(doomed)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup member store — the TWELFTH incremental form and the first
+# TRAINED-STATE one (r10): the registered `dedup_semantic_centroid`
+# retrains its integer-Lloyd codebook every run (the oracle-provable
+# shape); production trains ONCE and streams assignment against the
+# frozen codebook — this store is that pattern.  State per version:
+# `centroids/` — the frozen codebook (cell, cv, cc: K rows, trained at
+# init and NEVER retrained — documented semantic difference from the
+# registered query, whose cells shift as the corpus grows); `members/`
+# — (vec_id, cell, qv, sd, centroid_sim) rows.  The drop rule is
+# per-pair local, so the doomed set decomposes exactly (kernel
+# docstring: `queries.semdedup.semdedup_doomed_ids`), and — unique
+# among the twelve forms — an advance can doom a HISTORY id: a new
+# arrival that out-ranks an old member emits the OLD id, so the
+# orchestrator unions doomed ids across runs rather than freezing
+# yesterday's verdicts.
+# ---------------------------------------------------------------------------
+
+SEMD_CENT_SCHEMA = "cell long, cv array<long>, cc long"
+SEMD_MEM_SCHEMA = (
+    "vec_id long, cell long, qv array<long>, sd long, centroid_sim double"
+)
+SEMD_META_SCHEMA = "max_vec_id long, n_vecs long"
+
+
+def _semd_members(quant: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Assign quantized vectors to the FROZEN codebook and compute the
+    exact-integer-derived centroid cosine (the registered query's
+    expressions, against pinned centroids)."""
+    from taipei_bi_etl_spark.queries.ann_deterministic import _argmin_cells
+    from taipei_bi_etl_spark.queries.semdedup import _cos, _idot
+
+    cent_rows = [
+        (j, c, sum(int(v) * int(v) for v in c))
+        for j, c in enumerate(cents)
+    ]
+    cent_df = quant.sparkSession.createDataFrame(
+        cent_rows, SEMD_CENT_SCHEMA
+    )
+    return (
+        quant.withColumn("cell", _argmin_cells(F.col("qv"), cents, 1)[0])
+        .withColumn("sd", _idot(F.col("qv"), F.col("qv")))
+        .filter(F.col("sd") > 0)
+        # bounded: K codebook rows
+        .join(F.broadcast(cent_df), "cell")
+        .withColumn(
+            "centroid_sim",
+            _cos(
+                _idot(F.col("qv"), F.col("cv")), F.col("sd"), F.col("cc")
+            ),
+        )
+        .select("vec_id", "cell", "qv", "sd", "centroid_sim")
+    )
+
+
+def read_semdedup_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame, int, int, int]:
+    """(members, centroids, max_vec_id, n_vecs, version) of the latest
+    committed SemDeDup-store version."""
+    v = latest_version(state_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed state under {state_dir}")
+    vdir = _version_dir(state_dir, v)
+    members = spark.read.schema(SEMD_MEM_SCHEMA).parquet(
+        os.path.join(vdir, "members")
+    )
+    cents = spark.read.schema(SEMD_CENT_SCHEMA).parquet(
+        os.path.join(vdir, "centroids")
+    )
+    meta = (
+        spark.read.schema(SEMD_META_SCHEMA)
+        .parquet(os.path.join(vdir, "meta"))
+        .collect()[0]
+    )
+    return members, cents, int(meta["max_vec_id"]), int(meta["n_vecs"]), v
+
+
+def _semd_commit(
+    spark: SparkSession,
+    state_dir: str,
+    v: int,
+    members: DataFrame,
+    cents: DataFrame,
+    max_vec_id: int,
+    n_vecs: int,
+) -> int:
+    """Write SemDeDup-store version ``v`` (idempotent on retry),
+    marker last — same protocol as the other stores."""
+    import shutil
+
+    vdir = _version_dir(state_dir, v)
+    if os.path.isdir(vdir):
+        if os.path.exists(os.path.join(vdir, "_COMMITTED")):
+            raise FileExistsError(  # see _commit — same protocol
+                f"version {v} already committed under {state_dir} by a "
+                "concurrent writer; re-read latest_version and retry"
+            )
+        shutil.rmtree(vdir)  # crashed UNCOMMITTED attempt — retry wins
+    members.write.mode("overwrite").parquet(os.path.join(vdir, "members"))
+    cents.write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
+    spark.createDataFrame(
+        [(int(max_vec_id), int(n_vecs))], SEMD_META_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(vdir, "meta"))
+    with open(os.path.join(vdir, "_COMMITTED"), "x"):
+        pass
+    return v
+
+
+def semdedup_state_init(
+    spark: SparkSession, quant: DataFrame, state_dir: str
+) -> int:
+    """Train the codebook on the bootstrap corpus (``(vec_id, qv)``
+    picounit rows), materialize member rows, commit v1.  The codebook
+    is FROZEN from here on — the trained-state production pattern."""
+    from taipei_bi_etl_spark.queries.ann_deterministic import (
+        _train_centroids,
+    )
+
+    stats = quant.agg(
+        F.max("vec_id").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if stats["n"] == 0:
+        raise ValueError("empty corpus: nothing to index")
+    cents = _train_centroids(quant)
+    members = _semd_members(quant, cents)
+    cent_df = spark.createDataFrame(
+        [
+            (j, c, sum(int(v) * int(v) for v in c))
+            for j, c in enumerate(cents)
+        ],
+        SEMD_CENT_SCHEMA,
+    )
+    return _semd_commit(
+        spark,
+        state_dir,
+        1,
+        members,
+        cent_df,
+        int(stats["mx"]),
+        int(stats["n"]),
+    )
+
+
+def semdedup_state_advance(
+    spark: SparkSession, new_quant: DataFrame, state_dir: str
+) -> tuple[DataFrame, int]:
+    """Assign a NEW batch against the frozen codebook, emit the doomed
+    vec_ids of every qualifying pair touching the batch, advance the
+    store: returns (doomed ids — possibly including HISTORY ids the
+    batch out-ranks, see the section comment — and the new committed
+    version).
+
+    Append-only contract (CHECKED, fail-closed like the other stores):
+    every new ``vec_id`` must exceed the stored watermark.
+
+    Cost ∝ |batch| assignment (K·dim broadcast codebook, no
+    retraining — history is never re-assigned) + collided cells'
+    members for the pair probe.  Guarantee (pinned in pytest):
+    ``doomed_frozen(history ∪ new) = doomed(init members self-pairs) ∪
+    advance(new)`` where doomed_frozen uses the SAME frozen codebook —
+    the per-pair-local drop rule makes the decomposition exact."""
+    from taipei_bi_etl_spark.queries.semdedup import semdedup_doomed_ids
+
+    members, cent_df, watermark, n_vecs, v = read_semdedup_state(
+        spark, state_dir
+    )
+    stats = new_quant.agg(
+        F.min("vec_id").alias("mn"),
+        F.max("vec_id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        raise ValueError("empty batch: nothing to advance")
+    if int(stats["mn"]) <= watermark:
+        raise ValueError(
+            f"append-only contract violated: batch min vec_id "
+            f"{stats['mn']} <= stored watermark {watermark} "
+            "(replayed or overlapping batch)"
+        )
+    cents = [
+        [int(x) for x in r["cv"]]
+        for r in cent_df.orderBy("cell").collect()  # bounded: K rows
+    ]
+    new_members = _semd_members(new_quant, cents)
+    all_members = members.unionByName(new_members)
+    doomed = semdedup_doomed_ids(new_members, all_members)
+    _semd_commit(
+        spark,
+        state_dir,
+        v + 1,
+        all_members,
+        cent_df,
+        int(stats["mx"]),
+        n_vecs + int(stats["n"]),
+    )
+    return doomed, v + 1

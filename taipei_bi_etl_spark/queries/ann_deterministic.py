@@ -188,6 +188,12 @@ def _train_centroids(quant: DataFrame, k: int = DKM_K) -> list[list[int]]:
         r.qv
         for r in quant.orderBy("vec_id").limit(k).select("qv").collect()
     ]
+    # corpora smaller than k train fewer cells — the oracle's LIMIT k
+    # init produces the same shorter codebook, so both engines agree
+    # (found live by the r10 semdedup-store tiny-corpus test: the
+    # Spark side previously indexed past the init list and crashed
+    # where the SQL side degraded gracefully)
+    k = min(k, len(init))
     cents = [[int(v) for v in c] for c in init]
     dims = quant.select(
         "vec_id", F.posexplode("qv").alias("pos", "v")

@@ -89,6 +89,61 @@ def _cos(dot_col: Column, sa: Column, sb: Column) -> Column:
     )
 
 
+def _doom_side(
+    ca: Column, cb: Column, va: Column, vb: Column
+) -> Column:
+    """The ONE copy of the SemDeDup drop rule: of a qualifying pair,
+    the side with the HIGHER centroid cosine is doomed (keep the most
+    atypical exemplar); ties → the larger vec_id.  Shared by the
+    registered query and the stored-state kernel so the rule cannot
+    drift between the proof shape and the deployment shape."""
+    return F.when((ca > cb) | ((ca == cb) & (va > vb)), va).otherwise(vb)
+
+
+def semdedup_doomed_ids(probe: DataFrame, index: DataFrame) -> DataFrame:
+    """Distinct doomed vec_ids from every qualifying within-cell pair
+    with at least one side in ``probe`` — the stored-state SemDeDup
+    kernel (r10; frames carry (vec_id, cell, qv, sd, centroid_sim),
+    the `ivm_store` member layout).
+
+    The drop rule is PER-PAIR LOCAL (each pair dooms exactly one side,
+    independent of every other pair), so the doomed SET decomposes
+    exactly: doomed(hist ∪ new) = doomed(hist × hist) ∪
+    doomed(pairs touching new) — the identity `ivm_store.
+    semdedup_state_advance` rides.  A pair with both sides in
+    ``probe`` appears in both orientations; the doomed id is the same
+    either way and the distinct collapses it.  Note the probe term can
+    doom a HISTORY id (a new arrival can out-rank an old member) —
+    the kernel emits those too, which is why the advance returns
+    doomed ids rather than batch rows."""
+    a = probe.select(
+        "cell",
+        F.col("vec_id").alias("va"),
+        F.col("qv").alias("qa"),
+        F.col("sd").alias("sa"),
+        F.col("centroid_sim").alias("ca"),
+    )
+    b = index.select(
+        "cell",
+        F.col("vec_id").alias("vb"),
+        F.col("qv").alias("qb"),
+        F.col("sd").alias("sb"),
+        F.col("centroid_sim").alias("cb"),
+    )
+    psim = _cos(_idot(F.col("qa"), F.col("qb")), F.col("sa"), F.col("sb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("va") != F.col("vb"))
+        .filter(psim >= F.lit(SEMDEDUP_T))
+        .select(
+            _doom_side(
+                F.col("ca"), F.col("cb"), F.col("va"), F.col("vb")
+            ).alias("vec_id")
+        )
+        .distinct()
+    )
+
+
 def _semdedup_oracle() -> str:
     iters = ",\n".join(
         _lloyd_iteration_sql(i) for i in range(1, DKM_ITERS + 1)
@@ -210,13 +265,9 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("va") < F.col("vb"))
         .filter(psim >= F.lit(SEMDEDUP_T))
         .select(
-            F.when(
-                (F.col("ca") > F.col("cb"))
-                | ((F.col("ca") == F.col("cb")) & (F.col("va") > F.col("vb"))),
-                F.col("va"),
-            )
-            .otherwise(F.col("vb"))
-            .alias("vec_id")
+            _doom_side(
+                F.col("ca"), F.col("cb"), F.col("va"), F.col("vb")
+            ).alias("vec_id")
         )
         .distinct()
         .withColumn("__doomed", F.lit(True))

@@ -409,3 +409,101 @@ def test_gc_versions_keeps_newest_and_live_state(spark, tmp_path):
     # keep clamps to >= 1: never removes the only live version
     assert gc_versions(sd, keep=0) == []
     assert latest_version(sd) == 3
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup trained-state store (r10 — twelfth incremental form, frozen
+# codebook).
+# ---------------------------------------------------------------------------
+
+
+def _semd_quant(spark):
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries.ann_deterministic import PICO
+    from taipei_bi_etl_spark.queries.emb_common import read_embeddings
+
+    return read_embeddings(spark, SF_DIR).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * PICO).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def test_semdedup_state_advance_equals_frozen_full(spark, tmp_path):
+    """The twelfth incremental form — and the first TRAINED-STATE one:
+    with the codebook FROZEN at init (the production pattern; the
+    registered query retrains, a documented semantic difference), the
+    per-pair-local drop rule decomposes exactly:
+    doomed_frozen(b1 ∪ b2 ∪ b3) = doomed(init self-pairs) ∪
+    advance(b2) ∪ advance(b3), frame-exact on the real corpus."""
+    import pyspark.sql.functions as F
+
+    from taipei_bi_etl_spark.ivm_store import (
+        _semd_members,
+        read_semdedup_state,
+        semdedup_state_advance,
+        semdedup_state_init,
+    )
+    from taipei_bi_etl_spark.queries.semdedup import semdedup_doomed_ids
+
+    quant = _semd_quant(spark).persist()
+    ids = sorted(r.vec_id for r in quant.select("vec_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    b1 = quant.filter(F.col("vec_id") <= c1)
+    b2 = quant.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2))
+    b3 = quant.filter(F.col("vec_id") > c2)
+
+    sd = str(tmp_path / "semd_state")
+    semdedup_state_init(spark, b1, sd)
+    members1, cent_df, _wm, _n, _v = read_semdedup_state(spark, sd)
+    cents = [
+        [int(x) for x in r["cv"]] for r in cent_df.orderBy("cell").collect()
+    ]
+    got = {
+        r.vec_id
+        for r in semdedup_doomed_ids(members1, members1).collect()
+    }
+    for batch in (b2, b3):
+        doomed, _v = semdedup_state_advance(spark, batch, sd)
+        got |= {r.vec_id for r in doomed.collect()}
+    all_members = _semd_members(quant, cents)
+    want = {
+        r.vec_id
+        for r in semdedup_doomed_ids(all_members, all_members).collect()
+    }
+    assert want and got == want
+    # bookkeeping advanced; replay fails closed
+    _m, _c, watermark, n_vecs, v = read_semdedup_state(spark, sd)
+    assert v == 3 and watermark == ids[-1] and n_vecs == len(ids)
+    with pytest.raises(ValueError, match="append-only"):
+        semdedup_state_advance(spark, b3, sd)
+    quant.unpersist()
+
+
+def test_semdedup_advance_can_doom_a_history_id(spark, tmp_path):
+    """Unique among the twelve forms: a new arrival can out-rank an OLD
+    member (higher centroid cosine loses), so the advance must emit
+    HISTORY ids — pinned on a planted pair where the batch vector is
+    farther from the frozen centroid than the history vector it
+    collides with."""
+    from taipei_bi_etl_spark.ivm_store import (
+        semdedup_state_advance,
+        semdedup_state_init,
+    )
+
+    hist = spark.createDataFrame(
+        [(0, [1_000_000, 0, 0, 0])], "vec_id long, qv array<long>"
+    )
+    sd = str(tmp_path / "semd_tiny")
+    semdedup_state_init(spark, hist, sd)
+    batch = spark.createDataFrame(
+        [(2, [980_000, 199_000, 0, 0])], "vec_id long, qv array<long>"
+    )
+    doomed, v = semdedup_state_advance(spark, batch, sd)
+    # centroid == v0 (trained on it alone): csim(v0)=1.0 > csim(v2)
+    # ≈0.98, pair cos ≈0.98 ≥ T → the HISTORY id 0 is doomed
+    assert {r.vec_id for r in doomed.collect()} == {0}
+    assert v == 2
