@@ -78,6 +78,9 @@ STRESS_QUERIES = [
     # r08: df-ascending canonical variant (the measured heavy-tail
     # routing — SCALE.md crossover table)
     "dedup_jaccard_prefix_df",
+    # r10: PPJoin positional filter — same prefix-index family shape;
+    # the positional prune must not change the growth class
+    "dedup_jaccard_ppjoin",
     # r07: fuzzy linkage — customer is a DIMENSION (copied unchanged by
     # this harness), so the row pins fixed-cost behavior; posting
     # growth is (L+1)/record (linear) by construction

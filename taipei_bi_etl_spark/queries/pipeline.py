@@ -371,6 +371,54 @@ def vocab_df_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canonical_sorted(
+    docs_sh: DataFrame,
+    canonical: str = "hash",
+    df_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Sort each doc's ``sh`` array by the chosen GLOBAL total order —
+    the shared front end of every prefix-filtered join
+    (`jaccard_prefix_filter_pairs`, `jaccard_ppjoin_pairs`,
+    `curation2.containment_prefix_pairs` keeps its own copy of the
+    hash branch).  ``"hash"`` sorts by shingle hash (zero extra
+    shuffle); ``"df"`` sorts by ASCENDING document frequency, ties by
+    hash (Bayardo's prescription — boilerplate sorts last and drops
+    out of prefixes).
+
+    INPUT CONTRACT (ADVICE r08 #5): `sh` must be DISTINCT PER DOC
+    (every caller builds it with array_distinct — Jaccard is set
+    semantics).  count(*) over postings then equals document frequency
+    exactly; arrays with intra-doc duplicates would inflate df (any
+    resulting order is still a valid global order, so pair
+    completeness survives — only the df-ascending routing rationale
+    would silently degrade).  countDistinct(doc_id) would make df
+    exact regardless, at the cost of a second partial-distinct pass
+    the contract makes unnecessary."""
+    if canonical != "df":
+        return docs_sh.select("doc_id", F.array_sort("sh").alias("sh"))
+    # df-ascending global order: explode once, count df per shingle,
+    # re-assemble each doc's array sorted by (df, hash).  The df frame
+    # is shingle-keyed (uniform); the re-sort is one groupBy on doc_id
+    # — both linear, no pair-shaped work.
+    postings = docs_sh.select("doc_id", F.explode("sh").alias("shingle"))
+    if df_counts is None:
+        # callers that already aggregated df (route_jaccard's routing
+        # probe) pass it in — one aggregate, used twice
+        df_counts = postings.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+    return (
+        postings.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("sh")
+        )
+    )
+
+
 def jaccard_prefix_filter_pairs(
     docs_sh: DataFrame,
     threshold_num: int = 3,
@@ -436,45 +484,7 @@ def jaccard_prefix_filter_pairs(
         )
         + 1
     ).cast("int")
-    if canonical == "df":
-        # df-ascending global order: explode once, count df per
-        # shingle, re-assemble each doc's array sorted by (df, hash).
-        # The df frame is shingle-keyed (uniform); the re-sort is one
-        # groupBy on doc_id — both linear, no pair-shaped work.
-        # INPUT CONTRACT (ADVICE r08 #5): `sh` must be DISTINCT PER
-        # DOC (every caller builds it with array_distinct — Jaccard
-        # is set semantics).  count(*) over postings then equals
-        # document frequency exactly; arrays with intra-doc
-        # duplicates would inflate df (any resulting order is still a
-        # valid global order, so pair completeness survives — only
-        # the df-ascending routing rationale would silently degrade).
-        # countDistinct(doc_id) would make df exact regardless, at
-        # the cost of a second partial-distinct pass the contract
-        # makes unnecessary.
-        postings = docs_sh.select(
-            "doc_id", F.explode("sh").alias("shingle")
-        )
-        if df_counts is None:
-            # callers that already aggregated df (route_jaccard's
-            # routing probe) pass it in — one aggregate, used twice
-            df_counts = postings.groupBy("shingle").agg(
-                F.count(F.lit(1)).alias("df")
-            )
-        reordered = (
-            postings.join(df_counts, "shingle")
-            .groupBy("doc_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("df", "shingle"))
-                    ),
-                    lambda s: s["shingle"],
-                ).alias("sh")
-            )
-        )
-        docs_sh = reordered
-    else:
-        docs_sh = docs_sh.select("doc_id", F.array_sort("sh").alias("sh"))
+    docs_sh = canonical_sorted(docs_sh, canonical, df_counts)
     sorted_sh = docs_sh.select("doc_id", "sh", p.alias("p")).persist()
     pref_idx = sorted_sh.select(
         "doc_id", F.explode(F.slice("sh", 1, F.col("p"))).alias("shingle")
@@ -549,6 +559,138 @@ def dedup_jaccard_prefix_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", shingle_hash_array(_tokens()).alias("sh")
     ).filter(F.size("sh") > 0)
     return jaccard_prefix_filter_pairs(docs_sh, canonical="df")
+
+
+def ppjoin_candidates(
+    sorted_sh: DataFrame, threshold_num: int, threshold_den: int
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs surviving PPJoin's POSITIONAL
+    filter (Xiao et al. WWW'08 §3.2), given a persisted
+    (doc_id, sh, p, n) frame in canonical order.
+
+    The prefix index keeps each token's 0-based POSITION
+    (``posexplode``).  For a candidate pair let c = number of tokens
+    common to BOTH prefixes, and (ai, bj) = positions of the LAST such
+    token w* (both arrays sort by the SAME global order, so
+    ``max(a.pos)`` and ``max(b.pos)`` name the same token).  Every
+    common token < w* that sits in one prefix provably sits in the
+    other (positions are monotone in the global order), so overlap
+    decomposes as c + |common tokens > w*| ≤ c + min(na−ai−1, nb−bj−1).
+    Pairs whose bound falls below the required overlap
+    α = ⌈t·(na+nb)/(1+t)⌉ cannot reach J ≥ t and are pruned BEFORE the
+    array verify — the filter subsumes the classic length filter
+    (nb < t·na forces the bound under α).  α is integer-exact:
+    ``(num·(na+nb) + num+den−1) div (num+den)`` for t = num/den.
+
+    Output is a SUPERSET of the true pairs (the bound is an upper
+    bound on overlap) and a subset of the plain prefix candidates —
+    the exact verify on top makes the final answer identical."""
+    pref = sorted_sh.select(
+        "doc_id",
+        F.size("sh").alias("n"),
+        F.posexplode(F.slice("sh", 1, F.col("p"))).alias("pos", "shingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    alpha = F.floor(
+        (
+            F.lit(threshold_num) * (F.col("na") + F.col("nb"))
+            + F.lit(threshold_num + threshold_den - 1)
+        )
+        / F.lit(threshold_num + threshold_den)
+    )
+    bound = F.col("c") + F.least(
+        F.col("na") - F.col("ai") - 1, F.col("nb") - F.col("bj") - 1
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max(F.col("a.pos")).alias("ai"),
+            F.max(F.col("b.pos")).alias("bj"),
+        )
+        .filter(bound >= alpha)
+        .select("doc_a", "doc_b")
+    )
+
+
+def jaccard_ppjoin_pairs(
+    docs_sh: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    canonical: str = "hash",
+    df_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs via PPJoin — prefix filtering PLUS the
+    positional filter (:func:`ppjoin_candidates`), the published
+    upgrade over :func:`jaccard_prefix_filter_pairs` (Xiao et al.
+    WWW'08): candidates that collide only EARLY-in-one / LATE-in-other
+    prefix positions are pruned before the array verify, so the
+    verify join (each side ships its full sorted array) runs on a
+    strict subset of the prefix candidates.  Output IDENTICAL to the
+    full-index / prefix forms (the bound is conservative; the verify
+    is exact) — shares `_JACCARD_ORACLE`.
+
+    The candidate aggregation groups by pair — the SAME shuffle shape
+    as the prefix form's pair-distinct, carrying three small ints
+    more; the saving is entirely in the verify join volume (measured
+    in SCALE.md r10).  100 TB: the pair-keyed aggregate is the
+    existing candidate shuffle, the positional columns are O(1) per
+    posting, and the pruned verify is the step whose per-pair array
+    shipping dominates at scale."""
+    p = (
+        F.size("sh")
+        - F.floor(
+            (F.size("sh") * threshold_num + (threshold_den - 1))
+            / F.lit(threshold_den)
+        )
+        + 1
+    ).cast("int")
+    docs_sh = canonical_sorted(docs_sh, canonical, df_counts)
+    sorted_sh = docs_sh.select("doc_id", "sh", p.alias("p")).persist()
+    cand = ppjoin_candidates(sorted_sh, threshold_num, threshold_den)
+    arr_a = sorted_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    arr_b = sorted_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    t = F.lit(threshold_num) / F.lit(threshold_den)
+    return (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .filter(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_jaccard_ppjoin",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "extension"),
+)
+def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-duplicate pairs (threshold 0.6) via PPJOIN —
+    prefix filtering + the positional filter, pruning verify
+    candidates whose last common prefix token sits too late in either
+    array to still reach the required overlap.  Same output (and
+    oracle) as `dedup_ngram_jaccard`; bound derivation + safety proof
+    in :func:`ppjoin_candidates`."""
+    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+
+    d = read_table(spark, sf_dir, "documents")
+    docs_sh = d.select(
+        "doc_id", shingle_hash_array(_tokens()).alias("sh")
+    ).filter(F.size("sh") > 0)
+    return jaccard_ppjoin_pairs(docs_sh)
 
 
 #: Max-df share above which exact Jaccard routes to the df-ascending

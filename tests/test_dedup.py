@@ -328,3 +328,107 @@ def test_route_jaccard_crossover_routing(spark):
         # non-vacuous: planted exact duplicates found by both routes
         assert routed.filter(F.col("jaccard") == 1.0).count() >= 20
         toks.unpersist()
+
+
+def test_ppjoin_identity_and_positional_cut(spark):
+    """r10: PPJoin (prefix + POSITIONAL filter) must (a) return exactly
+    the full-index pairs on the real corpus AND the heavy-tailed-df
+    corpus under both canonical orders, and (b) prune candidates the
+    plain prefix filter keeps.  The pruning case is pinned on a
+    crafted pair whose only common token sits LATE in one prefix:
+    A = [1..10], B = [5, 20..28] collide on token 5 (position 4 in A,
+    0 in B), so the bound c + min(na-ai-1, nb-bj-1) = 1 + 5 = 6 falls
+    below the required overlap alpha = ceil(0.6*20/1.6) = 8 — pruned
+    before the verify, while the prefix filter ships both arrays."""
+    from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+    from taipei_bi_etl_spark.queries.pipeline import (
+        _tokens,
+        canonical_sorted,
+        jaccard_ppjoin_pairs,
+        ngram_jaccard_pairs,
+        ppjoin_candidates,
+    )
+    from taipei_bi_etl_spark.io import read_table
+    from tools.prefix_crossover import skewed_df_docs
+
+    # (a) identity on the real corpus
+    d = read_table(spark, SF_DIR, "documents")
+    docs_sh = d.select(
+        "doc_id", shingle_hash_array(_tokens()).alias("sh")
+    ).filter(F.size("sh") > 0)
+    full = ngram_jaccard_pairs(d.select("doc_id", _tokens().alias("tok")))
+    pp = jaccard_ppjoin_pairs(docs_sh)
+    assert full.exceptAll(pp).count() == 0
+    assert pp.exceptAll(full).count() == 0
+
+    # (a') identity on the heavy-tailed battery corpus, both orders
+    toks = skewed_df_docs(spark, 1000, 20).persist()
+    sk_sh = toks.select(
+        "doc_id", shingle_hash_array(F.col("tok")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sk_full = ngram_jaccard_pairs(toks)
+    for canonical in ("hash", "df"):
+        sk_pp = jaccard_ppjoin_pairs(sk_sh, canonical=canonical)
+        assert sk_full.exceptAll(sk_pp).count() == 0, canonical
+        assert sk_pp.exceptAll(sk_full).count() == 0, canonical
+        # non-vacuous: the 1000-doc corpus plants 1000/100 = 10 exact dups
+        assert sk_pp.filter(F.col("jaccard") == 1.0).count() >= 10, canonical
+    toks.unpersist()
+
+    # (b) the positional prune on the crafted pair: prefix keeps the
+    # candidate (prefix collision on token 5), PPJoin drops it.
+    crafted = spark.createDataFrame(
+        [
+            (1, list(range(1, 11))),
+            (2, [5] + list(range(20, 29))),
+        ],
+        "doc_id long, sh array<bigint>",
+    )
+    sorted_sh = canonical_sorted(crafted).select(
+        "doc_id",
+        "sh",
+        (
+            F.size("sh")
+            - F.floor((F.size("sh") * 3 + 4) / F.lit(5))
+            + 1
+        ).cast("int").alias("p"),
+    )
+    assert ppjoin_candidates(sorted_sh, 3, 5).count() == 0
+    # prefix-only candidates (pair-distinct over the prefix join)
+    pref_idx = sorted_sh.select(
+        "doc_id", F.explode(F.slice("sh", 1, F.col("p"))).alias("shingle")
+    )
+    a, b = pref_idx.alias("a"), pref_idx.alias("b")
+    n_pref = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_pref == 1
+
+    # (b') on the real corpus the PPJoin candidate set is a subset
+    docs_p = canonical_sorted(docs_sh).select(
+        "doc_id",
+        "sh",
+        (
+            F.size("sh")
+            - F.floor((F.size("sh") * 3 + 4) / F.lit(5))
+            + 1
+        ).cast("int").alias("p"),
+    ).persist()
+    pp_cands = ppjoin_candidates(docs_p, 3, 5).count()
+    real_idx = docs_p.select(
+        "doc_id", F.explode(F.slice("sh", 1, F.col("p"))).alias("shingle")
+    )
+    a2, b2 = real_idx.alias("a"), real_idx.alias("b")
+    pref_cands = (
+        a2.join(b2, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    docs_p.unpersist()
+    assert pp_cands <= pref_cands
