@@ -61,6 +61,9 @@ STRESS_QUERIES = [
     # entry (max-df probe + chosen arm — the route_jaccard pattern)
     "dedup_containment_prefix_df",
     "dedup_containment_routed",
+    # r10: positional (PPJoin-flavor) containment — directed bound
+    # prunes verify candidates; growth class must match the family
+    "dedup_containment_ppjoin",
     # r10: SemDeDup — cell-bounded quadratic (deterministic integer
     # Lloyd cells; pair stage quadratic only within a cell)
     "dedup_semantic_centroid",
