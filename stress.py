@@ -75,6 +75,9 @@ STRESS_QUERIES = [
     "session_path_topk",
     "multimodal_video_scene_cuts",
     "multimodal_audio_segments",
+    # r10: ExactSubstr removal rewrite — one window-string shuffle +
+    # map-side lambda rewrite; growth must stay window-count linear
+    "dedup_substring_remove",
     # r07: prefix-filtered Jaccard join — candidate volume must stay
     # bounded by the prefix postings (Σp ≈ 0.4·Σn), not Σdf²
     "dedup_jaccard_prefix_filter",

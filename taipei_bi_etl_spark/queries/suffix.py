@@ -248,3 +248,155 @@ def dedup_exact_substring_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Removal rewrite — the deployment form of ExactSubstr dedup (r10).
+# ---------------------------------------------------------------------------
+
+_REMOVE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS tok
+  FROM documents WHERE text IS NOT NULL
+), posn AS (
+  SELECT doc_id, tok,
+         unnest(range(1, len(tok) - {WINDOW} + 2)) AS p
+  FROM toks WHERE len(tok) >= {WINDOW}
+), win AS (
+  SELECT doc_id, p,
+         array_to_string(list_slice(tok, p, p + {WINDOW} - 1), ' ') AS w
+  FROM posn
+), occ AS (
+  SELECT doc_id, p,
+         COUNT(*) OVER (PARTITION BY w) AS c,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, p) AS rn
+  FROM win
+), marked AS (
+  SELECT doc_id, p FROM occ WHERE c >= 2 AND rn >= 2
+), isl0 AS (
+  SELECT doc_id, p,
+         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   > {WINDOW} THEN 1 ELSE 0 END AS ni
+  FROM marked
+), isl AS (
+  SELECT doc_id, p,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM isl0
+), spans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) + {WINDOW} - 1 AS e
+  FROM isl GROUP BY doc_id, grp
+), sp AS (
+  SELECT doc_id, list([s, e]) AS spans FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tok) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(range(1, len(t.tok) + 1),
+            i -> len(list_filter(COALESCE(sp.spans, []),
+                 b -> i >= b[1] AND i <= b[2])) > 0)) AS BIGINT)
+         AS n_removed,
+       md5(COALESCE(array_to_string(list_filter(t.tok,
+            (x, i) -> len(list_filter(COALESCE(sp.spans, []),
+                 b -> i >= b[1] AND i <= b[2])) = 0), ' '), ''))
+         AS kept_md5
+FROM toks t LEFT JOIN sp ON sp.doc_id = t.doc_id
+"""
+
+
+@query(
+    "dedup_substring_remove",
+    oracle=_REMOVE_ORACLE,
+    tags=("text", "dedup", "extension"),
+)
+def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL rewrite — ExactSubstr dedup's deployment form (Lee
+    et al. 2022 §4.2: excise duplicated substrings, keep one copy):
+    per document, the tokens covered by NON-FIRST occurrences of any
+    duplicated ≥ WINDOW-token window are removed, and the kept text is
+    emitted as (doc_id, n_tokens, n_removed, kept_md5).
+
+    KEEP-FIRST policy, fully deterministic: occurrences of each
+    duplicated window string are ranked by (doc_id, p) and every rank
+    ≥ 2 occurrence is marked; marked starts merge into maximal covered
+    intervals by the same gap > WINDOW islands rule as
+    `dedup_exact_substring_spans` (the union of [p, p+W−1] ranges is
+    contiguous within an island by construction).  The corpus-first
+    occurrence of every passage survives — repeated boilerplate
+    collapses to one copy instead of vanishing entirely.
+
+    The driver hash-gates the REWRITE ITSELF: kept_md5 hashes the
+    kept-token join, so a single mis-kept token anywhere flips the
+    value hash (the `paragraph_dedup_report` kept-set-digest pattern,
+    upgraded to per-document).  Docs with NULL text are excluded in
+    both engines (contract); docs shorter than WINDOW pass through
+    with n_removed = 0.
+
+    Scale: the window COUNT + ROW_NUMBER ride ONE shuffle on the
+    window string (the spans query's shuffle — rn adds no exchange:
+    same partition key); the spans side that joins back to the corpus
+    holds only documents that LOSE tokens, and the rewrite itself is a
+    map-side lambda projection over (tok, spans) — no token-granular
+    shuffle.  The per-token exists() is O(spans/doc) with spans/doc
+    bounded by n_tokens/WINDOW; the lambda projection is the
+    documented interpreted-exclusion class (WSCG.md)."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = F.split("text", r"\s+")
+    docs = d.select("doc_id", tok.alias("tok"))
+    base = docs.filter(F.size("tok") >= WINDOW)
+    posn = base.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(F.lit(1), F.size("tok") - WINDOW + 1)
+        ).alias("p"),
+    )
+    win = posn.select(
+        "doc_id",
+        "p",
+        F.array_join(F.slice("tok", F.col("p"), WINDOW), " ").alias("w"),
+    )
+    occ = win.select(
+        "doc_id",
+        "p",
+        F.count(F.lit(1)).over(W.partitionBy("w")).alias("c"),
+        F.row_number()
+        .over(W.partitionBy("w").orderBy("doc_id", "p"))
+        .alias("rn"),
+    )
+    marked = occ.filter((F.col("c") >= 2) & (F.col("rn") >= 2)).select(
+        "doc_id", "p"
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("p")
+    isl = marked.withColumn(
+        "ni",
+        F.when(F.col("p") - F.lag("p").over(wdoc) > WINDOW, 1).otherwise(0),
+    ).withColumn("grp", F.sum("ni").over(wdoc))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("p").alias("s"), (F.max("p") + WINDOW - 1).alias("e")
+    )
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
+    joined = docs.join(sp, "doc_id", "left")
+
+    def covered(i):
+        # NULL spans (doc lost nothing) -> exists() is NULL -> False
+        return F.coalesce(
+            F.exists(
+                F.col("spans"), lambda b: (i >= b["s"]) & (i <= b["e"])
+            ),
+            F.lit(False),
+        )
+
+    flags = F.transform(F.sequence(F.lit(1), F.size("tok")), covered)
+    kept = F.filter(
+        F.zip_with(F.col("tok"), flags, lambda t, f: F.when(~f, t)),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("tok").cast("long").alias("n_tokens"),
+        F.size(F.filter(flags, lambda x: x)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+    )
