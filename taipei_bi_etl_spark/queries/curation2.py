@@ -897,6 +897,69 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def containment_positional_candidates(sorted_sh: DataFrame) -> DataFrame:
+    """Normalized candidate pairs surviving the POSITIONAL filter
+    adapted to the asymmetric containment scheme (r10 — the PPJoin
+    upgrade's containment flavor; safety proof mirrors
+    `pipeline.ppjoin_candidates`).
+
+    Both the prefix probe and the full index carry 0-based positions.
+    For a DIRECTED candidate (probe a, indexed b) the matched set is
+    "common tokens inside a's prefix"; every common token below the
+    last matched token w* is provably matched (positions are monotone
+    in the shared global order), so overlap ≤ c + min(na−ai−1,
+    nb−bj−1).  The required overlap is α = ⌈t·min(na,nb)⌉
+    (containment divides by the smaller size) — integer-exact via the
+    CONTAIN rational.  Completeness: a qualifying pair's
+    smaller-side-probe direction exists (the prefix lemma) and its
+    bound ≥ overlap ≥ α, so it survives; the exact verify on top
+    keeps output identical.  Factored out so the directed-prune pytest
+    can assert on the CANDIDATE set, not just the (already-identical)
+    final output."""
+    pref = sorted_sh.select(
+        "doc_id",
+        F.size("sh").alias("n"),
+        F.posexplode(F.slice("sh", 1, F.col("p"))).alias("pos", "shingle"),
+    )
+    full = sorted_sh.select(
+        "doc_id",
+        F.size("sh").alias("n"),
+        F.posexplode("sh").alias("pos", "shingle"),
+    )
+    a, b = pref.alias("a"), full.alias("b")
+    alpha = F.floor(
+        (
+            F.least(F.col("na"), F.col("nb")) * CONTAIN_NUM
+            + (CONTAIN_DEN - 1)
+        )
+        / F.lit(CONTAIN_DEN)
+    )
+    bound = F.col("c") + F.least(
+        F.col("na") - F.col("ai") - 1, F.col("nb") - F.col("bj") - 1
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("pa"),
+            F.col("b.doc_id").alias("pb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max(F.col("a.pos")).alias("ai"),
+            F.max(F.col("b.pos")).alias("bj"),
+        )
+        .filter(bound >= alpha)
+        .select(
+            F.least(F.col("pa"), F.col("pb")).alias("doc_a"),
+            F.greatest(F.col("pa"), F.col("pb")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def containment_prefix_pairs(
     docs_sh: DataFrame,
     canonical: str = "hash",
@@ -945,6 +1008,8 @@ def containment_prefix_pairs(
     ~(1−t)·Σ df_pref·df — at t = CONTAIN_T a ~10x cut — while index
     volume stays one full postings pass plus a (1−t) prefix pass; the
     verify join ships each doc's array once, keyed by doc_id."""
+    from taipei_bi_etl_spark.queries.pipeline import canonical_sorted
+
     p = (
         F.size("sh")
         - F.floor(
@@ -953,89 +1018,12 @@ def containment_prefix_pairs(
         )
         + 1
     ).cast("int")
-    if canonical == "df":
-        postings = docs_sh.select(
-            "doc_id", F.explode("sh").alias("shingle")
-        )
-        if df_counts is None:
-            # dispatcher passes its probe aggregate through — one
-            # aggregate, used twice (route_containment)
-            df_counts = postings.groupBy("shingle").agg(
-                F.count(F.lit(1)).alias("df")
-            )
-        docs_sh = (
-            postings.join(df_counts, "shingle")
-            .groupBy("doc_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("df", "shingle"))
-                    ),
-                    lambda s: s["shingle"],
-                ).alias("sh")
-            )
-        )
-    else:
-        docs_sh = docs_sh.select("doc_id", F.array_sort("sh").alias("sh"))
+    # one copy of the canonical-order machinery (r10 review: this
+    # block was a verbatim twin of the Jaccard family's)
+    docs_sh = canonical_sorted(docs_sh, canonical, df_counts)
     sorted_sh = docs_sh.select("doc_id", "sh", p.alias("p")).persist()
     if positional:
-        # POSITIONAL filter (r10, the PPJoin upgrade adapted to the
-        # asymmetric scheme — safety proof mirrors
-        # `pipeline.ppjoin_candidates`): both the prefix probe and the
-        # full index carry 0-based positions.  For a DIRECTED candidate
-        # (probe a, indexed b) the matched set is "common tokens inside
-        # a's prefix"; every common token below the last matched token
-        # w* is provably matched (positions are monotone in the shared
-        # global order), so overlap ≤ c + min(na−ai−1, nb−bj−1).  The
-        # required overlap is α = ⌈t·min(na,nb)⌉ (containment divides
-        # by the smaller size) — integer-exact via the CONTAIN rational.
-        # Completeness: a qualifying pair's smaller-side-probe
-        # direction exists (the prefix lemma) and its bound ≥ overlap
-        # ≥ α, so it survives; the exact verify keeps output identical.
-        pref = sorted_sh.select(
-            "doc_id",
-            F.size("sh").alias("n"),
-            F.posexplode(F.slice("sh", 1, F.col("p"))).alias(
-                "pos", "shingle"
-            ),
-        )
-        full = sorted_sh.select(
-            "doc_id",
-            F.size("sh").alias("n"),
-            F.posexplode("sh").alias("pos", "shingle"),
-        )
-        a, b = pref.alias("a"), full.alias("b")
-        alpha = F.floor(
-            (
-                F.least(F.col("na"), F.col("nb")) * CONTAIN_NUM
-                + (CONTAIN_DEN - 1)
-            )
-            / F.lit(CONTAIN_DEN)
-        )
-        bound = F.col("c") + F.least(
-            F.col("na") - F.col("ai") - 1, F.col("nb") - F.col("bj") - 1
-        )
-        cand = (
-            a.join(b, "shingle")
-            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-            .groupBy(
-                F.col("a.doc_id").alias("pa"),
-                F.col("b.doc_id").alias("pb"),
-                F.col("a.n").alias("na"),
-                F.col("b.n").alias("nb"),
-            )
-            .agg(
-                F.count(F.lit(1)).alias("c"),
-                F.max(F.col("a.pos")).alias("ai"),
-                F.max(F.col("b.pos")).alias("bj"),
-            )
-            .filter(bound >= alpha)
-            .select(
-                F.least(F.col("pa"), F.col("pb")).alias("doc_a"),
-                F.greatest(F.col("pa"), F.col("pb")).alias("doc_b"),
-            )
-            .distinct()
-        )
+        cand = containment_positional_candidates(sorted_sh)
     else:
         pref = sorted_sh.select(
             "doc_id", F.explode(F.slice("sh", 1, F.col("p"))).alias("shingle")

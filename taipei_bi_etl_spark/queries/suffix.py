@@ -268,11 +268,12 @@ WITH toks AS (
   FROM posn
 ), occ AS (
   SELECT doc_id, p,
-         COUNT(*) OVER (PARTITION BY w) AS c,
          ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, p) AS rn
   FROM win
 ), marked AS (
-  SELECT doc_id, p FROM occ WHERE c >= 2 AND rn >= 2
+  -- rn >= 2 alone implies the window occurs >= 2 times (r10 review:
+  -- a COUNT(*) OVER w predicate here was redundant)
+  SELECT doc_id, p FROM occ WHERE rn >= 2
 ), isl0 AS (
   SELECT doc_id, p,
          CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
@@ -359,14 +360,13 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = win.select(
         "doc_id",
         "p",
-        F.count(F.lit(1)).over(W.partitionBy("w")).alias("c"),
         F.row_number()
         .over(W.partitionBy("w").orderBy("doc_id", "p"))
         .alias("rn"),
     )
-    marked = occ.filter((F.col("c") >= 2) & (F.col("rn") >= 2)).select(
-        "doc_id", "p"
-    )
+    # rn >= 2 alone implies the window occurs >= 2 times — no COUNT
+    # window needed (r10 review)
+    marked = occ.filter(F.col("rn") >= 2).select("doc_id", "p")
     wdoc = W.partitionBy("doc_id").orderBy("p")
     isl = marked.withColumn(
         "ni",

@@ -490,6 +490,7 @@ def test_containment_ppjoin_identity_and_cut(spark, tmp_path):
     from taipei_bi_etl_spark.queries.curation2 import (
         CONTAIN_DEN,
         CONTAIN_NUM,
+        containment_positional_candidates,
         containment_prefix_pairs,
         dedup_containment_ppjoin,
         dedup_ngram_containment,
@@ -533,7 +534,20 @@ def test_containment_ppjoin_identity_and_cut(spark, tmp_path):
         ],
         "doc_id long, sh array<bigint>",
     )
-    # positional=True: zero surviving candidates -> zero output rows
+    # positional=True: the CANDIDATE set itself is empty (r10 review:
+    # asserting only the final output would be vacuous — the plain
+    # branch's exact verify also rejects the pair), and so is the
+    # output
+    p_col = (
+        F.size("sh")
+        - F.floor((F.size("sh") * CONTAIN_NUM + (CONTAIN_DEN - 1))
+                  / F.lit(CONTAIN_DEN))
+        + 1
+    ).cast("int")
+    crafted_sorted = crafted.select(
+        "doc_id", F.array_sort("sh").alias("sh")
+    ).select("doc_id", "sh", p_col.alias("p"))
+    assert containment_positional_candidates(crafted_sorted).count() == 0
     assert containment_prefix_pairs(crafted, positional=True).count() == 0
     # plain prefix: the candidate survives to the verify (which then
     # rejects it on exact containment 1/10 < 0.9) — prove the CANDIDATE

@@ -116,7 +116,9 @@ def main() -> None:
                 "candidates": n_cand,
                 "truth_found": found,
                 "recall": round(found / n_truth, 4) if n_truth else None,
-                "predicted_recall": round(float(pred), 4),
+                "predicted_recall": (
+                    round(float(pred), 4) if pred is not None else None
+                ),
                 "sec": round(elapsed, 2),
             }
         )

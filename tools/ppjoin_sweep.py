@@ -64,6 +64,15 @@ def _measure_cell(spark, toks, docs_sh, row: dict, passes: int = 3) -> dict:
             row[f"{name}_pairs"] = cnt
     pair_counts = {row[f"{n}_pairs"] for n, _ in _ARMS}
     assert len(pair_counts) == 1, f"arm outputs diverge: {row}"
+    # true PAIR identity, not just count identity (r10 review): every
+    # arm must emit exactly the full index's rows — an arm returning
+    # the right number of wrong pairs would otherwise poison the
+    # routing decision this tool exists to justify
+    fullf = _ARMS[0][1](toks, docs_sh)
+    for name, fn in _ARMS[1:]:
+        armf = fn(toks, docs_sh)
+        assert fullf.exceptAll(armf).count() == 0, f"{name}: missing pairs"
+        assert armf.exceptAll(fullf).count() == 0, f"{name}: extra pairs"
     for name, _ in _ARMS:
         row[name] = sorted(row[name])[len(row[name]) // 2]
     for name, _ in _ARMS[1:]:
