@@ -171,8 +171,16 @@ def synthesize_full_pings(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql/mango_user_channels.sql:5-7), and (c) event_extra entries
     feeding the RFE session rollup (session_time / url_counts /
     app_link / show_keyboard —
-    sql/mango_events_feature_mapping.sql:17-21)."""
-    return full_pings_from(read_table(spark, sf_dir, "events"))
+    sql/mango_events_feature_mapping.sql:17-21).
+
+    The scan is widened (scale.widen_scan) BEFORE the synthesis
+    expressions: the whole parse → unnest → D4-cascade chain is
+    map-side until the consumer's first aggregate, so an unsplittable
+    single-file input would otherwise run it on one core (measured
+    2× the whole rollup's cost at sf0.1 — SCALE.md r10)."""
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    return full_pings_from(widen_scan(read_table(spark, sf_dir, "events")))
 
 
 def full_pings_from(ev: DataFrame) -> DataFrame:

@@ -108,7 +108,13 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    # widen_scan: the 64 MinHash permutations are map-side expressions
+    # right above this scan — an unsplittable single-file input would
+    # evaluate them all on one core (measured 1.11× whole-query at
+    # sf0.1, SCALE.md r10; no-op when the scan already has splits).
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     tok = F.split(F.col("text"), r"\s+")
     return d.select("doc_id", shingle_hash_array(tok).alias("sh")).filter(
         F.size("sh") > 0

@@ -91,7 +91,13 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``LIKE '%"k"%'`` conjunct, and the hostile battery's escaped-key /
     escaped-sibling rows — or the engines diverge on escaped keys.
     """
-    ev = read_table(spark, sf_dir, "events").filter(
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    # widen_scan: the strict-props JSON parse terms are evaluated in
+    # the scan stage before the window's user_id exchange — a single
+    # unsplittable file parses on one core (measured 1.11× at sf0.1,
+    # SCALE.md r10)
+    ev = widen_scan(read_table(spark, sf_dir, "events")).filter(
         F.col("props").contains('"k"')
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")

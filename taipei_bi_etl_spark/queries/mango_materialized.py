@@ -53,15 +53,26 @@ def _flat_events_dir(spark: SparkSession, sf_dir: str) -> str:
             unnest_events_full(synthesize_full_pings(spark, sf_dir))
         ).write.mode("overwrite").parquet(data)
 
+    # flat_v2 (r10): the widened synthesis chain writes the surface as
+    # one file PER SCAN PARTITION instead of one file total, so the
+    # cascade over the materialized read parallelizes from the file
+    # layout alone (guide §6 output sizing) — v1 fixtures on disk have
+    # a single file and would pin the cascade to one scan task.
     return content_keyed_fixture(
-        sf_dir, "events.parquet", "taipei_mango_flat", "flat_v1", build
+        sf_dir, "events.parquet", "taipei_mango_flat", "flat_v2", build
     )
 
 
 def read_mango_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The materialized pre-cascade surface (``FLAT_SURFACE_COLS``)."""
+    """The materialized pre-cascade surface (``FLAT_SURFACE_COLS``).
+
+    widen_scan is a layout guard: a no-op on the multi-file flat_v2
+    fixture, but an externally-provided single-file surface still gets
+    the cascade parallelized (SCALE.md r10)."""
+    from taipei_bi_etl_spark.scale import widen_scan
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(_flat_events_dir(spark, sf_dir))
+    return widen_scan(spark.read.parquet(_flat_events_dir(spark, sf_dir)))
 
 
 @query(

