@@ -867,6 +867,12 @@ def feature_mapping_staged(
     )
 
 
+#: Compiled-expression memo for :func:`feature_mapping_nolambda`,
+#: keyed by the input column-name binding.  Expressions only (immutable
+#: Column trees) — no data, no results, no DataFrames.
+_NOLAMBDA_MEMO: dict[tuple, tuple] = {}
+
+
 def feature_mapping_nolambda(
     df,
     out: str = "map",
@@ -886,7 +892,19 @@ def feature_mapping_nolambda(
     `array_compact`, whose filter-lambda rewrite is CodegenFallback and
     silently excluded the projection from WSCG no matter how small the
     stages were).  Semantically identical to `feature_mapping_mapped`
-    — gated by the randomized dual-transcription test."""
+    — gated by the randomized dual-transcription test.
+
+    r10 (optimization): the compiled expression battery is MEMOIZED
+    per column-name binding.  Building the 131-rule cascade is ~4 s of
+    driver-side Python/py4j expression construction (measured sf-free:
+    it is pure expression-tree work, no data), and every mango-family
+    query paid it on every invocation — the single largest per-query
+    constant in the suite.  Column objects are immutable expression
+    trees independent of any DataFrame or session state, so reusing
+    them across queries changes neither plans nor results (the dual-
+    transcription and oracle gates pin this).  NOTE this caches
+    COMPILED EXPRESSIONS only — never data, never results; each query
+    still computes from the parquet inputs every run."""
     bound = {
         "event_method": event_method,
         "event_object": event_object,
@@ -896,41 +914,54 @@ def feature_mapping_nolambda(
         "event_vertical": event_vertical,
         "settings_search_engine": settings_search_engine,
     }
-    vocab = _rule_vocab()
-    reg: dict = {}
-    proxies = []
-    code_cols = []
-    for canonical, col_name in bound.items():
-        codes = {v: i for i, v in enumerate(vocab.get(canonical, []))}
-        if codes:
-            code_cols.append(
-                _encode_col(col_name, codes).alias(f"__fm_code_{col_name}")
+    memo_key = tuple(bound.values())
+    parts = _NOLAMBDA_MEMO.get(memo_key)
+    if parts is None:
+        vocab = _rule_vocab()
+        reg: dict = {}
+        proxies = []
+        code_cols = []
+        for canonical, col_name in bound.items():
+            codes = {v: i for i, v in enumerate(vocab.get(canonical, []))}
+            if codes:
+                code_cols.append(
+                    _encode_col(col_name, codes).alias(f"__fm_code_{col_name}")
+                )
+                proxies.append(_DictAtomCol(col_name, reg, codes))
+            else:
+                proxies.append(_AtomCol(col_name, reg))
+        vert_names = [f"__fm_v_{i}" for i in range(len(_VERTICALS))]
+        vert_cols = [
+            fn(_NoLambdaBackend, *proxies).alias(vn)
+            for vn, (_name, fn) in zip(vert_names, _VERTICALS)
+        ]
+        atom_names = [name for name, _ in reg.values()]
+        atom_cols = [expr.alias(name) for name, expr in reg.values()]
+        cascade = None
+        for vn, (label, _fn) in zip(vert_names, _VERTICALS):
+            cond = F.size(F.col(vn)) > 0
+            val = _pack(F.col(vn), label, "App")
+            cascade = (
+                F.when(cond, val)
+                if cascade is None
+                else cascade.when(cond, val)
             )
-            proxies.append(_DictAtomCol(col_name, reg, codes))
-        else:
-            proxies.append(_AtomCol(col_name, reg))
-    with_codes = df.select("*", *code_cols)
-    vert_names = [f"__fm_v_{i}" for i in range(len(_VERTICALS))]
-    vert_cols = [
-        fn(_NoLambdaBackend, *proxies).alias(vn)
-        for vn, (_name, fn) in zip(vert_names, _VERTICALS)
-    ]
-    atom_names = [name for name, _ in reg.values()]
-    with_atoms = with_codes.select(
-        "*", *[expr.alias(name) for name, expr in reg.values()]
-    )
-    with_verts = with_atoms.select("*", *vert_cols)
-    cascade = None
-    for vn, (label, _fn) in zip(vert_names, _VERTICALS):
-        cond = F.size(F.col(vn)) > 0
-        val = _pack(F.col(vn), label, "App")
-        cascade = (
-            F.when(cond, val) if cascade is None else cascade.when(cond, val)
+        mapped = cascade.otherwise(
+            _pack(F.array(F.lit("feature: others")), "Others", "Others")
         )
-    mapped = cascade.otherwise(
-        _pack(F.array(F.lit("feature: others")), "Others", "Others")
-    )
-    code_names = [f"__fm_code_{c}" for c in bound.values()]
+        code_names = [f"__fm_code_{c}" for c in bound.values()]
+        parts = (
+            code_cols, atom_cols, vert_cols, mapped,
+            vert_names, atom_names, code_names,
+        )
+        _NOLAMBDA_MEMO[memo_key] = parts
+    (
+        code_cols, atom_cols, vert_cols, mapped,
+        vert_names, atom_names, code_names,
+    ) = parts
+    with_codes = df.select("*", *code_cols)
+    with_atoms = with_codes.select("*", *atom_cols)
+    with_verts = with_atoms.select("*", *vert_cols)
     return (
         with_verts.withColumn(out, mapped)
         .drop(*vert_names)

@@ -100,7 +100,12 @@ def shingle_hash_array(tok: Column) -> Column:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    # widen_scan: SimHash's two polynomial char-hashes per shingle are
+    # map-side above this scan (measured 1.49× whole-query at sf0.1,
+    # SCALE.md r10)
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     tok = F.split(F.col("text"), r"\s+")
     return d.select("doc_id", shingle_array(tok).alias("sh")).filter(
         F.size("sh") > 0

@@ -139,7 +139,11 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection.  The only corpus-wide exchanges carry ≤ ``B_BUCKETS``
     partial rows per task and (doc_id, partial-sum) pairs.
     """
-    d = read_table(spark, sf_dir, "documents")
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    # widen_scan: the hashed-feature explode is map-side above the scan
+    # (measured 2.95× whole-query at sf0.1, SCALE.md r10)
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     # Empty tokens MUST be filtered: an empty-string token crashes the
     # oracle's list_reduce (no initial value) while Spark's F.aggregate
     # silently hashes it to 0 — an asymmetric failure, not just drift.

@@ -297,8 +297,13 @@ def knn_label_consistency_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes()
     from taipei_bi_etl_spark.queries.emb_common import read_embeddings
 
-    # cosine family; unlabeled vectors cannot be label-screened
-    e = read_embeddings(spark, sf_dir, direction=True).filter(
+    # cosine family; unlabeled vectors cannot be label-screened.
+    # widen_scan: the 16 JL projection dots + LSH signatures are
+    # map-side above this scan (measured 1.25–1.37× whole-query at
+    # sf0.1, SCALE.md r10)
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    e = widen_scan(read_embeddings(spark, sf_dir, direction=True)).filter(
         F.col("label").isNotNull()
     )
     emb = as_double("embedding")

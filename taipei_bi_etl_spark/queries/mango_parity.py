@@ -1369,9 +1369,14 @@ def mango_feature_surface_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         unnest_events_structured,
     )
 
+    from taipei_bi_etl_spark.scale import widen_scan
+
+    # widen_scan: same rationale as synthesize_full_pings — the
+    # structured synthesis + cascade are map-side above this scan
+    # (measured 3.65 → ~1 s at sf0.1 once widened, SCALE.md r10)
     fm = map_features_full(
         unnest_events_structured(
-            structured_pings_from(read_table(spark, sf_dir, "events"))
+            structured_pings_from(widen_scan(read_table(spark, sf_dir, "events")))
         )
     )
     return fm.groupBy("submission_date", "feature_type", "feature_name").agg(
