@@ -876,8 +876,11 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard pattern.
     """
     from taipei_bi_etl_spark.queries.pipeline import ngram_pair_overlap
+    from taipei_bi_etl_spark.scale import widen_scan
 
-    d = read_table(spark, sf_dir, "documents")
+    # widen_scan: tokenization + shingle explode are map-side above
+    # this scan (measured 1.48× whole-query at sf0.1, SCALE.md r10)
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split(F.col("text"), r"\s+").alias("tok"))
     containment = F.col("inter").cast("double") / F.least("na", "nb")
     contained = (
@@ -1074,8 +1077,12 @@ def containment_prefix_pairs(
 def _contain_docs_sh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) input frame shared by every containment form."""
     from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+    from taipei_bi_etl_spark.scale import widen_scan
 
-    d = read_table(spark, sf_dir, "documents")
+    # widen_scan: the shingle build is map-side above this scan; shared
+    # by prefix/df/routed/ppjoin containment (measured 1.23–1.50×
+    # whole-query each at sf0.1, SCALE.md r10)
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         shingle_hash_array(F.split(F.col("text"), r"\s+")).alias("sh"),

@@ -559,8 +559,13 @@ def dedup_jaccard_prefix_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_ngram_jaccard`; order validity + completeness proof in
     :func:`jaccard_prefix_filter_pairs`."""
     from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+    from taipei_bi_etl_spark.scale import widen_scan
 
-    d = read_table(spark, sf_dir, "documents")
+    # widen_scan: shingle build + df-ascending sort-prep are map-side
+    # above this scan (measured 1.52× whole-query at sf0.1, SCALE.md
+    # r10; the hash-ordered sibling measured FLAT 0.96× and stays
+    # unwidened)
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     docs_sh = d.select(
         "doc_id", shingle_hash_array(_tokens()).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -691,8 +696,12 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle) as `dedup_ngram_jaccard`; bound derivation + safety proof
     in :func:`ppjoin_candidates`."""
     from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+    from taipei_bi_etl_spark.scale import widen_scan
 
-    d = read_table(spark, sf_dir, "documents")
+    # widen_scan: shingle build + per-doc positional prefix prep are
+    # map-side above this scan (measured 1.25× whole-query at sf0.1,
+    # SCALE.md r10)
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     docs_sh = d.select(
         "doc_id", shingle_hash_array(_tokens()).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -816,8 +825,13 @@ def dedup_jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-ascending form.  Same output and oracle as
     `dedup_ngram_jaccard` either way."""
     from taipei_bi_etl_spark.queries.dedup import shingle_hash_array
+    from taipei_bi_etl_spark.scale import widen_scan
 
-    d = read_table(spark, sf_dir, "documents")
+    # widen_scan: the shingle build feeding the probe + both arms is
+    # map-side above this scan (measured 1.07× whole-query at sf0.1 —
+    # modest because the probe aggregate lands early, but positive on
+    # both arms; SCALE.md r10)
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     docs_sh = d.select(
         "doc_id", shingle_hash_array(_tokens()).alias("sh")
     ).filter(F.size("sh") > 0)
