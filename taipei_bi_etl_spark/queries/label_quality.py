@@ -286,15 +286,12 @@ def knn_label_consistency_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from taipei_bi_etl_spark.io import read_table
     from taipei_bi_etl_spark.queries.similarity import (
-        LSH_TABLES,
-        _hyperplanes,
-        _jl_rows,
         as_double,
         dot,
-        signature,
+        jl_projection_battery,
+        lsh_signature_battery,
     )
 
-    planes = _hyperplanes()
     from taipei_bi_etl_spark.queries.emb_common import read_embeddings
 
     # cosine family; unlabeled vectors cannot be label-screened.
@@ -307,10 +304,10 @@ def knn_label_consistency_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").isNotNull()
     )
     emb = as_double("embedding")
-    rows = _jl_rows()
-    proj = F.array(
-        *[dot(emb, F.array(*[F.lit(float(s)) for s in row])) for row in rows]
-    )
+    # compiled-expression memos (similarity._SIG_MEMO/_JL_MEMO): both
+    # batteries together were ~5 s of driver-side py4j construction
+    # paid on every invocation — expressions only, results unchanged
+    proj = jl_projection_battery(emb)
     # the SMALL per-vector frame: 16-dim projection + its norm + the
     # LSH signatures — no 64-dim embedding.  Persisted because it feeds
     # the bucket explode and both sides of the shortlist scoring join.
@@ -319,9 +316,7 @@ def knn_label_consistency_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             proj.alias("p"),
-            F.array(
-                *[signature(emb, planes[t]) for t in range(LSH_TABLES)]
-            ).alias("sigs"),
+            lsh_signature_battery(emb).alias("sigs"),
         )
         .withColumn("pnrm", F.sqrt(dot(F.col("p"), F.col("p"))))
         .persist()

@@ -177,3 +177,45 @@ def test_deterministic_ivf_invariant_under_partition_layout(spark):
         quantize(emb.repartition(5).sortWithinPartitions(F.desc("vec_id")))
     )
     assert c1 == c2 == c3
+
+
+def test_compiled_battery_memos_reuse_expressions(spark):
+    """r10 optimization: the LSH signature / JL projection batteries
+    are ~3 s / ~1.5 s of driver-side py4j expression construction —
+    memoized per input-expression string (the feature_mapping
+    _NOLAMBDA_MEMO pattern).  The memo must (a) hand back the SAME
+    immutable Column tree on repeat calls and (b) leave the resolved
+    plan identical to a fresh (memo-bypassing) construction — i.e. it
+    caches expressions only, never data or plan state."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from taipei_bi_etl_spark.queries import similarity as S
+
+    # (a) repeat calls return the identical compiled tree
+    assert S.lsh_signature_battery("emb") is S.lsh_signature_battery("emb")
+    assert S.jl_projection_battery("emb") is S.jl_projection_battery("emb")
+    # distinct bindings get distinct compiles
+    assert S.lsh_signature_battery("emb") is not S.lsh_signature_battery(
+        F.col("other")
+    )
+
+    # (b) memoized vs fresh construction: same analyzed plan (modulo
+    # auto-numbered lambda variables)
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(S.LSH_DIM)])], "vec_id int, emb array<double>"
+    )
+    fresh_sigs = F.array(
+        *[
+            S.signature(F.col("emb"), S._hyperplanes()[t])
+            for t in range(S.LSH_TABLES)
+        ]
+    )
+
+    def plan(c):
+        p = df.select(c.alias("out"))._jdf.queryExecution().analyzed().toString()
+        p = re.sub(r"#\d+", "#X", p)
+        return re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_N", p)
+
+    assert plan(S.lsh_signature_battery("emb")) == plan(fresh_sigs)
