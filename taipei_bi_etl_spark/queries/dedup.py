@@ -207,45 +207,69 @@ def _signatures(docs_sh: DataFrame) -> DataFrame:
     partial mins — the exchange carries one 64-long row per doc per
     task, negligible against the scan at any scale.
     """
-    import numpy as np
-
-    # Universal-hash permutations mod a Mersenne prime: (h*A_i + B_i)
-    # mod P actually permutes (a plain h*A+B is order-preserving and
-    # min() would always pick the same shingle).  Operands are bounded
-    # (h,A,B < P = 2^31-1) so products stay < 2^62 — no ANSI overflow.
-    P = (1 << 31) - 1
-    rng = np.random.RandomState(7)
-    A = rng.randint(1, P, size=N_PERM).tolist()
-    B = rng.randint(0, P, size=N_PERM).tolist()
     hashed = docs_sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.pmod(F.col("s"), F.lit(P)).alias("h")
+        "doc_id", F.pmod(F.col("s"), F.lit(_MERSENNE_P)).alias("h")
     )
-    return hashed.groupBy("doc_id").agg(
-        *[
+    return hashed.groupBy("doc_id").agg(*_perm_min_cols())
+
+
+_MERSENNE_P = (1 << 31) - 1
+
+#: Compiled-expression memos (r10 optimization, the similarity
+#: _SIG_MEMO pattern): the 64 permutation-min aggregates (~0.7 s of
+#: driver-side py4j construction) and the 16 band structs (~0.26 s)
+#: are constant expression trees over fixed column names, rebuilt on
+#: every minhash-family invocation.  Expressions only — no data, no
+#: results; every run still computes from the parquet inputs.
+_PERM_MIN_MEMO: list[Column] = []
+_BAND_STRUCT_MEMO: list[Column] = []
+
+
+def _perm_min_cols() -> list[Column]:
+    """The N_PERM ``min(universal-hash-permutation)`` aggregate columns
+    over the exploded shingle-hash column ``h``, memoized."""
+    if not _PERM_MIN_MEMO:
+        import numpy as np
+
+        # Universal-hash permutations mod a Mersenne prime: (h*A_i +
+        # B_i) mod P actually permutes (a plain h*A+B is
+        # order-preserving and min() would always pick the same
+        # shingle).  Operands are bounded (h,A,B < P = 2^31-1) so
+        # products stay < 2^62 — no ANSI overflow.
+        P = _MERSENNE_P
+        rng = np.random.RandomState(7)
+        A = rng.randint(1, P, size=N_PERM).tolist()
+        B = rng.randint(0, P, size=N_PERM).tolist()
+        _PERM_MIN_MEMO.extend(
             F.min(
                 F.pmod(F.col("h") * F.lit(int(A[i])) + F.lit(int(B[i])), F.lit(P))
             ).alias(f"m{i}")
             for i in range(N_PERM)
-        ]
-    )
+        )
+    return _PERM_MIN_MEMO
 
 
 def _band_structs() -> Column:
-    """Array of (band_id, band_hash) structs over signature columns."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[
-                        F.col(f"m{b * ROWS_PER_BAND + r}")
-                        for r in range(ROWS_PER_BAND)
-                    ]
-                ).alias("band_hash"),
+    """Array of (band_id, band_hash) structs over signature columns
+    (memoized — constant expression over the fixed m0..m63 names)."""
+    if not _BAND_STRUCT_MEMO:
+        _BAND_STRUCT_MEMO.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"m{b * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
             )
-            for b in range(N_BANDS)
-        ]
-    )
+        )
+    return _BAND_STRUCT_MEMO[0]
 
 
 def minhash_lsh_pairs(
