@@ -231,11 +231,24 @@ _SIG_MEMO: dict[str, Column] = {}
 _JL_MEMO: dict[str, Column] = {}
 
 
+def _memo_key(c: Column) -> str:
+    """Expression-string memo key with lambda variables normalized:
+    Spark auto-numbers them per construction (``transform(embedding,
+    x_1 -> …)`` then ``x_2 -> …``), so the raw string of a semantically
+    identical input never repeats.  Numbered-identifier normalization
+    is safe here because the rest of the expression text (column names,
+    function names, literals) still distinguishes genuinely different
+    inputs."""
+    import re
+
+    return re.sub(r"\b([A-Za-z]+)_(\d+)\b", r"\1_N", str(c))
+
+
 def lsh_signature_battery(emb: Column | str = "emb") -> Column:
     """``F.array`` of all LSH_TABLES table signatures for ``emb``,
     memoized per input-expression string."""
     c = F.col(emb) if isinstance(emb, str) else emb
-    key = str(c)
+    key = _memo_key(c)
     col = _SIG_MEMO.get(key)
     if col is None:
         planes = _hyperplanes()
@@ -250,7 +263,7 @@ def jl_projection_battery(emb: Column | str = "emb") -> Column:
     """``F.array`` of the OUT_DIM JL sign-projection dots for ``emb``,
     memoized per input-expression string."""
     c = F.col(emb) if isinstance(emb, str) else emb
-    key = str(c)
+    key = _memo_key(c)
     col = _JL_MEMO.get(key)
     if col is None:
         col = F.array(

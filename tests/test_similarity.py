@@ -196,6 +196,12 @@ def test_compiled_battery_memos_reuse_expressions(spark):
     # (a) repeat calls return the identical compiled tree
     assert S.lsh_signature_battery("emb") is S.lsh_signature_battery("emb")
     assert S.jl_projection_battery("emb") is S.jl_projection_battery("emb")
+    # ... including for lambda-bearing inputs, whose raw expression
+    # string never repeats (Spark auto-numbers lambda variables) — the
+    # memo key normalizes them (the knn_label_consistency_jl binding)
+    assert S.jl_projection_battery(
+        S.as_double("embedding")
+    ) is S.jl_projection_battery(S.as_double("embedding"))
     # distinct bindings get distinct compiles
     assert S.lsh_signature_battery("emb") is not S.lsh_signature_battery(
         F.col("other")
