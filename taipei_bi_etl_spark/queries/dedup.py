@@ -425,29 +425,41 @@ def simhash_fingerprints(docs_sh: DataFrame) -> DataFrame:
         poly_hash(chars, _SIMHASH_B1, _SIMHASH_P1).alias("h1"),
         poly_hash(chars, _SIMHASH_B2, _SIMHASH_P2).alias("h2"),
     )
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftright(
-                    "h1" if i < _HALF_BITS else "h2",
-                    i if i < _HALF_BITS else i - _HALF_BITS,
-                ).bitwiseAND(F.lit(1))
-                * 2
-                - 1
-            ).alias(f"v{i}")
-            for i in range(SIMHASH_BITS)
-        ]
-    )
-    fp = reduce(
-        add,
-        [
-            F.when(
-                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(SIMHASH_BITS)
-        ],
-    )
-    return votes.select("doc_id", fp.alias("fp"))
+    # compiled-expression memo (r10, the _perm_min_cols pattern): the
+    # 60 vote aggregates + the 60-term fingerprint fold are ~1 s of
+    # driver-side py4j construction over FIXED column names, rebuilt on
+    # every simhash-family invocation.  Expressions only — no data.
+    if not _SIMHASH_EXPR_MEMO:
+        _SIMHASH_EXPR_MEMO.append(
+            [
+                F.sum(
+                    F.shiftright(
+                        "h1" if i < _HALF_BITS else "h2",
+                        i if i < _HALF_BITS else i - _HALF_BITS,
+                    ).bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                ).alias(f"v{i}")
+                for i in range(SIMHASH_BITS)
+            ]
+        )
+        _SIMHASH_EXPR_MEMO.append(
+            reduce(
+                add,
+                [
+                    F.when(
+                        F.col(f"v{i}") > 0,
+                        F.shiftleft(F.lit(1).cast("long"), i),
+                    ).otherwise(F.lit(0).cast("long"))
+                    for i in range(SIMHASH_BITS)
+                ],
+            )
+        )
+    votes = hashed.groupBy("doc_id").agg(*_SIMHASH_EXPR_MEMO[0])
+    return votes.select("doc_id", _SIMHASH_EXPR_MEMO[1].alias("fp"))
+
+
+_SIMHASH_EXPR_MEMO: list = []
 
 
 @query(
