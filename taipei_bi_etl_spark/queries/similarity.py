@@ -232,16 +232,32 @@ _JL_MEMO: dict[str, Column] = {}
 
 
 def _memo_key(c: Column) -> str:
-    """Expression-string memo key with lambda variables normalized:
+    """Expression-string memo key with LAMBDA VARIABLES normalized:
     Spark auto-numbers them per construction (``transform(embedding,
     x_1 -> …)`` then ``x_2 -> …``), so the raw string of a semantically
-    identical input never repeats.  Numbered-identifier normalization
-    is safe here because the rest of the expression text (column names,
-    function names, literals) still distinguishes genuinely different
-    inputs."""
+    identical input never repeats.
+
+    Only identifiers DECLARED as lambda parameters (the tokens before
+    ``->``, single or parenthesized multi-arg) are renumbered — a
+    blanket ``\\w+_\\d+`` rewrite would collide genuinely different
+    column names that differ only in a numeric suffix (``emb_1`` vs
+    ``emb_2``) into one memo entry and silently return the wrong
+    compiled battery.  Declared vars are renumbered by order of first
+    appearance, so two constructions of the same expression get the
+    same key while distinct nested vars stay distinct."""
     import re
 
-    return re.sub(r"\b([A-Za-z]+)_(\d+)\b", r"\1_N", str(c))
+    s = str(c)
+    seen: list[str] = []
+    for grp in re.findall(r"\(?((?:\w+_\d+)(?:, \w+_\d+)*)\)? -> ", s):
+        for n in grp.split(", "):
+            if n not in seen:
+                seen.append(n)
+    for i, n in enumerate(seen):
+        s = re.sub(
+            rf"\b{re.escape(n)}\b", f"{n.rsplit('_', 1)[0]}_L{i}", s
+        )
+    return s
 
 
 def lsh_signature_battery(emb: Column | str = "emb") -> Column:

@@ -206,6 +206,22 @@ def test_compiled_battery_memos_reuse_expressions(spark):
     assert S.lsh_signature_battery("emb") is not S.lsh_signature_battery(
         F.col("other")
     )
+    # ... including bindings that differ ONLY in a numeric suffix:
+    # the key renumbers DECLARED lambda variables, never column names
+    # (a blanket \w+_\d+ rewrite would merge emb_1/emb_2 into one memo
+    # entry and silently return the wrong compiled battery)
+    assert S._memo_key(F.col("emb_1")) != S._memo_key(F.col("emb_2"))
+    assert S.lsh_signature_battery(
+        F.col("emb_1")
+    ) is not S.lsh_signature_battery(F.col("emb_2"))
+    # lambda-var renumbering is by first appearance, so identical
+    # constructions share a key while distinct nested vars stay apart
+    assert S._memo_key(
+        F.transform(F.col("e"), lambda x: x.cast("double"))
+    ) == S._memo_key(F.transform(F.col("e"), lambda x: x.cast("double")))
+    assert S._memo_key(
+        F.zip_with(F.col("a"), F.col("b"), lambda x, y: x + y)
+    ) != S._memo_key(F.zip_with(F.col("a"), F.col("b"), lambda x, y: y + x))
 
     # (b) memoized vs fresh construction: same analyzed plan (modulo
     # auto-numbered lambda variables)
