@@ -442,7 +442,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table_id, bucket) with cardinality ≤ LSH_TABLES·2^LSH_BITS, so
     candidate volume is Σ_buckets |bucket|² instead of n², and each
     bucket is further bounded by the hyperplanes splitting mass evenly.
-    ``dropDuplicates`` ORs the tables; the verify is the codegen'd
+    The OR across tables is a FIRST-COLLISION emit (keep a joined pair
+    iff no earlier table also collides — a map-side filter on the two
+    carried signature arrays), not a ``dropDuplicates``: the distinct
+    is an exchange + hash aggregate over the candidate volume, which is
+    quadratic in bucket size, while the carried signature payload is
+    LSH_TABLES ints on the linear index term (guide §2.4 "remove
+    shuffles outright"; measured 1.42×/1.18× same-session medians at
+    sf0.1, row-identical — SCALE.md r10).  The verify is the codegen'd
     zip_with/aggregate dot product.  Recall vs the exact all-pairs
     kernel is gated in tests/test_similarity.py; the oracle replicates
     the same seeded hyperplanes, so correctness is hash-exact, not
@@ -458,15 +465,38 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         lsh_signature_battery("emb").alias("sigs"),
     )
-    # candidate generation on IDS ONLY: the bucket self-join fans out to
-    # Σ_buckets |bucket|² pairs, so each pair must be 16 bytes, never two
-    # embedded vectors — carrying the arrays through the join is a
-    # |pairs|×dim materialization (the OOM found at sf0.1)
+    # candidate generation carries ids + the LSH_TABLES-int signature
+    # array, NEVER the embedding vectors — a joined pair is ~16 ints,
+    # while carrying the 64-dim vectors through the fan-out is a
+    # |pairs|×dim materialization (the OOM found at sf0.1).  The
+    # signature arrays are what make the OR-across-tables a map-side
+    # filter instead of a distinct exchange.
     bucketed = sigs.select(
-        "vec_id", F.posexplode("sigs").alias("table_id", "bucket")
+        "vec_id", "sigs", F.posexplode("sigs").alias("table_id", "bucket")
     ).persist()
-    a = bucketed.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
-    b = bucketed.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("sigs").alias("sa"),
+        "table_id",
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("sigs").alias("sb"),
+        "table_id",
+        "bucket",
+    )
+    # first-collision emit: keep the joined row iff no EARLIER table
+    # already collided for this pair — each pair then surfaces exactly
+    # once (from its first colliding table), so no dedup exchange
+    first_collision = ~F.exists(
+        F.zip_with(
+            F.slice(F.col("sa"), 1, F.col("table_id")),
+            F.slice(F.col("sb"), 1, F.col("table_id")),
+            lambda x, y: x == y,
+        ),
+        lambda hit: hit,
+    )
     cand = (
         # deliberately NOT a forced broadcast: the id side is
         # |corpus|×LSH_TABLES rows, which outgrows the driver at real
@@ -474,7 +504,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # runtime whenever the persisted side is actually small
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])  # OR across tables
+        .filter(first_collision)
+        .select("vec_a", "vec_b")
     )
     # exact verify: join the deduplicated id pairs back to the corpus —
     # vectors touch only surviving candidates.  Deliberately NO broadcast

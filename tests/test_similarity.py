@@ -81,6 +81,24 @@ def test_lsh_dedup_recall_and_precision_vs_all_pairs(spark):
     assert recall >= 0.7, f"LSH dedup recall too low: {recall:.2f}"
 
 
+def test_lsh_dedup_first_collision_emit_unique_and_shuffle_free(spark):
+    """The OR-across-tables is a first-collision emit (r10): each pair
+    must surface EXACTLY once without a dedup exchange — the plan may
+    contain no aggregate node at all (the old dropDuplicates planned an
+    Exchange + HashAggregate over the quadratic candidate volume)."""
+    from taipei_bi_etl_spark.queries.similarity import dedup_embedding_lsh
+
+    df = dedup_embedding_lsh(spark, SF_DIR)
+    pairs = [(r.vec_a, r.vec_b) for r in df.collect()]
+    assert len(pairs) == len(set(pairs)) > 0
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Aggregate" not in plan
+
+
 def test_pq_recall_vs_exact_l2(spark):
     """PQ ADC shortlist + exact re-rank must recover most of the true
     L2 top-k (PQ quantizes L2 distance, so the baseline here is the
