@@ -198,7 +198,13 @@ BUDGETS = {
     # 2.03 s interleaved; budget at the quiet bench median.
     "mango_feature_surface_rollup": 1.55,
     "dedup_exact_substring_spans": 0.69,
-    "dedup_embedding_lsh": 5.90,  # r10 widen 1.27x (was 7.50)
+    # r10: widen 1.27x (7.50 -> 5.90), then the signature-battery memo
+    # (quiet post-memo bench 2.55) and the first-collision pair emit
+    # (A/B 1.42x/1.18x, HashAggregate x4 -> 0) — refreshed to the
+    # median of four post-change session-normalized readings
+    # (2.09-2.88 at inflations 1.24-1.46; no inflation-1.0 window was
+    # available at round close, see OPTIMIZATION_r10.md).
+    "dedup_embedding_lsh": 2.60,
     "cms_heavy_hitters": 0.40,
     # r06: VARIANT ingest twins (measured medians at r06, warm
     # fixture; a first-ever run rebuilds the content-keyed fixture in
