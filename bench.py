@@ -297,13 +297,16 @@ def compute_breaches(
 
 
 def breaches_are_fatal(breaches: dict, cores: int) -> bool:
-    """Whether a non-empty breach set exits non-zero: only at the
-    budget calibration width (see CALIBRATION_CPUS).  At any other
-    width the per-query medians move by each query's own parallel
-    fraction — Amdahl scaling, the very quantity the driver's low-core
-    re-run measures — so budgets calibrated at 32 cores are reported
-    but not armed.  Pure function, unit-tested."""
-    return bool(breaches) and cores == CALIBRATION_CPUS
+    """Whether a non-empty breach set exits non-zero: at or above the
+    budget calibration width (see CALIBRATION_CPUS).  BELOW it the
+    per-query medians move by each query's own parallel fraction —
+    Amdahl scaling, the very quantity the driver's low-core re-run
+    measures — so budgets calibrated at 32 cores are reported but not
+    armed.  ABOVE it queries only get faster, so the 32-core budgets
+    remain valid upper bounds and the tripwire stays armed (a strict
+    ``==`` would silently disarm regression detection on any wider
+    host).  Pure function, unit-tested."""
+    return bool(breaches) and cores >= CALIBRATION_CPUS
 
 
 def main() -> None:

@@ -240,12 +240,18 @@ def _perm_min_cols() -> list[Column]:
         rng = np.random.RandomState(7)
         A = rng.randint(1, P, size=N_PERM).tolist()
         B = rng.randint(0, P, size=N_PERM).tolist()
-        _PERM_MIN_MEMO.extend(
+        # build the full battery locally, then publish with ONE
+        # mutation: extending with a generator would leave a
+        # non-empty, incomplete memo if construction fails midway
+        # (interrupt / py4j hiccup), and the emptiness guard would
+        # then never rebuild it for the life of the process
+        cols = [
             F.min(
                 F.pmod(F.col("h") * F.lit(int(A[i])) + F.lit(int(B[i])), F.lit(P))
             ).alias(f"m{i}")
             for i in range(N_PERM)
-        )
+        ]
+        _PERM_MIN_MEMO.extend(cols)
     return _PERM_MIN_MEMO
 
 
@@ -430,31 +436,33 @@ def simhash_fingerprints(docs_sh: DataFrame) -> DataFrame:
     # driver-side py4j construction over FIXED column names, rebuilt on
     # every simhash-family invocation.  Expressions only — no data.
     if not _SIMHASH_EXPR_MEMO:
-        _SIMHASH_EXPR_MEMO.append(
+        # build both batteries locally, publish with ONE mutation: two
+        # separate appends would leave a length-1 memo if the second
+        # build fails (interrupt / py4j hiccup) — the emptiness guard
+        # would then never rebuild, and every later simhash query
+        # would IndexError on the missing fold for the process's life
+        vote_aggs = [
+            F.sum(
+                F.shiftright(
+                    "h1" if i < _HALF_BITS else "h2",
+                    i if i < _HALF_BITS else i - _HALF_BITS,
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+        fp_fold = reduce(
+            add,
             [
-                F.sum(
-                    F.shiftright(
-                        "h1" if i < _HALF_BITS else "h2",
-                        i if i < _HALF_BITS else i - _HALF_BITS,
-                    ).bitwiseAND(F.lit(1))
-                    * 2
-                    - 1
-                ).alias(f"v{i}")
+                F.when(
+                    F.col(f"v{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
                 for i in range(SIMHASH_BITS)
-            ]
+            ],
         )
-        _SIMHASH_EXPR_MEMO.append(
-            reduce(
-                add,
-                [
-                    F.when(
-                        F.col(f"v{i}") > 0,
-                        F.shiftleft(F.lit(1).cast("long"), i),
-                    ).otherwise(F.lit(0).cast("long"))
-                    for i in range(SIMHASH_BITS)
-                ],
-            )
-        )
+        _SIMHASH_EXPR_MEMO.extend([vote_aggs, fp_fold])
     votes = hashed.groupBy("doc_id").agg(*_SIMHASH_EXPR_MEMO[0])
     return votes.select("doc_id", _SIMHASH_EXPR_MEMO[1].alias("fp"))
 

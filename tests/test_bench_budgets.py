@@ -144,10 +144,13 @@ def test_breaches_fatal_only_at_calibration_width():
     # lower-core bench re-run measures each query's Amdahl scaling, and
     # a genuinely-parallel query slowing against the driver-bound pack
     # there is the scaling signal, not a regression.  Breaches stay
-    # REPORTED at every width but only exit non-zero at the
-    # calibration width.
+    # REPORTED at every width but only exit non-zero at or above the
+    # calibration width — ABOVE it queries only get faster, so the
+    # budgets remain valid upper bounds and a wider host must not
+    # silently disarm the tripwire (r10 review).
     some = {"q2": {"sec": 6.0, "budget": 2.0, "limit": 3.0}}
     assert bench.breaches_are_fatal(some, bench.CALIBRATION_CPUS)
+    assert bench.breaches_are_fatal(some, 64)
     assert not bench.breaches_are_fatal(some, 8)
     assert not bench.breaches_are_fatal(some, 16)
     assert not bench.breaches_are_fatal({}, bench.CALIBRATION_CPUS)
