@@ -204,7 +204,14 @@ BUDGETS = {
     # median of four post-change session-normalized readings
     # (2.09-2.88 at inflations 1.24-1.46; no inflation-1.0 window was
     # available at round close, see OPTIMIZATION_r10.md).
-    "dedup_embedding_lsh": 2.60,
+    # r11 (VERDICT r10 #4): hot-bucket salt adopted — the splits
+    # subtree (bounded bucket-count aggregate + broadcast) costs a
+    # FIXED ~0.7-0.9 s of stage latency at sf0.1 (bisected: the salt
+    # keys/explode themselves are free; the at-scale win is 1.42x on a
+    # skewed corpus under the shuffle-join plan — OPTIMIZATION_r11.md).
+    # Refreshed to the post-change quiet interleaved median 3.06 /
+    # session-normalized bench readings 3.11 (infl 1.237).
+    "dedup_embedding_lsh": 3.10,
     "cms_heavy_hitters": 0.40,
     # r06: VARIANT ingest twins (measured medians at r06, warm
     # fixture; a first-ever run rebuilds the content-keyed fixture in
@@ -296,6 +303,41 @@ def compute_breaches(
     return inflation, breaches
 
 
+def confirmed_breaches(
+    breaches: dict[str, dict[str, float]],
+    confirm_timings: dict[str, float],
+) -> dict[str, dict[str, float]]:
+    """Confirming re-pass filter (r11, VERDICT r10 #1).
+
+    The r10 driver's canonical 32-core bench exited rc=1 on an
+    UNTOUCHED query (`cohort_retention` 1.284 s vs limit 1.193) in a
+    session whose inflation sat at the 1.5 cap: when the whole
+    sub-second pack is weather-inflated to the cap, any entry sits one
+    gust from its capped floor.  A real plan regression is a
+    deterministic property of the plan — it reproduces when the same
+    query is re-timed minutes later in the same session — while a
+    co-tenant gust does not.  So a breach is only FATAL if a second
+    3-pass-median re-measurement of that query (run after the full
+    suite, same clearCache-per-pass methodology) ALSO exceeds the same
+    inflation-scaled limit from the original run.
+
+    Strictness is conserved: the limit is NOT recomputed (no circular
+    re-normalization over the suspect set), a breach with no confirming
+    measurement stays fatal (fail-closed), and a regression that
+    reproduces exits 1 exactly as before — only non-reproducing gusts
+    are absorbed.  Pure function — unit-tested with a persisting
+    regression and a clearing gust in tests/test_bench_budgets.py.
+    """
+    out: dict[str, dict[str, float]] = {}
+    for name, info in breaches.items():
+        c = confirm_timings.get(name)
+        if c is None:
+            out[name] = dict(info)
+        elif c > info["limit"]:
+            out[name] = dict(info, confirm_sec=c)
+    return out
+
+
 def breaches_are_fatal(breaches: dict, cores: int) -> bool:
     """Whether a non-empty breach set exits non-zero: at or above the
     budget calibration width (see CALIBRATION_CPUS).  BELOW it the
@@ -382,9 +424,35 @@ def main() -> None:
         out["materialization_delta_sec"] = round(live - mat, 3)
     if breaches:
         out["budget_breaches"] = breaches
+    # r11 (VERDICT r10 #1): breaches that would redden the run get a
+    # confirming re-pass — re-time ONLY the breached queries with the
+    # identical 3-pass-median / clearCache-per-pass methodology and keep
+    # the breach iff it reproduces against the SAME limit.  Real plan
+    # regressions are deterministic and reproduce; capped-inflation
+    # weather gusts do not.  The original medians in `queries` and the
+    # original `budget_breaches` are reported unchanged; the confirm
+    # pass only gates the exit code (fields below make it auditable).
+    final_breaches = breaches
+    if breaches_are_fatal(breaches, cores):
+        confirm_timings: dict[str, float] = {}
+        for name in breaches:
+            spec = REGISTRY.get(name)
+            if spec is None:
+                continue
+            runs = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            confirm_timings[name] = round(sorted(runs)[1], 3)
+        final_breaches = confirmed_breaches(breaches, confirm_timings)
+        out["budget_breaches_confirm"] = confirm_timings
+        if final_breaches:
+            out["confirmed_breaches"] = final_breaches
     print(json.dumps(out))
     spark.stop()
-    if breaches_are_fatal(breaches, cores):
+    if breaches_are_fatal(final_breaches, cores):
         sys.exit(1)
 
 

@@ -22,6 +22,8 @@ values are safely oracle-hashable after ``ROUND(_, 6)``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -191,6 +193,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_BITS = 4
 LSH_TABLES = 16
 LSH_DIM = 64
+
+#: Hot-bucket cap (r11, VERDICT r10 #4 — guide §2.5 skew).  The LSH
+#: candidate join is keyed on (table_id, bucket) with only
+#: LSH_TABLES × 2^LSH_BITS = 256 distinct keys, so ONE hot bucket
+#: (boilerplate near-identical embeddings at 100 TB) is a single
+#: unsplittable join key: AQE's skew-join split cannot divide a single
+#: enormous key, and 256 keys also caps the stage's parallelism far
+#: below a real cluster's core count.  Buckets larger than this cap
+#: are salted: each side is split into ``nsplit = ceil(count/cap)``
+#: deterministic groups (pmod(xxhash64(id), nsplit) — never rand(),
+#: guide §2.5's retry-duplication warning) and the opposite side is
+#: replicated nsplit ways, so every pair still meets EXACTLY ONCE (in
+#: group (g(a), g(b))) while per-task candidate volume is bounded by
+#: cap² and the join fans out to nsplit² schedulable groups per hot
+#: bucket.  Buckets at or under the cap get nsplit=1: zero salt
+#: groups, no replication — at bench scale (sf0.1 buckets ~hundreds of
+#: rows) the join degenerates to today's shape.  Parameterized for
+#: production tuning; the default bounds a task at ~25M candidate
+#: pairs (~seconds of filter work).
+LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "5000"))
+
+
+def _bucket_splits(bucketed: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(table_id, bucket, nsplit) from an ids-only LSH index frame —
+    bounded by construction at LSH_TABLES × 2^LSH_BITS rows, so it is
+    always broadcastable regardless of corpus size."""
+    return bucketed.groupBy("table_id", "bucket").agg(
+        F.ceil(F.count(F.lit(1)) / float(LSH_BUCKET_CAP))
+        .cast("int")
+        .alias("nsplit")
+    )
+
+
+def _salt_sides(
+    a: DataFrame, b: DataFrame, splits: DataFrame, a_id: str, b_id: str
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Salt both sides of a (table_id, bucket) pair join with the
+    bounded ``splits`` frame (broadcast).  Side ``a`` keeps its own
+    deterministic group and replicates across the other side's groups;
+    side ``b`` symmetric — pair (x, y) meets exactly once, in group
+    (g(x), g(y)).  Returns the salted sides and the join keys."""
+    bs = F.broadcast(splits)
+    ga_own = F.pmod(F.xxhash64(a_id), F.col("nsplit")).cast("int")
+    gb_own = F.pmod(F.xxhash64(b_id), F.col("nsplit")).cast("int")
+    fan = F.explode(F.sequence(F.lit(0), F.col("nsplit") - 1))
+    sa = (
+        a.join(bs, ["table_id", "bucket"])
+        .withColumn("ga", ga_own)
+        .withColumn("gb", fan)
+        .drop("nsplit")
+    )
+    sb = (
+        b.join(bs, ["table_id", "bucket"])
+        .withColumn("gb", gb_own)
+        .withColumn("ga", fan)
+        .drop("nsplit")
+    )
+    return sa, sb, ["table_id", "bucket", "ga", "gb"]
 
 
 def _hyperplanes() -> list[list[list[float]]]:
@@ -497,12 +557,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda hit: hit,
     )
+    # hot-bucket salt (r11, guide §2.5): (table_id, bucket) has only
+    # 256 distinct values, so one hot bucket is an unsplittable join
+    # key AND a parallelism ceiling — see LSH_BUCKET_CAP.  The splits
+    # frame is bounded at 256 rows (broadcast); at bench scale every
+    # nsplit is 1 and the join output is bit-identical to the unsalted
+    # form (pairs meet exactly once either way — oracle hash-exact).
+    splits = _bucket_splits(bucketed)
+    sa, sb, salt_keys = _salt_sides(a, b, splits, "vec_a", "vec_b")
     cand = (
         # deliberately NOT a forced broadcast: the id side is
         # |corpus|×LSH_TABLES rows, which outgrows the driver at real
         # corpus sizes; AQE converts this to a broadcast join at
         # runtime whenever the persisted side is actually small
-        a.join(b, ["table_id", "bucket"])
+        sa.join(sb, salt_keys)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(first_collision)
         .select("vec_a", "vec_b")
@@ -583,7 +651,12 @@ def emb_pairs_from_index(
     )
     a = probe.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
     b = index.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
-    j = a.join(b, ["table_id", "bucket"])
+    # hot-bucket salt, sized from the INDEX side (the stored, large
+    # side); the probe side replicates nsplit ways — see LSH_BUCKET_CAP
+    sa, sb, salt_keys = _salt_sides(
+        a, b, _bucket_splits(index), "vec_a", "vec_b"
+    )
+    j = sa.join(sb, salt_keys)
     if normalized:
         cand = j.filter(F.col("vec_a") != F.col("vec_b")).select(
             F.least(F.col("vec_a"), F.col("vec_b")).alias("vec_a"),

@@ -156,6 +156,56 @@ def test_breaches_fatal_only_at_calibration_width():
     assert not bench.breaches_are_fatal({}, bench.CALIBRATION_CPUS)
 
 
+def test_confirmed_breaches_real_regression_persists():
+    # r11 (VERDICT r10 #1): an injected real single-query regression
+    # reproduces in the confirming re-pass and MUST stay fatal.
+    t = _at_budget()
+    t["q2"] = 6.0
+    infl, breaches = bench.compute_breaches(t, BUDGETS)
+    assert list(breaches) == ["q2"]
+    confirmed = bench.confirmed_breaches(breaches, {"q2": 5.8})
+    assert list(confirmed) == ["q2"]
+    assert confirmed["q2"]["confirm_sec"] == 5.8
+    assert bench.breaches_are_fatal(confirmed, bench.CALIBRATION_CPUS)
+
+
+def test_confirmed_breaches_weather_gust_clears():
+    # The r10 driver scenario: cohort_retention breached at capped
+    # inflation (1.284 s vs limit 1.193) while the same query minutes
+    # later read 0.516 s.  A confirming measurement back inside the
+    # limit must clear the breach — rc=0, nothing fatal.
+    t = _at_budget()
+    t["q2"] = 6.0
+    infl, breaches = bench.compute_breaches(t, BUDGETS)
+    confirmed = bench.confirmed_breaches(breaches, {"q2": 2.1})
+    assert confirmed == {}
+    assert not bench.breaches_are_fatal(confirmed, bench.CALIBRATION_CPUS)
+
+
+def test_confirmed_breaches_fail_closed_without_confirmation():
+    # A breach with no confirming measurement (registry miss, crash in
+    # the confirm loop) must stay fatal — the confirm pass may only
+    # absorb breaches it positively re-measured under the limit.
+    t = _at_budget()
+    t["q2"] = 6.0
+    infl, breaches = bench.compute_breaches(t, BUDGETS)
+    confirmed = bench.confirmed_breaches(breaches, {})
+    assert list(confirmed) == ["q2"]
+    assert bench.breaches_are_fatal(confirmed, bench.CALIBRATION_CPUS)
+
+
+def test_confirmed_breaches_exact_limit_boundary_clears():
+    # The confirm comparison uses the SAME limit as the original breach
+    # (no re-normalization): a confirm reading exactly AT the limit is
+    # inside it — same strict-inequality semantics as compute_breaches.
+    t = _at_budget()
+    t["q2"] = 6.0
+    infl, breaches = bench.compute_breaches(t, BUDGETS)
+    limit = breaches["q2"]["limit"]
+    confirmed = bench.confirmed_breaches(breaches, {"q2": limit})
+    assert confirmed == {}
+
+
 def test_jitter_floor_not_inflated():
     # ADVICE r06 #1: the +0.5 s floor must NOT scale with session
     # inflation — in a 1.4×-hot (band-edge) session, a 0.3 s-budget

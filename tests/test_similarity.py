@@ -83,9 +83,15 @@ def test_lsh_dedup_recall_and_precision_vs_all_pairs(spark):
 
 def test_lsh_dedup_first_collision_emit_unique_and_shuffle_free(spark):
     """The OR-across-tables is a first-collision emit (r10): each pair
-    must surface EXACTLY once without a dedup exchange — the plan may
-    contain no aggregate node at all (the old dropDuplicates planned an
-    Exchange + HashAggregate over the quadratic candidate volume)."""
+    must surface EXACTLY once without a dedup exchange — no aggregate
+    keyed on the PAIR ids anywhere in the plan (the old dropDuplicates
+    planned an Exchange + HashAggregate over the quadratic candidate
+    volume).  r11: the hot-bucket salt adds a legitimate BOUNDED
+    aggregate — bucket counts keyed on (table_id, bucket), ≤256 rows —
+    so the pin is scoped to pair-keyed aggregates instead of banning
+    aggregates outright (ADVICE r10 #4 anticipated exactly this)."""
+    import re
+
     from taipei_bi_etl_spark.queries.similarity import dedup_embedding_lsh
 
     df = dedup_embedding_lsh(spark, SF_DIR)
@@ -96,7 +102,62 @@ def test_lsh_dedup_first_collision_emit_unique_and_shuffle_free(spark):
             "formatted"
         )
     )
-    assert "Aggregate" not in plan
+    # formatted explain prints aggregate grouping as "Keys [n]: [...]";
+    # none may group on the candidate-pair ids
+    pair_keyed = [
+        m for m in re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+        if "vec_a" in m and "vec_b" in m
+    ]
+    assert pair_keyed == [], pair_keyed
+    # the candidate join is the SALTED one: join keys carry the salt
+    # groups (ga, gb) alongside (table_id, bucket)
+    assert re.search(r"keys \[\d+\]: \[table_id#[^\]]*\bga#", plan, re.I), (
+        "candidate join is not salted"
+    )
+
+
+def test_lsh_hot_bucket_salt_bounded_and_identical(spark, monkeypatch):
+    """r11 (VERDICT r10 #4, guide §2.5): one hot LSH bucket is a single
+    unsplittable join key.  With the cap forced tiny, a degenerate
+    40-row bucket must (a) split into nsplit = ceil(40/10) = 4 salt
+    groups with per-group side size far below the bucket size, (b)
+    still produce EXACTLY the unsalted join's pair multiset (every pair
+    meets exactly once — the first-collision emit upstream relies on
+    it), and (c) leave an at-cap bucket entirely unsalted (nsplit=1)."""
+    from pyspark.sql import functions as F
+
+    import taipei_bi_etl_spark.queries.similarity as sim
+
+    monkeypatch.setattr(sim, "LSH_BUCKET_CAP", 10)
+    rows = [(i, 0, 0) for i in range(40)] + [(100 + i, 1, 3) for i in range(5)]
+    idx = spark.createDataFrame(
+        rows, "vec_id long, table_id int, bucket long"
+    )
+    a = idx.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
+    b = idx.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
+    splits = sim._bucket_splits(idx)
+    ns = {(r.table_id, r.bucket): r.nsplit for r in splits.collect()}
+    assert ns == {(0, 0): 4, (1, 3): 1}
+    sa, sb, keys = sim._salt_sides(a, b, splits, "vec_a", "vec_b")
+    # bounded per-task volume: no (table, bucket, ga, gb) group's side
+    # may approach the 40-row hot bucket (expected ~10 per salt group)
+    mx = (
+        sa.groupBy(*keys).count().agg(F.max("count")).collect()[0][0]
+    )
+    assert mx < 20, f"salt group size {mx} not bounded"
+    # exactly-once pair emission, identical multiset vs the unsalted join
+    salted = sorted(
+        (r.vec_a, r.vec_b)
+        for r in sa.join(sb, keys).select("vec_a", "vec_b").collect()
+    )
+    plain = sorted(
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, ["table_id", "bucket"])
+        .select("vec_a", "vec_b")
+        .collect()
+    )
+    assert salted == plain
+    assert len(salted) == 40 * 40 + 5 * 5
 
 
 def test_pq_recall_vs_exact_l2(spark):
