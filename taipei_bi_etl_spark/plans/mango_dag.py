@@ -26,7 +26,7 @@ two CUSTOM cleanups as declarative policy — delete-by-client-subquery
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from taipei_bi_etl_spark.plans.dag import (
@@ -360,6 +360,70 @@ def retained_pivot_from(occ: DataFrame, date: str, lo_filter: bool) -> DataFrame
         cond = cond & (F.col("cohort_date") >= lo) & (F.col("occur_date") >= lo)
     win = occ.filter(cond)
 
+    if not _RETAINED_AGG_MEMO:
+        _RETAINED_AGG_MEMO.extend(_retained_aggs())
+    return (
+        win.groupBy(
+            "os", "country", "measure_type", "cohort_level",
+            "cohort_name", "cohort_date",
+        )
+        .agg(*_RETAINED_AGG_MEMO)
+        .withColumn("execution_date", F.lit(date).cast("date"))
+        .withColumn("day", F.col("cohort_date"))
+    )
+
+
+#: Compiled-expression memos (r11, VERDICT r10 #3 — the established
+#: _NOLAMBDA_MEMO pattern): the snapshot pivot/union aggregate
+#: batteries reference only FIXED column names (occur_day/occur_week/
+#: occur_month/client_id, the _RFE_METRICS list, the retained/
+#: cohort_size columns), so there is no binding variance and the memos
+#: need no key.  Values are immutable Column trees — COMPILED
+#: EXPRESSIONS only, no data, no results, no DataFrames; every query
+#: still computes from the parquet inputs on every run (oracle twins
+#: hash-exact).  Built fully, published with ONE mutation (r10 review
+#: rule).  Measured: retained 22-agg battery ~0.43 s, ROI percentile
+#: pack ~0.19 s per construction.
+_RETAINED_AGG_MEMO: list[Column] = []
+_ROI_PCT_AGG_MEMO: list[Column] = []
+_ROI_RR_AGG_MEMO: list[Column] = []
+_ROI_AU_AGG_MEMO: list[Column] = []
+
+
+_SESSION_SUM_MEMO: list[Column] = []
+
+
+def _session_sum_aggs() -> list[Column]:
+    """The 5-metric session sum battery — built twice per
+    rfe_daily_session_from (feature_session + app_session) with the
+    same fixed column names."""
+    if not _SESSION_SUM_MEMO:
+        aggs = [
+            F.sum("session_time").alias("session_time"),
+            F.sum("url_counts").alias("url_counts"),
+            F.sum("app_link_install").alias("app_link_install"),
+            F.sum("app_link_open").alias("app_link_open"),
+            F.sum("show_keyboard").alias("show_keyboard"),
+        ]
+        _SESSION_SUM_MEMO.extend(aggs)
+    return _SESSION_SUM_MEMO
+
+
+def _roi_au_aggs() -> list[Column]:
+    if not _ROI_AU_AGG_MEMO:
+        aggs = [
+            F.avg("new_dau").alias("new_aDAU"),
+            F.avg("dau").alias("aDAU"),
+            F.avg("new_wau").alias("new_aWAU"),
+            F.avg("wau").alias("aWAU"),
+            F.avg("new_mau").alias("new_aMAU"),
+            F.avg("mau").alias("aMAU"),
+        ]
+        _ROI_AU_AGG_MEMO.extend(aggs)
+    return _ROI_AU_AGG_MEMO
+
+
+def _retained_aggs() -> list[Column]:
     def cnt(col, i, alias):
         return F.countDistinct(
             F.when(F.col(col) == i, F.col("client_id"))
@@ -373,15 +437,7 @@ def retained_pivot_from(occ: DataFrame, date: str, lo_filter: bool) -> DataFrame
     aggs += [
         cnt("occur_month", n, f"m{n}_retained_users") for n in _MONTH_POINTS
     ]
-    return (
-        win.groupBy(
-            "os", "country", "measure_type", "cohort_level",
-            "cohort_name", "cohort_date",
-        )
-        .agg(*aggs)
-        .withColumn("execution_date", F.lit(date).cast("date"))
-        .withColumn("day", F.col("cohort_date"))
-    )
+    return aggs
 
 
 def active_user_count_from(occ: DataFrame, date: str) -> DataFrame:
@@ -500,13 +556,7 @@ def rfe_daily_session_from(
             "client_id", "country", "submission_date",
             "event_vertical", "feature_type", "feature_name",
         )
-        .agg(
-            F.sum("session_time").alias("session_time"),
-            F.sum("url_counts").alias("url_counts"),
-            F.sum("app_link_install").alias("app_link_install"),
-            F.sum("app_link_open").alias("app_link_open"),
-            F.sum("show_keyboard").alias("show_keyboard"),
-        )
+        .agg(*_session_sum_aggs())
     )
     # vertical sessionize: LEAD over start/end process events (W2/W3)
     vse = fm.filter(
@@ -589,13 +639,7 @@ def rfe_daily_session_from(
     )
     app_session = (
         vertical_session.groupBy("client_id", "country", "submission_date")
-        .agg(
-            F.sum("session_time").alias("session_time"),
-            F.sum("url_counts").alias("url_counts"),
-            F.sum("app_link_install").alias("app_link_install"),
-            F.sum("app_link_open").alias("app_link_open"),
-            F.sum("show_keyboard").alias("show_keyboard"),
-        )
+        .agg(*_session_sum_aggs())
         .select(
             "client_id", "country", "submission_date",
             F.lit("all").alias("event_vertical"),
@@ -739,33 +783,40 @@ def roi_from(
     # leaves the hash one ulp from flapping; interpolating 6-decimal
     # rationals is stable in both engines (BACKLOG "verified-fragile",
     # VERDICT r03 #6).
-    pct_aggs = []
-    for m in _RFE_METRICS:
-        for p, tag in ((0.25, "25p"), (0.5, "50p"), (0.75, "75p")):
-            pct_aggs.append(
-                F.expr(f"percentile(round({m}, 6), {p})").alias(f"{m}_{tag}")
-            )
+    if not _ROI_PCT_AGG_MEMO:
+        # build fully, publish with ONE mutation (r10 review rule)
+        pct_aggs = [
+            F.expr(f"percentile(round({m}, 6), {p})").alias(f"{m}_{tag}")
+            for m in _RFE_METRICS
+            for p, tag in ((0.25, "25p"), (0.5, "50p"), (0.75, "75p"))
+        ]
+        _ROI_PCT_AGG_MEMO.extend(pct_aggs)
     rfe_pct = rfe.select(
         "os", "country", level, name, *_RFE_METRICS
-    ).groupBy("os", "country", "cohort_level", "cohort_name").agg(*pct_aggs)
+    ).groupBy("os", "country", "cohort_level", "cohort_name").agg(
+        *_ROI_PCT_AGG_MEMO
+    )
     rr_src = retained.filter(
         (F.col("measure_type") == measure)
         & (F.col("cohort_date") > F.date_sub(as_of, 28))
         & (F.col("cohort_date") <= as_of)
     )
-    rr_cols = (
-        [(f"d{n}_retained_users", f"d{n}_retention", "daily_cohort_size")
-         for n in _DAY_POINTS]
-        + [(f"w{n}_retained_users", f"w{n}_retention", "weekly_cohort_size")
-           for n in (1, 2, 4, 8, 12)]
-        + [(f"m{n}_retained_users", f"m{n}_retention", "monthly_cohort_size")
-           for n in _MONTH_POINTS]
-    )
-    rr = rr_src.groupBy("os", "country", "cohort_level", "cohort_name").agg(
-        *[
+    if not _ROI_RR_AGG_MEMO:
+        rr_cols = (
+            [(f"d{n}_retained_users", f"d{n}_retention", "daily_cohort_size")
+             for n in _DAY_POINTS]
+            + [(f"w{n}_retained_users", f"w{n}_retention",
+                "weekly_cohort_size") for n in (1, 2, 4, 8, 12)]
+            + [(f"m{n}_retained_users", f"m{n}_retention",
+                "monthly_cohort_size") for n in _MONTH_POINTS]
+        )
+        rr_aggs = [
             F.try_divide(F.sum(num), F.sum(den)).alias(out)
             for num, out, den in rr_cols
         ]
+        _ROI_RR_AGG_MEMO.extend(rr_aggs)
+    rr = rr_src.groupBy("os", "country", "cohort_level", "cohort_name").agg(
+        *_ROI_RR_AGG_MEMO
     )
     au = (
         au_frame
@@ -775,14 +826,7 @@ def roi_from(
             & (F.col("occur_date") <= as_of)
         )
         .groupBy("os", "country", "cohort_level", "cohort_name")
-        .agg(
-            F.avg("new_dau").alias("new_aDAU"),
-            F.avg("dau").alias("aDAU"),
-            F.avg("new_wau").alias("new_aWAU"),
-            F.avg("wau").alias("aWAU"),
-            F.avg("new_mau").alias("new_aMAU"),
-            F.avg("mau").alias("aMAU"),
-        )
+        .agg(*_roi_au_aggs())
     )
     keys = ["os", "country", "cohort_level", "cohort_name"]
     return (

@@ -143,8 +143,14 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        # old_label rides along so the convergence check below is a
+        # FILTER on the checkpointed frame instead of a node-keyed join
+        # of new vs old labels — one less shuffle per round (r11,
+        # interleaved A/B 1.26× on the sf0.1 minhash graph, identity
+        # asserted in-script; OPTIMIZATION_r11.md item #5)
         propagated = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("component_id").alias("old_label"),
             F.least(
                 F.col("component_id"), F.coalesce("nbr_min", "component_id")
             ).alias("component_id"),
@@ -162,6 +168,7 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             parent, propagated["component_id"] == parent["p_node"], "left"
         ).select(
             "node",
+            "old_label",
             F.least(
                 F.col("component_id"),
                 F.coalesce("p_label", "component_id"),
@@ -195,13 +202,10 @@ def min_label_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             path = f"{sever_dir}/r{rnd}"
             new_labels.write.mode("overwrite").parquet(path)
             new_labels = labels.sparkSession.read.parquet(path)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("component_id") != F.col("old_label")
+        ).count()
+        labels = new_labels.select("node", "component_id")
         rnd += 1
         if changed == 0:
             break
@@ -369,24 +373,52 @@ def _fit_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return [c.tolist() for c in model.clusterCenters()]
 
 
+#: Compiled-expression memo (r11, VERDICT r10 #6 — the _NOLAMBDA_MEMO
+#: pattern): the nearest-cells battery was N_CLUSTERS × EMB_DIM × 2 =
+#: 2048 per-scalar F.lit py4j calls PLUS an in-plan l2_norm fold of
+#: each CONSTANT centroid evaluated per row — measured ~2.5 s of
+#: construction per call, built twice per IVF query.  Keyed by the
+#: input expression, n, and the centroid VALUES (the trainer is eager
+#: and seeded; keying by value keeps the memo correct even if a refit
+#: ever produced different centers).  Expressions only — no data.
+_NEAREST_CELLS_MEMO: dict[tuple, Column] = {}
+
+
 def _nearest_cells(emb: Column, centroids: list[list[float]], n: int) -> Column:
     """Indices of the n centroids with highest cosine to emb (array)."""
-    from taipei_bi_etl_spark.queries.similarity import dot, l2_norm
+    import math
+
+    from taipei_bi_etl_spark.queries.similarity import _memo_key, dot
+
+    key = (_memo_key(emb), n, tuple(tuple(c) for c in centroids))
+    col = _NEAREST_CELLS_MEMO.get(key)
+    if col is not None:
+        return col
+
+    def py_norm(c: list[float]) -> float:
+        # identical float semantics to the in-plan l2_norm it replaces:
+        # left-to-right double fold + IEEE sqrt (bit-equality verified
+        # live and pinned in tests) — the centroid is a CONSTANT, so
+        # its norm belongs in the driver, not in every row's codegen
+        acc = 0.0
+        for v in c:
+            acc += v * v
+        return math.sqrt(acc)
 
     sims = F.array(
         *[
             F.struct(
-                (
-                    dot(emb, F.array(*[F.lit(v) for v in c]))
-                    / l2_norm(F.array(*[F.lit(v) for v in c]))
-                ).alias("sim"),
+                (dot(emb, F.lit([float(v) for v in c])) / F.lit(py_norm(c)))
+                .alias("sim"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centroids)
         ]
     )
     top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
-    return F.transform(top, lambda s: s["cell"])
+    col = F.transform(top, lambda s: s["cell"])
+    _NEAREST_CELLS_MEMO[key] = col
+    return col
 
 
 @query("embedding_kmeans", oracle=None, tags=("similarity", "extension", "iterative"))
