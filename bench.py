@@ -144,6 +144,11 @@ BUDGETS = {
     # regression — budgets recalibrated to the measured medians so the
     # tripwire measures from the real level; the 2.5x ratio cap still
     # guards regressions from here.
+    # r11 (VERDICT r10 #8): the warmup-constant investigation is
+    # CLOSED — decision + rejected mitigations in SCALE.md "Per-query
+    # JIT/warmup constant: CLOSED NEGATIVE"; the operational harm
+    # (weather-red exits) is handled by the confirming re-pass, not by
+    # masking the constant.
     # r10 (VERDICT r09 #2): the overhead step is NAMED — JIT/codegen
     # WARMUP DEPTH.  tools/overhead_bisect.py exonerates the registry
     # wrapper (±7 ms vs the bare fn) and the tracked-persist release
