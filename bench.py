@@ -201,7 +201,11 @@ BUDGETS = {
     # interleaved, SCALE.md).  r10: widened synthesis scan (1.95x) +
     # the compile memo (~4 s driver constant amortized) — 10.07 ->
     # 2.03 s interleaved; budget at the quiet bench median.
-    "mango_feature_surface_rollup": 1.55,
+    # r11: the shared-chain FRAME memo amortizes the remaining
+    # construction across the bench's 3 passes — quiet bench median
+    # 1.079 @ infl 1.063 (normalized ~1.01); refreshed so the tripwire
+    # keeps measuring from the real level.
+    "mango_feature_surface_rollup": 1.05,
     "dedup_exact_substring_spans": 0.69,
     # r10: widen 1.27x (7.50 -> 5.90), then the signature-battery memo
     # (quiet post-memo bench 2.55) and the first-collision pair emit
@@ -214,9 +218,11 @@ BUDGETS = {
     # FIXED ~0.7-0.9 s of stage latency at sf0.1 (bisected: the salt
     # keys/explode themselves are free; the at-scale win is 1.42x on a
     # skewed corpus under the shuffle-join plan — OPTIMIZATION_r11.md).
-    # Refreshed to the post-change quiet interleaved median 3.06 /
-    # session-normalized bench readings 3.11 (infl 1.237).
-    "dedup_embedding_lsh": 3.10,
+    # Then the first-collision filter UNROLLED (the HOF form was
+    # CodegenFallback inside the join condition: 1.26x at sf0.1, 2.40x
+    # at sf1) — net, salted+unrolled reads at the r10 unsalted level.
+    # Budget = quiet-run normalized median (2.822 raw @ infl 1.063).
+    "dedup_embedding_lsh": 2.70,
     "cms_heavy_hitters": 0.40,
     # r06: VARIANT ingest twins (measured medians at r06, warm
     # fixture; a first-ever run rebuilds the content-keyed fixture in

@@ -548,15 +548,25 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # first-collision emit: keep the joined row iff no EARLIER table
     # already collided for this pair — each pair then surfaces exactly
-    # once (from its first colliding table), so no dedup exchange
-    first_collision = ~F.exists(
-        F.zip_with(
-            F.slice(F.col("sa"), 1, F.col("table_id")),
-            F.slice(F.col("sb"), 1, F.col("table_id")),
-            lambda x, y: x == y,
-        ),
-        lambda hit: hit,
-    )
+    # once (from its first colliding table), so no dedup exchange.
+    # UNROLLED form (r11, guide §4.1/§7.2): the equivalent
+    # exists(zip_with(slice, slice, eq)) is a higher-order function =
+    # CodegenFallback, and as part of the JOIN CONDITION it pushed the
+    # whole candidate BroadcastHashJoin out of whole-stage codegen —
+    # the quadratic candidate stream was filtered INTERPRETED.  The
+    # 15-term OR below is pure codegen-able comparisons; identical
+    # semantics (hit iff ∃ j ∈ [1..table_id]: sa[j] = sb[j]).
+    # Interleaved A/B, identity-gated: 1.26× at sf0.1, 2.40× at sf1
+    # (20.7 → 8.6 s — the win grows with candidate volume, exactly the
+    # at-scale term; OPTIMIZATION_r11.md).  The verify DOT stays the
+    # fold form — its unrolled variant is a measured r04/r07 negative.
+    prior_hit = F.lit(False)
+    for j in range(1, LSH_TABLES):
+        prior_hit = prior_hit | (
+            (F.col("table_id") >= F.lit(j))
+            & (F.element_at("sa", j) == F.element_at("sb", j))
+        )
+    first_collision = ~prior_hit
     # hot-bucket salt (r11, guide §2.5): (table_id, bucket) has only
     # 256 distinct values, so one hot bucket is an unsplittable join
     # key AND a parallelism ceiling — see LSH_BUCKET_CAP.  The splits
