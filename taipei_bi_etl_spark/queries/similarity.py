@@ -234,6 +234,8 @@ def _salt_sides(
     deterministic group and replicates across the other side's groups;
     side ``b`` symmetric — pair (x, y) meets exactly once, in group
     (g(x), g(y)).  Returns the salted sides and the join keys."""
+    # bounded: splits has ≤ LSH_TABLES × 2^LSH_BITS = 256 rows by
+    # construction (one per possible bucket), whatever the corpus size
     bs = F.broadcast(splits)
     ga_own = F.pmod(F.xxhash64(a_id), F.col("nsplit")).cast("int")
     gb_own = F.pmod(F.xxhash64(b_id), F.col("nsplit")).cast("int")
